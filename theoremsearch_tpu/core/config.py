@@ -1,0 +1,140 @@
+"""Dataclass + JSON configuration system.
+
+Replaces the reference's per-CLI argparse sprawl (every ec2/*/__main__.py)
+and its registry dicts (ec2/generate_embeddings/embedders.py:1,
+ec2/generate_slogans/models.py:1) with typed configs serializable to JSON.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+
+def _from_dict(cls, data: dict[str, Any]):
+    """Build a dataclass from a dict, recursing into nested dataclass fields."""
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        val = data[f.name]
+        if dataclasses.is_dataclass(f.type) and isinstance(val, dict):
+            val = _from_dict(f.type, val)
+        kwargs[f.name] = val
+    return cls(**kwargs)
+
+
+class _JsonConfig:
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self, path: str | Path) -> None:
+        Path(path).write_text(json.dumps(self.to_dict(), indent=2, sort_keys=True))
+
+    @classmethod
+    def from_dict(cls, data: dict[str, Any]):
+        return _from_dict(cls, data)
+
+    @classmethod
+    def from_json(cls, path: str | Path):
+        return cls.from_dict(json.loads(Path(path).read_text()))
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class MeshConfig(_JsonConfig):
+    """Logical device mesh layout.
+
+    ``data`` parallelizes query/encode batches; ``shard`` partitions the
+    corpus embedding matrix across chips (the TPU-native replacement for
+    the reference's single-Postgres-instance pgvector scan).
+    """
+
+    data: int = 1
+    shard: int = 1
+    # axis names, kept stable so sharding rules can refer to them
+    data_axis: str = "data"
+    shard_axis: str = "shard"
+
+
+@dataclass(frozen=True)
+class IndexConfig(_JsonConfig):
+    """Flat / IVF index layout knobs."""
+
+    dim: int = 1024                 # qwen 1024 (reference rds_schema.sql:51)
+    dtype: str = "bfloat16"         # bf16 | int8 (equal-memory knob)
+    row_block: int = 1024           # corpus rows per kernel tile; multiple of 8
+    pad_multiple: int = 1024        # shard row counts padded to this
+    # IVF coarse quantizer (0 = flat exact index)
+    ivf_nlist: int = 0
+    ivf_nprobe: int = 8
+    kmeans_iters: int = 25
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class EncoderConfig(_JsonConfig):
+    """Qwen3-Embedding-0.6B-class architecture (the reference's chosen
+    embedder: compare_embeddings.py:466 "Qwen3 0.6B is the best")."""
+
+    vocab_size: int = 151_669
+    hidden_size: int = 1024
+    intermediate_size: int = 3072
+    num_layers: int = 28
+    num_heads: int = 16
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rope_theta: float = 1_000_000.0
+    rms_norm_eps: float = 1e-6
+    max_seq_len: int = 512
+    embedding_dim: int = 1024       # output embedding dim (== hidden for qwen)
+    pooling: str = "last_token"     # qwen3-embedding pools the EOS position
+    normalize: bool = True          # reference normalize_embeddings=True everywhere
+    dtype: str = "bfloat16"
+    param_dtype: str = "bfloat16"
+
+    @classmethod
+    def tiny(cls) -> "EncoderConfig":
+        """A small config for tests/dry-runs."""
+        return cls(
+            vocab_size=1024,
+            hidden_size=128,
+            intermediate_size=256,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            head_dim=32,
+            max_seq_len=64,
+            embedding_dim=128,
+        )
+
+
+@dataclass(frozen=True)
+class SearchConfig(_JsonConfig):
+    """Query-path knobs (the streamlit_app.py backend feature set)."""
+
+    top_k: int = 10
+    # citation-weighted rerank: pool = max(min_pool, pool_multiple*top_k),
+    # score = similarity + weight*ln(citations)  (streamlit_app.py:317,353-363)
+    citation_weight: float = 0.0
+    rerank_min_pool: int = 50
+    rerank_pool_multiple: int = 10
+    query_batch: int = 256          # queries scored per kernel launch
+
+
+@dataclass(frozen=True)
+class TrainConfig(_JsonConfig):
+    """Contrastive fine-tuning of the encoder (InfoNCE over query/slogan pairs)."""
+
+    batch_size: int = 32
+    seq_len: int = 64
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.01
+    temperature: float = 0.05
+    steps: int = 100
+    seed: int = 0

@@ -1,0 +1,112 @@
+"""Streaming index builder with checkpoint/resume.
+
+TPU-native replacement for the reference's "database is the checkpoint"
+pattern (SURVEY.md §5: per-page commits + NOT EXISTS work selection, e.g.
+ec2/generate_embeddings/__main__.py:34-40,101). Embedding batches are
+appended to a spill directory with a JSON manifest recording the cursor;
+an interrupted build resumes from the last durable batch, and `finalize`
+packs everything into a FlatIndex (optionally quantized / IVF-assigned).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+from ..core.config import IndexConfig
+from .flat import FlatIndex
+
+
+class IndexBuilder:
+    """Append-only spool of (ids, embeddings) batches.
+
+    Usage:
+        b = IndexBuilder(dir, config)
+        for ids, emb in batches:           # resume: skip ids < b.cursor
+            b.add(ids, emb)
+        index = b.finalize()
+    """
+
+    def __init__(self, spool_dir: str | Path, config: IndexConfig | None = None):
+        self.dir = Path(spool_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.manifest_path = self.dir / "build_manifest.json"
+        if self.manifest_path.exists():
+            self.manifest = json.loads(self.manifest_path.read_text())
+            self.config = IndexConfig.from_dict(self.manifest["config"])
+            if config is not None and config.to_dict() != self.config.to_dict():
+                raise ValueError("resuming build with a different IndexConfig")
+        else:
+            self.config = config or IndexConfig()
+            self.manifest = {
+                "config": self.config.to_dict(),
+                "batches": [],
+                "max_id": -1,
+                "total_rows": 0,
+            }
+            self._write_manifest()
+
+    # ------------- resume support -------------
+
+    @property
+    def cursor(self) -> int:
+        """Largest doc id already spooled; work selection can skip ids <=
+        cursor, mirroring the reference's keyset pagination resume
+        (ec2/rds/paginate.py:31-39)."""
+        return int(self.manifest["max_id"])
+
+    @property
+    def total_rows(self) -> int:
+        return int(self.manifest["total_rows"])
+
+    # ------------- building -------------
+
+    def add(self, ids: np.ndarray, embeddings: np.ndarray) -> None:
+        ids = np.asarray(ids, dtype=np.int64)
+        emb = np.asarray(embeddings, dtype=np.float32)
+        if ids.shape[0] != emb.shape[0]:
+            raise ValueError("ids/embeddings length mismatch")
+        if emb.shape[0] == 0:
+            return
+        n = len(self.manifest["batches"])
+        name = f"batch_{n:06d}"
+        # write data first, then the manifest — a crash between the two
+        # leaves an orphan file that finalize ignores
+        np.save(self.dir / f"{name}.ids.npy", ids)
+        np.save(self.dir / f"{name}.emb.npy", emb)
+        self.manifest["batches"].append({"name": name, "rows": int(emb.shape[0])})
+        self.manifest["max_id"] = max(self.cursor, int(ids.max()))
+        self.manifest["total_rows"] += int(emb.shape[0])
+        self._write_manifest()
+
+    def batches(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        for b in self.manifest["batches"]:
+            yield (
+                np.load(self.dir / f"{b['name']}.ids.npy"),
+                np.load(self.dir / f"{b['name']}.emb.npy"),
+            )
+
+    def finalize(self, normalize: bool = True) -> FlatIndex:
+        if not self.manifest["batches"]:
+            raise ValueError("no batches spooled")
+        all_ids, all_emb = [], []
+        seen: set[int] = set()
+        for ids, emb in self.batches():
+            # idempotent re-adds (restart overlap) keep the first copy,
+            # like the reference's ON CONFLICT upsert (ec2/rds/upsert.py:40-45)
+            mask = np.array([i not in seen for i in ids.tolist()])
+            seen.update(ids.tolist())
+            if mask.any():
+                all_ids.append(ids[mask])
+                all_emb.append(emb[mask])
+        ids = np.concatenate(all_ids)
+        emb = np.concatenate(all_emb)
+        return FlatIndex.build(emb, ids=ids, config=self.config, normalize=normalize)
+
+    def _write_manifest(self) -> None:
+        tmp = self.manifest_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(self.manifest, indent=2))
+        tmp.replace(self.manifest_path)

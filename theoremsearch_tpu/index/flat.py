@@ -1,0 +1,148 @@
+"""Flat (exact) index: a packed, padded, HBM-resident embedding matrix.
+
+This replaces the reference's pgvector tables
+(theorem_embedding_{bert,qwen,gemma}, rds_schema.sql:43-57) and their
+full-table `<#>` scans (streamlit_app.py:281). Rows are L2-normalized at
+pack time (matching the reference's normalize_embeddings=True), padded to
+a TPU-friendly multiple so every kernel launch sees static shapes, and
+stored on disk as raw little-endian arrays plus a JSON manifest.
+
+Disk layout (index_dir/):
+    manifest.json                {num_rows, dim, dtype, pad_multiple, shards: [...]}
+    shard_0000.vecs.npy          (padded_rows, dim) bf16-as-uint16 or int8
+    shard_0000.scales.npy        (padded_rows,) fp32     [int8 only]
+    shard_0000.ids.npy           (padded_rows,) int64 doc ids, -1 for padding
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+
+from ..core.config import IndexConfig
+
+PAD_ID = -1
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclass
+class FlatIndex:
+    """In-memory (host) view of a packed index; device placement is done by
+    the search engine (replicated single-chip, or row-sharded over the mesh)."""
+
+    vectors: np.ndarray          # (padded_rows, dim) bf16 or int8
+    ids: np.ndarray              # (padded_rows,) int64, PAD_ID for padding
+    scales: np.ndarray | None    # (padded_rows,) fp32 for int8, else None
+    num_rows: int                # real (unpadded) rows
+    config: IndexConfig
+
+    # ---------------- construction ----------------
+
+    @classmethod
+    def build(
+        cls,
+        embeddings: np.ndarray,
+        ids: np.ndarray | None = None,
+        config: IndexConfig | None = None,
+        normalize: bool = True,
+    ) -> "FlatIndex":
+        emb = np.asarray(embeddings, dtype=np.float32)
+        n, d = emb.shape
+        cfg = (config or IndexConfig()).replace(dim=d)
+        if ids is None:
+            ids = np.arange(n, dtype=np.int64)
+        ids = np.asarray(ids, dtype=np.int64)
+        if normalize:
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            emb = emb / np.maximum(norms, 1e-12)
+
+        padded = _round_up(max(n, 1), cfg.pad_multiple)
+        pad_rows = padded - n
+
+        scales = None
+        if cfg.dtype == "int8":
+            from .quant import quantize_int8
+
+            codes, sc = quantize_int8(emb)
+            vecs = np.concatenate([codes, np.zeros((pad_rows, d), np.int8)])
+            scales = np.concatenate([sc, np.zeros(pad_rows, np.float32)])
+        elif cfg.dtype == "bfloat16":
+            vecs = np.concatenate(
+                [emb.astype(ml_dtypes.bfloat16), np.zeros((pad_rows, d), ml_dtypes.bfloat16)]
+            )
+        elif cfg.dtype == "float32":
+            vecs = np.concatenate([emb, np.zeros((pad_rows, d), np.float32)])
+        else:
+            raise ValueError(f"unsupported index dtype {cfg.dtype}")
+
+        all_ids = np.concatenate([ids, np.full(pad_rows, PAD_ID, np.int64)])
+        return cls(vectors=vecs, ids=all_ids, scales=scales, num_rows=n, config=cfg)
+
+    # ---------------- persistence ----------------
+
+    def save(self, path: str | Path) -> None:
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        vecs = self.vectors
+        if vecs.dtype == ml_dtypes.bfloat16:
+            np.save(path / "shard_0000.vecs.npy", vecs.view(np.uint16))
+        else:
+            np.save(path / "shard_0000.vecs.npy", vecs)
+        np.save(path / "shard_0000.ids.npy", self.ids)
+        if self.scales is not None:
+            np.save(path / "shard_0000.scales.npy", self.scales)
+        manifest = {
+            "format": "flat",
+            "num_rows": self.num_rows,
+            "padded_rows": int(self.vectors.shape[0]),
+            "dim": int(self.vectors.shape[1]),
+            "config": self.config.to_dict(),
+        }
+        (path / "manifest.json").write_text(json.dumps(manifest, indent=2))
+
+    @classmethod
+    def load(cls, path: str | Path) -> "FlatIndex":
+        path = Path(path)
+        manifest = json.loads((path / "manifest.json").read_text())
+        cfg = IndexConfig.from_dict(manifest["config"])
+        vecs = np.load(path / "shard_0000.vecs.npy")
+        if cfg.dtype == "bfloat16":
+            vecs = vecs.view(ml_dtypes.bfloat16)
+        ids = np.load(path / "shard_0000.ids.npy")
+        scales_path = path / "shard_0000.scales.npy"
+        scales = np.load(scales_path) if scales_path.exists() else None
+        return cls(
+            vectors=vecs, ids=ids, scales=scales, num_rows=manifest["num_rows"], config=cfg
+        )
+
+    # ---------------- device views ----------------
+
+    def device_arrays(self) -> tuple[jax.Array, jax.Array, jax.Array | None]:
+        """(vectors, ids, scales) as jnp arrays (placement left to caller)."""
+        vecs = jnp.asarray(self.vectors)
+        ids = jnp.asarray(self.ids, dtype=jnp.int32)
+        scales = jnp.asarray(self.scales) if self.scales is not None else None
+        return vecs, ids, scales
+
+    @property
+    def padded_rows(self) -> int:
+        return int(self.vectors.shape[0])
+
+    @property
+    def dim(self) -> int:
+        return int(self.vectors.shape[1])
+
+    def memory_bytes(self) -> int:
+        b = self.vectors.nbytes + self.ids.nbytes
+        if self.scales is not None:
+            b += self.scales.nbytes
+        return b

@@ -1,0 +1,39 @@
+"""Embedding quantization — the equal-memory knob (BASELINE.json).
+
+int8 symmetric per-row quantization: each embedding row r is stored as
+int8 codes plus one fp32 scale s_r = max|r|/127, so that
+q . r  ≈  s_r * (q . codes_r). Because scores are only compared *within*
+a query, per-row scales preserve MIPS ranking to quantization error.
+
+The reference stores fp32 pgvector columns (rds_schema.sql:45-57) and has
+no quantization; this is the TPU-native memory/bandwidth optimization that
+makes a 1M-corpus-per-chip HBM-resident index feasible.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quantize_int8(x: np.ndarray | jax.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row symmetric int8. Returns (codes int8 (N,D), scales fp32 (N,))."""
+    x = np.asarray(x, dtype=np.float32)
+    absmax = np.abs(x).max(axis=-1)
+    scales = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    codes = np.clip(np.rint(x / scales[:, None]), -127, 127).astype(np.int8)
+    return codes, scales
+
+
+def dequantize_int8(codes: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    return codes.astype(np.float32) * scales[:, None]
+
+
+def int8_scores(queries: jax.Array, codes: jax.Array, scales: jax.Array) -> jax.Array:
+    """Reference (non-Pallas) int8 scoring path: fp32 accumulate of
+    q @ codes.T, then per-row rescale. XLA lowers the int8 matmul onto the
+    MXU with int32 accumulation where supported."""
+    q = queries.astype(jnp.float32)
+    s = jnp.dot(q, codes.astype(jnp.float32).T, preferred_element_type=jnp.float32)
+    return s * scales[None, :]
