@@ -1,0 +1,135 @@
+"""MIPS kernel correctness: fused Pallas kernel (interpret mode on CPU) and
+both XLA paths must agree with the exact brute-force oracle — the
+kernel-vs-reference strategy SURVEY.md §4 calls for."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from theoremsearch_tpu.kernels import (
+    fused_mips_topk,
+    merge_topk,
+    xla_mips_topk,
+    xla_mips_topk_scan,
+)
+
+
+def _make(rng, n=2048, d=128, b=16, dtype=jnp.float32):
+    corpus = jnp.asarray(rng.standard_normal((n, d)), dtype)
+    queries = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    return queries, corpus
+
+
+def _exact(queries, corpus, k, n_valid=None):
+    s = np.asarray(queries, np.float32) @ np.asarray(corpus, np.float32).T
+    if n_valid is not None:
+        s[:, n_valid:] = -np.inf
+    ids = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(s, ids, axis=1), ids
+
+
+def _assert_topk_match(scores, ids, ref_scores, ref_ids, atol=1e-4):
+    # ids may differ under exact score ties; compare score multisets and
+    # the id sets restricted to non-tied scores
+    np.testing.assert_allclose(
+        np.sort(scores, axis=1), np.sort(ref_scores, axis=1), atol=atol, rtol=1e-4
+    )
+    assert (np.asarray(scores)[:, :-1] >= np.asarray(scores)[:, 1:] - 1e-6).all(), "not sorted"
+
+
+def test_xla_full_matches_oracle(rng):
+    q, c = _make(rng)
+    s, i = xla_mips_topk(q, c, k=10)
+    rs, ri = _exact(q, c, 10)
+    _assert_topk_match(s, i, rs, ri)
+    np.testing.assert_array_equal(np.asarray(i), ri)
+
+
+def test_xla_scan_matches_full(rng):
+    q, c = _make(rng, n=4096)
+    s1, i1 = xla_mips_topk(q, c, k=10)
+    s2, i2 = xla_mips_topk_scan(q, c, k=10, chunk=512)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_fused_kernel_matches_oracle_f32(rng):
+    q, c = _make(rng, n=2048, d=128, b=16)
+    s, i = fused_mips_topk(q, c, k=10, row_block=256, interpret=True)
+    rs, ri = _exact(q, c, 10)
+    _assert_topk_match(s, i, rs, ri)
+    np.testing.assert_array_equal(np.asarray(i), ri)
+
+
+def test_fused_kernel_bf16(rng):
+    q, c = _make(rng, n=1024, d=128, b=8, dtype=jnp.bfloat16)
+    s, i = fused_mips_topk(q, c, k=5, row_block=256, interpret=True)
+    s2, i2 = xla_mips_topk(q, c, k=5)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s2), atol=1e-2)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+
+
+def test_fused_kernel_padding_mask(rng):
+    # rows >= n_valid are zero padding; zero scores must never be returned
+    q, c = _make(rng, n=1024, d=64, b=8)
+    c = c.at[900:].set(0.0)
+    s, i = fused_mips_topk(q, c, n_valid=900, k=10, row_block=256, interpret=True)
+    assert (np.asarray(i) < 900).all()
+    rs, ri = _exact(q, c, 10, n_valid=900)
+    _assert_topk_match(s, i, rs, ri)
+    np.testing.assert_array_equal(np.asarray(i), ri)
+
+
+def test_fused_kernel_int8(rng):
+    from theoremsearch_tpu.index.quant import quantize_int8
+
+    q, c = _make(rng, n=1024, d=128, b=8)
+    cn = np.asarray(c) / np.linalg.norm(np.asarray(c), axis=1, keepdims=True)
+    codes, scales = quantize_int8(cn)
+    s, i = fused_mips_topk(
+        q, jnp.asarray(codes), jnp.asarray(scales), k=10, row_block=256, interpret=True
+    )
+    # int8 top-10 should almost exactly match exact top-10 on the dequantized corpus
+    from theoremsearch_tpu.index.quant import dequantize_int8
+
+    rs, ri = _exact(q, dequantize_int8(codes, scales), 10)
+    overlap = np.mean([
+        len(set(i[r].tolist()) & set(ri[r].tolist())) / 10 for r in range(i.shape[0])
+    ])
+    assert overlap >= 0.9
+
+
+def test_fused_kernel_int8_matches_xla_int8(rng):
+    from theoremsearch_tpu.index.quant import quantize_int8
+
+    q, c = _make(rng, n=512, d=64, b=8)
+    codes, scales = quantize_int8(np.asarray(c))
+    codes, scales = jnp.asarray(codes), jnp.asarray(scales)
+    s1, i1 = fused_mips_topk(q, codes, scales, k=7, row_block=128, interpret=True)
+    s2, i2 = xla_mips_topk(q, codes, scales, k=7)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-3, rtol=1e-3)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_merge_topk(rng):
+    # merging P partial top-k lists == top-k of the union
+    b, p, k = 4, 3, 5
+    scores = jnp.asarray(rng.standard_normal((b, p * k)), jnp.float32)
+    ids = jnp.asarray(rng.permutation(p * k * b).reshape(b, p * k) % 10_000, jnp.int32)
+    ms, mi = merge_topk(scores, ids, k)
+    ref_sel = np.argsort(-np.asarray(scores), axis=1)[:, :k]
+    np.testing.assert_allclose(
+        np.asarray(ms), np.take_along_axis(np.asarray(scores), ref_sel, axis=1), atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mi), np.take_along_axis(np.asarray(ids), ref_sel, axis=1)
+    )
+
+
+def test_fused_kernel_k_larger_than_block_count_edge(rng):
+    # k close to corpus size still exact
+    q, c = _make(rng, n=256, d=64, b=8)
+    s, i = fused_mips_topk(q, c, k=32, row_block=128, interpret=True)
+    rs, ri = _exact(q, c, 32)
+    np.testing.assert_array_equal(np.asarray(i), ri)

@@ -1,0 +1,212 @@
+"""Search engine tests on the virtual 8-device CPU mesh: multi-chip
+shard_map fan-out must agree with the single-device path and the exact
+oracle; filters and rerank must reproduce the reference SQL semantics."""
+
+import numpy as np
+import pytest
+
+from theoremsearch_tpu.core import IndexConfig, MeshConfig, make_mesh
+from theoremsearch_tpu.eval.oracle import exact_topk, l2_normalize
+from theoremsearch_tpu.index import FlatIndex
+from theoremsearch_tpu.search import (
+    CorpusMetadata,
+    SearchEngine,
+    SearchFilters,
+    compile_filter_mask,
+    infer_type,
+    parse_paper_filter,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(42)
+    emb = rng.standard_normal((3000, 64)).astype(np.float32)
+    emb = np.asarray(l2_normalize(emb))
+    queries = np.asarray(l2_normalize(rng.standard_normal((13, 64)).astype(np.float32)))
+    return emb, queries
+
+
+@pytest.fixture(scope="module")
+def meta(corpus):
+    emb, _ = corpus
+    n = emb.shape[0]
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(n):
+        is_arx = i % 5 != 0
+        rows.append(
+            {
+                "paper_id": f"{2000 + i % 26}.{i:05d}",
+                "paper_title": f"Paper about topic {i % 50}",
+                "authors": [f"Author {i % 100}", f"Author {(i * 7) % 100}"],
+                "link": f"https://arxiv.org/abs/{i}" if is_arx else f"https://stacks.math.columbia.edu/tag/{i}",
+                "year": 2000 + (i % 25),
+                "primary_category": f"math.{['AG','NT','CO','PR'][i % 4]}",
+                "journal_ref": "J. Math" if i % 3 == 0 else None,
+                "citations": int(rng.integers(0, 500)) if i % 4 != 0 else None,
+                "theorem_name": ["Theorem 1.", "Lemma 2.", "Proposition 3.", "Corollary 4."][i % 4],
+                "theorem_body": f"body {i}",
+                "slogan": f"slogan {i}",
+            }
+        )
+    return CorpusMetadata.from_rows(rows)
+
+
+def _engine(emb, meta=None, mesh=None, dtype="float32"):
+    idx = FlatIndex.build(emb, config=IndexConfig(pad_multiple=256, dtype=dtype), normalize=False)
+    return SearchEngine(idx, meta=meta, mesh=mesh, use_pallas=False, row_block=128)
+
+
+def test_single_device_matches_oracle(corpus):
+    emb, q = corpus
+    eng = _engine(emb)
+    scores, ids = eng.search_vectors(q, k=10)
+    ref_s, ref_i = exact_topk(q, emb, k=10)
+    np.testing.assert_array_equal(ids, ref_i)
+    np.testing.assert_allclose(scores, ref_s, atol=1e-5)
+
+
+def test_sharded_matches_single(corpus):
+    emb, q = corpus
+    mesh = make_mesh(MeshConfig(data=1, shard=8))
+    eng_m = _engine(emb, mesh=mesh)
+    eng_1 = _engine(emb)
+    s_m, i_m = eng_m.search_vectors(q, k=10)
+    s_1, i_1 = eng_1.search_vectors(q, k=10)
+    np.testing.assert_allclose(s_m, s_1, atol=1e-5)
+    np.testing.assert_array_equal(i_m, i_1)
+
+
+def test_sharded_int8_recall(corpus):
+    emb, q = corpus
+    mesh = make_mesh(MeshConfig(data=1, shard=4))
+    eng = _engine(emb, mesh=mesh, dtype="int8")
+    s, i = eng.search_vectors(q, k=20)
+    _, ref_i = exact_topk(q, emb, k=10)
+    overlap = np.mean([
+        len(set(i[r].tolist()) & set(ref_i[r].tolist())) / 10 for r in range(len(q))
+    ])
+    assert overlap >= 0.95
+
+
+def test_filter_mask_sources(meta):
+    f = SearchFilters(sources=["Stacks Project"])
+    mask = compile_filter_mask(f, meta)
+    assert mask.sum() == sum(1 for i in range(len(meta)) if i % 5 == 0)
+    f2 = SearchFilters(sources=[])
+    assert compile_filter_mask(f2, meta).sum() == 0
+
+
+def test_filter_default_is_none(meta):
+    assert compile_filter_mask(SearchFilters(), meta) is None
+
+
+def test_filter_year_only_applies_to_arxiv(meta):
+    f = SearchFilters(year_range=(2010, 2012))
+    mask = compile_filter_mask(f, meta)
+    arx = meta.is_arxiv
+    in_range = (meta.year >= 2010) & (meta.year <= 2012)
+    expected = np.where(arx, in_range, True)
+    np.testing.assert_array_equal(mask, expected)
+
+
+def test_filter_journal_status_excludes_stacks(meta):
+    mask = compile_filter_mask(SearchFilters(journal_status="Journal Article"), meta)
+    assert not mask[~meta.is_arxiv].any()
+
+
+def test_filter_citations_unknown(meta):
+    f1 = SearchFilters(citation_range=(0, 100), include_unknown_citations=True)
+    f2 = SearchFilters(citation_range=(0, 100), include_unknown_citations=False)
+    m1 = compile_filter_mask(f1, meta)
+    m2 = compile_filter_mask(f2, meta)
+    unknown = meta.citations < 0
+    assert m1[unknown].all()
+    assert not m2[unknown].any()
+
+
+def test_filter_types(meta):
+    mask = compile_filter_mask(SearchFilters(types=["lemma"]), meta)
+    expected = np.array(["lemma" in n.lower() for n in meta.theorem_name])
+    np.testing.assert_array_equal(mask, expected)
+
+
+def test_filtered_search_restricts_results(corpus, meta):
+    emb, q = corpus
+    eng = _engine(emb, meta=meta)
+    f = SearchFilters(tags=["math.AG"])
+    scores, ids = eng.search_vectors(q[:3], k=10, filters=f)
+    for row in ids:
+        for d in row:
+            if d >= 0:
+                assert meta.primary_category[d] == "math.AG"
+    # equals oracle on the masked corpus
+    mask = compile_filter_mask(f, meta)
+    masked = emb.copy()
+    masked[~mask] = 0.0
+    s_ref = q[:3] @ emb.T
+    s_ref[:, ~mask] = -np.inf
+    ref_ids = np.argsort(-s_ref, axis=1, kind="stable")[:, :10]
+    np.testing.assert_array_equal(ids, ref_ids)
+
+
+def test_filtered_search_fewer_than_k(corpus, meta):
+    emb, q = corpus
+    eng = _engine(emb, meta=meta)
+    # paper_filter by exact title matches ~3000/50 = 60 docs; pick narrower: one author
+    f = SearchFilters(authors=["Author 1"])
+    scores, ids = eng.search_vectors(q[:2], k=2000)
+    assert (ids >= 0).all()
+    f_narrow = SearchFilters(paper_filter={"ids": set(), "titles": {"topic 13"}})
+    s, i = eng.search_vectors(q[:2], k=200, filters=f_narrow)
+    n_match = sum(1 for t in meta.paper_title if "topic 13" in t.casefold())
+    assert ((i >= 0).sum(axis=1) == n_match).all()
+
+
+def test_search_full_results_and_rerank(corpus, meta):
+    emb, q = corpus
+    eng = _engine(emb, meta=meta)
+    f = SearchFilters(top_k=5)
+    rows = eng.search(q[0], f)
+    assert len(rows) == 5
+    assert rows[0]["similarity"] >= rows[-1]["similarity"]
+    assert {"paper_title", "theorem_body", "source", "type", "citations"} <= set(rows[0])
+    # citation-weighted rerank can change order
+    f2 = SearchFilters(top_k=5, citation_weight=0.5)
+    rows2 = eng.search(q[0], f2)
+    assert len(rows2) == 5
+    import math
+
+    for r in rows2:
+        cit = r["citations"]
+        bonus = 0.5 * math.log(cit) if (cit is not None and cit > 0) else 0.0
+        assert r["score"] == pytest.approx(r["similarity"] + bonus, rel=1e-6)
+    assert all(rows2[j]["score"] >= rows2[j + 1]["score"] for j in range(4))
+
+
+def test_search_no_sources_returns_empty(corpus, meta):
+    emb, q = corpus
+    eng = _engine(emb, meta=meta)
+    assert eng.search(q[0], SearchFilters(sources=[])) == []
+
+
+def test_infer_type_and_paper_filter_parse():
+    assert infer_type("Lemma 3.1 (Main)") == "lemma"
+    assert infer_type("") == "theorem"
+    assert infer_type("Main Theorem") == "theorem"
+    pf = parse_paper_filter("2401.12345, Optimal Transport, arxiv.org/abs/2509.14145")
+    assert pf["ids"] == {"2401.12345", "2509.14145"}
+    assert pf["titles"] == {"optimal transport"}
+
+
+def test_metadata_facets_and_roundtrip(meta, tmp_path):
+    authors = meta.load_authors()
+    assert len(authors) == 100 and authors == sorted(authors)
+    tags = meta.load_tags_per_source()
+    assert set(tags) == {"arXiv", "Stacks Project"}
+    meta.save(tmp_path / "meta")
+    m2 = CorpusMetadata.load(tmp_path / "meta")
+    assert m2.paper_id == meta.paper_id
+    np.testing.assert_array_equal(m2.citations, meta.citations)
+    assert m2.authors[5] == meta.authors[5]

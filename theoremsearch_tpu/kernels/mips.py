@@ -1,0 +1,330 @@
+"""Fused MIPS (maximum inner-product search) matmul + top-k kernels.
+
+This is the TPU-native replacement for the reference's entire retrieval
+"kernel" — the pgvector `<#>` full-table scan in Postgres
+(reference: streamlit_app.py:281 `ORDER BY e.embedding <#> qvec ASC LIMIT k`,
+with no ANN index ever created — rds_schema.sql has no CREATE INDEX).
+
+Design (single chip; multi-chip fan-out lives in search/):
+
+- The corpus matrix (N_padded, D) lives in HBM; Pallas streams row tiles
+  of ``row_block`` rows into VMEM with automatic double-buffered
+  pipelining (grid + BlockSpec index_map).
+- Each grid step computes a (B, row_block) score tile on the MXU
+  (bf16 x bf16 -> f32, or dequantized int8), masks padding/invalid rows
+  to -inf, and folds the tile into a running per-query top-k held in VMEM
+  scratch across grid steps.
+- The merge is k static rounds of (argmax, mask) over the concatenated
+  (B, k + row_block) candidate buffer — exact top-k, no sort. k is small
+  (10-128), so the VPU cost is ~k/(2D) of the matmul MACs.
+- Queries are batched (B rows per corpus scan) so the corpus is read once
+  per B queries: HBM bandwidth amortization is what makes >=100k QPS/chip
+  possible (SURVEY.md §7.4 throughput accounting).
+
+Returned ids index the *padded corpus rows*; the caller maps them through
+the index id table (FlatIndex.ids).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Exact top-k merge (shared by kernel and XLA paths)
+# ---------------------------------------------------------------------------
+
+
+def _fold_topk(scores: jax.Array, ids: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k of (B, C) candidates via k rounds of argmax+mask.
+
+    Returns sorted-descending (B, k) scores and their ids. Used inside the
+    Pallas kernel where lax.top_k is unavailable/slow; C is small
+    (k + row_block)."""
+    B, C = scores.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    out_s = []
+    out_i = []
+    s = scores
+    for _ in range(k):
+        m = jnp.max(s, axis=1)
+        a = jnp.argmax(s, axis=1).astype(jnp.int32)
+        sel = col == a[:, None]
+        chosen_id = jnp.sum(jnp.where(sel, ids, 0), axis=1)
+        out_s.append(m)
+        out_i.append(chosen_id)
+        s = jnp.where(sel, NEG_INF, s)
+    return jnp.stack(out_s, axis=1), jnp.stack(out_i, axis=1)
+
+
+def merge_topk(
+    scores_list: jax.Array, ids_list: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Merge partial top-k lists: (B, P*k) -> (B, k), exact, sorted desc.
+
+    Used to combine per-shard results after the ICI all-gather
+    (search/engine.py) and per-chunk results in the XLA scan path."""
+    s, i = jax.lax.top_k(scores_list, k)
+    return s, jnp.take_along_axis(ids_list, i, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+
+def _mips_kernel(
+    nvalid_ref,  # SMEM (1, 1) int32: number of real (non-padding) corpus rows
+    q_ref,       # VMEM (B, D) corpus-dtype queries
+    c_ref,       # VMEM (row_block, D) corpus tile
+    scale_ref,   # VMEM (1, row_block) f32 per-row scales (all-ones for bf16)
+    bias_ref,    # VMEM (1, row_block) f32 additive bias (0 keep / -inf filtered)
+    out_s_ref,   # VMEM (B, k) f32
+    out_i_ref,   # VMEM (B, k) i32
+    top_s,       # scratch VMEM (B, k) f32
+    top_i,       # scratch VMEM (B, k) i32
+    *,
+    k: int,
+    row_block: int,
+    int8_corpus: bool = False,
+):
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        top_s[:] = jnp.full_like(top_s, NEG_INF)
+        top_i[:] = jnp.full_like(top_i, -1)
+
+    b = q_ref.shape[0]
+    # int8 codes are exactly representable in bf16; upcast feeds the MXU
+    c_tile = c_ref[:].astype(jnp.bfloat16) if int8_corpus else c_ref[:]
+    # MXU: (B, D) x (D, row_block) -> f32
+    s = jax.lax.dot_general(
+        q_ref[:],
+        c_tile,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale_ref[0, :][None, :] + bias_ref[0, :][None, :]
+
+    # global row ids for this tile; mask padding rows to -inf
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, row_block), 1)
+    gids = col + i * row_block
+    s = jnp.where(gids < nvalid_ref[0, 0], s, NEG_INF)
+
+    cand_s = jnp.concatenate([top_s[:], s], axis=1)
+    cand_i = jnp.concatenate([top_i[:], gids], axis=1)
+    new_s, new_i = _fold_topk(cand_s, cand_i, k)
+    top_s[:] = new_s
+    top_i[:] = new_i
+
+    @pl.when(i == n_tiles - 1)
+    def _emit():
+        out_s_ref[:] = top_s[:]
+        out_i_ref[:] = top_i[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "row_block", "interpret")
+)
+def fused_mips_topk(
+    queries: jax.Array,
+    corpus: jax.Array,
+    scales: jax.Array | None = None,
+    n_valid: jax.Array | int | None = None,
+    bias: jax.Array | None = None,
+    *,
+    k: int = 10,
+    row_block: int = 512,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Single-chip fused scan: top-k inner products of each query row
+    against the corpus.
+
+    queries: (B, D) float; B should be a multiple of 8 for best tiling.
+    corpus:  (N_pad, D) bf16/f32 (already L2-normalized rows), or int8 codes.
+    scales:  (N_pad,) f32 per-row dequant scales (int8), or None.
+    n_valid: real row count; rows >= n_valid score -inf.
+    bias:    (N_pad,) f32 additive per-row bias — 0 to keep, -inf to
+             exclude. This is how structured filters reach the kernel
+             (masked scoring keeps shapes static for XLA; SURVEY.md §7.4).
+
+    Returns (scores (B, k) f32 desc-sorted, ids (B, k) i32 into corpus rows).
+    """
+    n_pad, d = corpus.shape
+    b = queries.shape[0]
+    if n_pad % row_block != 0:
+        raise ValueError(f"corpus rows {n_pad} not a multiple of row_block {row_block}")
+    if n_valid is None:
+        n_valid = n_pad
+    nvalid_arr = jnp.asarray(n_valid, dtype=jnp.int32).reshape(1, 1)
+
+    int8_corpus = corpus.dtype == jnp.int8
+    if int8_corpus:
+        if scales is None:
+            raise ValueError("int8 corpus requires scales")
+        qk = queries.astype(jnp.bfloat16)
+    else:
+        qk = queries.astype(corpus.dtype)
+    if scales is None:
+        scales2d = jnp.ones((1, n_pad), dtype=jnp.float32)
+    else:
+        scales2d = scales.reshape(1, n_pad).astype(jnp.float32)
+    if bias is None:
+        bias2d = jnp.zeros((1, n_pad), dtype=jnp.float32)
+    else:
+        bias2d = bias.reshape(1, n_pad).astype(jnp.float32)
+
+    n_tiles = n_pad // row_block
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i, *_: (0, 0)),            # queries, resident
+            pl.BlockSpec((row_block, d), lambda i, *_: (i, 0)),    # corpus tile, streamed
+            pl.BlockSpec((1, row_block), lambda i, *_: (0, i)),    # scales tile
+            pl.BlockSpec((1, row_block), lambda i, *_: (0, i)),    # bias tile
+        ],
+        out_specs=[
+            pl.BlockSpec((b, k), lambda i, *_: (0, 0)),
+            pl.BlockSpec((b, k), lambda i, *_: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _mips_kernel, k=k, row_block=row_block, int8_corpus=int8_corpus
+    )
+
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_pad * d,
+            bytes_accessed=n_pad * d * corpus.dtype.itemsize + b * d * 4,
+            transcendentals=0,
+        ),
+    )(nvalid_arr, qk, corpus, scales2d, bias2d)
+    return out_s, out_i
+
+
+# ---------------------------------------------------------------------------
+# XLA paths (reference for correctness; also the CPU-mesh fallback)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def xla_mips_topk(
+    queries: jax.Array,
+    corpus: jax.Array,
+    scales: jax.Array | None = None,
+    n_valid: jax.Array | int | None = None,
+    bias: jax.Array | None = None,
+    *,
+    k: int = 10,
+) -> tuple[jax.Array, jax.Array]:
+    """Materialize the full (B, N) score matrix, then lax.top_k.
+
+    Exact; memory O(B*N) — the small-corpus / testing path, numerically
+    the twin of the fused kernel (same dtypes, masking, and bias)."""
+    n_pad = corpus.shape[0]
+    if corpus.dtype == jnp.int8:
+        q = queries.astype(jnp.bfloat16)
+        c = corpus.astype(jnp.bfloat16)
+    else:
+        q = queries.astype(corpus.dtype)
+        c = corpus
+    s = jax.lax.dot_general(
+        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if scales is not None:
+        s = s * scales[None, :].astype(jnp.float32)
+    if bias is not None:
+        s = s + bias[None, :].astype(jnp.float32)
+    if n_valid is not None:
+        ids = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+        s = jnp.where(ids < jnp.asarray(n_valid, jnp.int32), s, NEG_INF)
+    scores, ids = jax.lax.top_k(s, k)
+    return scores, ids.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def xla_mips_topk_scan(
+    queries: jax.Array,
+    corpus: jax.Array,
+    scales: jax.Array | None = None,
+    n_valid: jax.Array | int | None = None,
+    bias: jax.Array | None = None,
+    *,
+    k: int = 10,
+    chunk: int = 65536,
+) -> tuple[jax.Array, jax.Array]:
+    """lax.scan over corpus chunks with a running top-k carry.
+
+    Exact with O(B*chunk) live memory — the XLA analogue of the fused
+    kernel, used when Pallas is unavailable and for large corpora on CPU."""
+    n_pad, d = corpus.shape
+    b = queries.shape[0]
+    if n_pad % chunk != 0:
+        raise ValueError(f"corpus rows {n_pad} not a multiple of chunk {chunk}")
+    if corpus.dtype == jnp.int8:
+        q = queries.astype(jnp.bfloat16)
+    else:
+        q = queries.astype(corpus.dtype)
+    n_valid = jnp.asarray(n_pad if n_valid is None else n_valid, jnp.int32)
+
+    n_chunks = n_pad // chunk
+    corpus_t = corpus.reshape(n_chunks, chunk, d)
+    scales_t = scales.reshape(n_chunks, chunk) if scales is not None else None
+    bias_t = bias.reshape(n_chunks, chunk) if bias is not None else None
+
+    def step(carry, xs):
+        top_s, top_i = carry
+        c_chunk, sc, bs, start = xs
+        cc = c_chunk.astype(jnp.bfloat16) if c_chunk.dtype == jnp.int8 else c_chunk
+        s = jax.lax.dot_general(
+            q, cc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if sc is not None:
+            s = s * sc[None, :].astype(jnp.float32)
+        if bs is not None:
+            s = s + bs[None, :].astype(jnp.float32)
+        gids = jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1) + start
+        s = jnp.where(gids < n_valid, s, NEG_INF)
+        cand_s = jnp.concatenate([top_s, s], axis=1)
+        cand_i = jnp.concatenate([top_i, gids], axis=1)
+        new_s, sel = jax.lax.top_k(cand_s, k)
+        new_i = jnp.take_along_axis(cand_i, sel, axis=1)
+        return (new_s, new_i), None
+
+    init = (
+        jnp.full((b, k), NEG_INF, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    xs = (corpus_t, scales_t, bias_t, starts)
+    (top_s, top_i), _ = jax.lax.scan(step, init, xs)
+    return top_s, top_i

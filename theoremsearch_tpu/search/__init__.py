@@ -1,0 +1,12 @@
+from .metadata import CorpusMetadata
+from .filters import SearchFilters, compile_filter_mask, infer_type, parse_paper_filter
+from .engine import SearchEngine
+
+__all__ = [
+    "CorpusMetadata",
+    "SearchFilters",
+    "compile_filter_mask",
+    "infer_type",
+    "parse_paper_filter",
+    "SearchEngine",
+]

@@ -1,0 +1,319 @@
+"""The query engine: encode -> per-shard fused MIPS kernel -> top-k merge
+over ICI -> optional citation-weighted rerank -> metadata join.
+
+TPU-native replacement for the reference's SQL query path
+(streamlit_app.py:253-363): the pgvector `<#>` scan becomes the Pallas
+kernel over an HBM-resident shard per chip; the cross-shard "collective"
+is a `jax.lax.all_gather` of per-shard (scores, ids) over the mesh's
+`shard` axis, merged with one small lax.top_k.
+
+Single-chip and multi-chip paths share the same code: the multi-chip
+path is the single-chip kernel wrapped in `shard_map` over the corpus
+rows. Tested on a virtual 8-device CPU mesh; run on a TPU pod slice by
+passing a real mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import SearchConfig
+from ..index.flat import PAD_ID, FlatIndex
+from ..kernels.mips import NEG_INF, fused_mips_topk, merge_topk, xla_mips_topk_scan
+from .filters import SearchFilters, compile_filter_mask, infer_type
+from .metadata import CorpusMetadata
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclass
+class SearchResult:
+    doc_id: int
+    score: float
+    similarity: float
+
+
+class SearchEngine:
+    """Owns the device-resident index and runs batched queries.
+
+    index: FlatIndex (bf16 or int8+scales).
+    meta:  CorpusMetadata for filters/joins (optional — vector-only mode).
+    mesh:  jax Mesh with a 'shard' axis; None = single default device.
+    use_pallas: fused Pallas kernel (TPU) vs XLA scan path (CPU mesh tests).
+    """
+
+    def __init__(
+        self,
+        index: FlatIndex,
+        meta: CorpusMetadata | None = None,
+        mesh: Mesh | None = None,
+        config: SearchConfig | None = None,
+        use_pallas: bool | None = None,
+        row_block: int = 1024,
+    ):
+        self.meta = meta
+        self.config = config or SearchConfig()
+        self.mesh = mesh
+        self.row_block = row_block
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
+
+        n_shards = mesh.shape["shard"] if mesh is not None else 1
+        self.n_shards = n_shards
+
+        # Re-pad host arrays so every shard is a whole number of row blocks
+        vecs, ids, scales = index.vectors, index.ids, index.scales
+        target = _round_up(vecs.shape[0], n_shards * row_block)
+        extra = target - vecs.shape[0]
+        if extra:
+            vecs = np.concatenate([vecs, np.zeros((extra, vecs.shape[1]), vecs.dtype)])
+            ids = np.concatenate([ids, np.full(extra, PAD_ID, ids.dtype)])
+            if scales is not None:
+                scales = np.concatenate([scales, np.zeros(extra, scales.dtype)])
+        self.n_valid = index.num_rows
+        self.padded_rows = target
+        self.rows_per_shard = target // n_shards
+        self.dim = vecs.shape[1]
+        self._host_ids = ids
+
+        if mesh is not None:
+            row_sharded = NamedSharding(mesh, P("shard", None))
+            vec_sharded = NamedSharding(mesh, P("shard"))
+            self.vectors = jax.device_put(vecs, row_sharded)
+            self.ids = jax.device_put(ids.astype(np.int32), vec_sharded)
+            self.scales = (
+                jax.device_put(scales, vec_sharded) if scales is not None else None
+            )
+            self._bias_sharding = vec_sharded
+        else:
+            self.vectors = jnp.asarray(vecs)
+            self.ids = jnp.asarray(ids, dtype=jnp.int32)
+            self.scales = jnp.asarray(scales) if scales is not None else None
+            self._bias_sharding = None
+
+        self._search_fn_cache: dict[tuple, Callable] = {}
+
+    # ------------------------------------------------------------------
+    # device search
+    # ------------------------------------------------------------------
+
+    def _local_topk(self, q, corpus, scales, bias, n_valid, k):
+        if self.use_pallas:
+            return fused_mips_topk(
+                q, corpus, scales, n_valid, bias, k=k, row_block=self.row_block
+            )
+        chunk = min(self.row_block * 8, corpus.shape[0])
+        # chunk must divide the shard rows; rows_per_shard is a multiple of row_block
+        while corpus.shape[0] % chunk:
+            chunk -= self.row_block
+        return xla_mips_topk_scan(q, corpus, scales, n_valid, bias, k=k, chunk=chunk)
+
+    def _build_search_fn(self, k: int, with_bias: bool):
+        """jit-compiled (queries, bias?) -> (scores, global_doc_ids)."""
+        n_valid = self.n_valid
+        rows_per_shard = self.rows_per_shard
+
+        if self.mesh is None:
+
+            def single(q, bias):
+                s, li = self._local_topk(
+                    q, self.vectors, self.scales, bias, n_valid, k
+                )
+                gids = jnp.where(li >= 0, self.ids[li.clip(0)], PAD_ID)
+                return s, gids
+
+            if with_bias:
+                return jax.jit(single)
+            return jax.jit(lambda q: single(q, None))
+
+        mesh = self.mesh
+        scales = self.scales
+        ids = self.ids
+        vectors = self.vectors
+
+        def shard_body(q, corpus, ids_shard, scales_shard, bias_shard):
+            shard_idx = jax.lax.axis_index("shard")
+            local_valid = jnp.clip(
+                n_valid - shard_idx * rows_per_shard, 0, rows_per_shard
+            )
+            s, li = self._local_topk(
+                q, corpus, scales_shard, bias_shard, local_valid, k
+            )
+            gids = jnp.where(li >= 0, ids_shard[li.clip(0)], PAD_ID)
+            # fan-in: partial top-k lists from every shard over ICI
+            all_s = jax.lax.all_gather(s, "shard", axis=1, tiled=True)   # (B, S*k)
+            all_i = jax.lax.all_gather(gids, "shard", axis=1, tiled=True)
+            return merge_topk(all_s, jnp.where(all_i < 0, PAD_ID, all_i), k)
+
+        in_specs = (
+            P(None, None),                       # queries replicated
+            P("shard", None),                    # corpus rows
+            P("shard"),                          # ids
+            P("shard") if scales is not None else P("shard"),
+            P("shard"),
+        )
+
+        from jax import shard_map
+
+        def sharded(q, bias):
+            if bias is None:
+                bias = jnp.zeros((self.padded_rows,), jnp.float32)
+                if self._bias_sharding is not None:
+                    bias = jax.device_put(bias, self._bias_sharding)
+            args = (q, vectors, ids, scales, bias)
+            if scales is None:
+                f = shard_map(
+                    lambda q, c, i, b: shard_body(q, c, i, None, b),
+                    mesh=mesh,
+                    in_specs=(P(None, None), P("shard", None), P("shard"), P("shard")),
+                    out_specs=(P(None, None), P(None, None)),
+                    check_vma=False,
+                )
+                return f(q, vectors, ids, bias)
+            f = shard_map(
+                shard_body,
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=(P(None, None), P(None, None)),
+                check_vma=False,
+            )
+            return f(*args)
+
+        if with_bias:
+            return jax.jit(sharded)
+        return jax.jit(lambda q: sharded(q, None))
+
+    def _get_search_fn(self, k: int, with_bias: bool) -> Callable:
+        key = (k, with_bias)
+        if key not in self._search_fn_cache:
+            self._search_fn_cache[key] = self._build_search_fn(k, with_bias)
+        return self._search_fn_cache[key]
+
+    def search_vectors(
+        self,
+        query_vecs: np.ndarray | jax.Array,
+        k: int | None = None,
+        filters: SearchFilters | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched vector search. Returns (scores (B, k), doc_ids (B, k));
+        doc_id PAD_ID (-1) marks slots beyond the number of matching docs."""
+        k = k or self.config.top_k
+        k_dev = min(max(k, 1), self.rows_per_shard)
+        q = jnp.asarray(np.asarray(query_vecs, dtype=np.float32))
+        if q.ndim == 1:
+            q = q[None, :]
+        b = q.shape[0]
+        b_pad = _round_up(b, 8)
+        if b_pad != b:
+            q = jnp.concatenate([q, jnp.zeros((b_pad - b, q.shape[1]), q.dtype)])
+
+        mask = None
+        if filters is not None:
+            if self.meta is None:
+                raise ValueError("filters require CorpusMetadata")
+            mask = compile_filter_mask(filters, self.meta)
+
+        if mask is None:
+            fn = self._get_search_fn(k_dev, with_bias=False)
+            s, i = fn(q)
+        else:
+            bias_host = np.where(mask, 0.0, NEG_INF).astype(np.float32)
+            pad = self.padded_rows - bias_host.shape[0]
+            if pad:
+                bias_host = np.concatenate([bias_host, np.full(pad, NEG_INF, np.float32)])
+            bias = jnp.asarray(bias_host)
+            if self._bias_sharding is not None:
+                bias = jax.device_put(bias, self._bias_sharding)
+            fn = self._get_search_fn(k_dev, with_bias=True)
+            s, i = fn(q, bias)
+
+        s = np.asarray(s)[:b, :k]
+        i = np.asarray(i)[:b, :k]
+        # -inf scores mean "fewer than k docs pass the filter": blank them
+        i = np.where(np.isfinite(s), i, PAD_ID)
+        return s, i
+
+    # ------------------------------------------------------------------
+    # full serving path (the streamlit_app.py backend behavior)
+    # ------------------------------------------------------------------
+
+    def search(
+        self,
+        query_vec: np.ndarray,
+        filters: SearchFilters | None = None,
+    ) -> list[dict[str, Any]]:
+        """Single query -> ranked result dicts with metadata joined,
+        including the citation-weighted rerank mode
+        (streamlit_app.py:316-363)."""
+        filters = filters or SearchFilters()
+        if not filters.sources:
+            return []   # reference refuses to search without a source (:166-168)
+        top_k = int(filters.top_k)
+        cw = float(filters.citation_weight)
+
+        if cw == 0.0:
+            scores, ids = self.search_vectors(query_vec, k=top_k, filters=filters)
+            rows = self._join(ids[0], scores[0])
+            for r in rows:
+                r["score"] = r["similarity"]
+            return rows
+
+        # candidate pool then rerank: pool = max(50, 10*top_k) (:317)
+        pool = max(self.config.rerank_min_pool, self.config.rerank_pool_multiple * top_k)
+        scores, ids = self.search_vectors(query_vec, k=pool, filters=filters)
+        rows = self._join(ids[0], scores[0])
+        for r in rows:
+            cit = r["citations"]
+            bonus = cw * math.log(cit) if (cit is not None and cit > 0) else 0.0
+            r["score"] = r["similarity"] + bonus
+        # ORDER BY weighted_score DESC, similarity DESC (:363)
+        rows.sort(key=lambda r: (-r["score"], -r["similarity"]))
+        return rows[:top_k]
+
+    def _join(self, ids: np.ndarray, scores: np.ndarray) -> list[dict[str, Any]]:
+        if self.meta is None:
+            return [
+                {"doc_id": int(d), "similarity": float(s), "score": float(s)}
+                for d, s in zip(ids, scores)
+                if d >= 0
+            ]
+        out = []
+        m = self.meta
+        for d, s in zip(ids, scores):
+            if d < 0:
+                continue
+            d = int(d)
+            link = m.link[d] or ""
+            cit = int(m.citations[d])
+            out.append(
+                {
+                    "doc_id": d,
+                    "paper_id": m.paper_id[d],
+                    "authors": m.authors[d],
+                    "paper_title": m.paper_title[d],
+                    "paper_url": link,
+                    "year": int(m.year[d]) or None,
+                    "primary_category": m.primary_category[d],
+                    "source": "arXiv" if "arxiv.org" in link.lower() else "Stacks Project",
+                    "type": infer_type(m.theorem_name[d]),
+                    "journal_published": bool(m.journal_ref[d]),
+                    "citations": cit if cit >= 0 else None,
+                    "theorem_name": m.theorem_name[d],
+                    "theorem_slogan": m.slogan[d],
+                    "theorem_body": m.theorem_body[d],
+                    "similarity": float(s),
+                    "score": float(s),
+                }
+            )
+        return out

@@ -1,0 +1,138 @@
+"""Host-side corpus metadata — the filterable/displayable attributes that
+the reference keeps in the `paper` + `theorem` Postgres tables
+(rds_schema.sql:1-31) and joins at query time (streamlit_app.py:276-279).
+
+Here they live as columnar numpy arrays / lists aligned with index doc
+ids, so filter compilation is a handful of vectorized ops over 1M rows
+instead of a SQL WHERE, and the top-k -> result join is O(k) list
+indexing.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Sequence
+
+import numpy as np
+
+
+@dataclass
+class CorpusMetadata:
+    """Column store aligned with doc ids 0..N-1."""
+
+    # paper-level
+    paper_id: list[str]
+    paper_title: list[str]
+    authors: list[list[str]]
+    link: list[str]
+    year: np.ndarray                 # int32, 0 = unknown
+    primary_category: list[str]
+    journal_ref: list[str | None]
+    citations: np.ndarray            # int64, -1 = unknown (NULL)
+    summary: list[str] = field(default_factory=list)
+    # theorem-level
+    theorem_name: list[str] = field(default_factory=list)
+    theorem_body: list[str] = field(default_factory=list)
+    slogan: list[str] = field(default_factory=list)
+
+    def __post_init__(self):
+        n = len(self.paper_id)
+        self.year = np.asarray(self.year, dtype=np.int32)
+        self.citations = np.asarray(self.citations, dtype=np.int64)
+        for name in ("paper_title", "authors", "link", "primary_category", "journal_ref"):
+            if len(getattr(self, name)) != n:
+                raise ValueError(f"column {name} length != {n}")
+        for name in ("summary", "theorem_name", "theorem_body", "slogan"):
+            col = getattr(self, name)
+            if not col:
+                setattr(self, name, [""] * n)
+            elif len(col) != n:
+                raise ValueError(f"column {name} length != {n}")
+
+    def __len__(self) -> int:
+        return len(self.paper_id)
+
+    @property
+    def is_arxiv(self) -> np.ndarray:
+        """Source discriminator — the reference uses link ILIKE '%arxiv.org%'
+        (streamlit_app.py:180-186)."""
+        return np.array(["arxiv.org" in (l or "").lower() for l in self.link])
+
+    # ---------------- facets (streamlit_app.py:70-116) ----------------
+
+    def load_authors(self) -> list[str]:
+        """Distinct sorted author facet."""
+        out: set[str] = set()
+        for a in self.authors:
+            out.update(x for x in (a or []) if x)
+        return sorted(out)
+
+    def load_tags_per_source(self) -> dict[str, list[str]]:
+        tags: dict[str, set[str]] = {}
+        arx = self.is_arxiv
+        for i, cat in enumerate(self.primary_category):
+            if not cat:
+                continue
+            src = "arXiv" if arx[i] else "Stacks Project"
+            tags.setdefault(src, set()).add(cat)
+        return {src: sorted(cats) for src, cats in tags.items()}
+
+    def theorem_count(self) -> int:
+        return len(self)
+
+    # ---------------- persistence ----------------
+
+    def save(self, path: str | Path) -> None:
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(path / "meta_num.npz", year=self.year, citations=self.citations)
+        cols: dict[str, Any] = {
+            "paper_id": self.paper_id,
+            "paper_title": self.paper_title,
+            "authors": self.authors,
+            "link": self.link,
+            "primary_category": self.primary_category,
+            "journal_ref": self.journal_ref,
+            "summary": self.summary,
+            "theorem_name": self.theorem_name,
+            "theorem_body": self.theorem_body,
+            "slogan": self.slogan,
+        }
+        with open(path / "meta_str.json", "w", encoding="utf-8") as f:
+            json.dump(cols, f)
+
+    @classmethod
+    def load(cls, path: str | Path) -> "CorpusMetadata":
+        path = Path(path)
+        num = np.load(path / "meta_num.npz")
+        with open(path / "meta_str.json", encoding="utf-8") as f:
+            cols = json.load(f)
+        return cls(year=num["year"], citations=num["citations"], **cols)
+
+    # ---------------- builders ----------------
+
+    @classmethod
+    def from_rows(cls, rows: Sequence[dict[str, Any]]) -> "CorpusMetadata":
+        """rows: one dict per doc with the column names as keys."""
+        def col(name, default):
+            return [r.get(name, default) for r in rows]
+
+        return cls(
+            paper_id=col("paper_id", ""),
+            paper_title=col("paper_title", ""),
+            authors=col("authors", []),
+            link=col("link", ""),
+            year=np.array([r.get("year") or 0 for r in rows], np.int32),
+            primary_category=col("primary_category", ""),
+            journal_ref=col("journal_ref", None),
+            citations=np.array(
+                [r["citations"] if r.get("citations") is not None else -1 for r in rows],
+                np.int64,
+            ),
+            summary=col("summary", ""),
+            theorem_name=col("theorem_name", ""),
+            theorem_body=col("theorem_body", ""),
+            slogan=col("slogan", ""),
+        )
