@@ -1,0 +1,152 @@
+"""Encoder tests: shape/normalization invariants, padding insensitivity,
+determinism, tokenizer behavior, batched encoding, and the contrastive
+training step on the CPU mesh (dp+tp)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from theoremsearch_tpu.core import EncoderConfig, MeshConfig, make_mesh
+from theoremsearch_tpu.core.config import TrainConfig
+from theoremsearch_tpu.encoder import (
+    BatchedEncoder,
+    QwenEncoder,
+    SimpleTokenizer,
+    encode_pooled,
+    init_params,
+)
+from theoremsearch_tpu.train import init_sharded_train_state, init_train_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def enc():
+    return QwenEncoder(EncoderConfig.tiny(), seed=0)
+
+
+def _batch(tok, texts, width=32):
+    e = tok(texts, max_length=width, pad_to=width)
+    return jnp.asarray(e.input_ids), jnp.asarray(e.attention_mask)
+
+
+def test_encoder_shapes_and_norm(enc):
+    tok = SimpleTokenizer(vocab_size=enc.cfg.vocab_size)
+    ids, mask = _batch(tok, ["the quick brown fox", "a theorem about primes"])
+    out = np.asarray(enc(ids, mask))
+    assert out.shape == (2, enc.cfg.embedding_dim)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+
+
+def test_encoder_padding_invariance(enc):
+    # same text padded to different widths must embed (nearly) identically:
+    # last-token pooling + causal masking makes trailing pad irrelevant
+    tok = SimpleTokenizer(vocab_size=enc.cfg.vocab_size)
+    ids1, m1 = _batch(tok, ["hello world theorem"], width=16)
+    ids2, m2 = _batch(tok, ["hello world theorem"], width=48)
+    e1 = np.asarray(enc(ids1, m1))[0]
+    e2 = np.asarray(enc(ids2, m2))[0]
+    assert float(e1 @ e2) > 0.999
+
+
+def test_encoder_deterministic(enc):
+    tok = SimpleTokenizer(vocab_size=enc.cfg.vocab_size)
+    ids, mask = _batch(tok, ["determinism check"])
+    a = np.asarray(enc(ids, mask))
+    b = np.asarray(enc(ids, mask))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_encoder_distinguishes_texts(enc):
+    tok = SimpleTokenizer(vocab_size=enc.cfg.vocab_size)
+    ids, mask = _batch(
+        tok, ["riemann hypothesis zeros", "riemann hypothesis zeros", "kitten videos online"]
+    )
+    out = np.asarray(enc(ids, mask))
+    assert float(out[0] @ out[1]) > 0.999
+    assert float(out[0] @ out[2]) < 0.999
+
+
+def test_mean_pooling_config():
+    cfg = EncoderConfig.tiny().replace(pooling="mean")
+    enc = QwenEncoder(cfg, seed=0)
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    ids, mask = _batch(tok, ["mean pooled text"])
+    out = np.asarray(enc(ids, mask))
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+
+
+def test_tokenizer_roundtrip_properties():
+    tok = SimpleTokenizer(vocab_size=5000)
+    a = tok.tokenize("Let $G$ be a finite group")
+    b = tok.tokenize("Let $G$ be a finite group")
+    assert a == b and len(a) > 0
+    assert all(3 <= t < 5000 for t in a)
+    enc = tok(["short", "a much longer piece of text with many tokens"], pad_to=16)
+    assert enc.input_ids.shape == (2, 16)
+    assert enc.attention_mask.sum(axis=1)[0] < enc.attention_mask.sum(axis=1)[1]
+    # truncation
+    long = tok(["word " * 500], max_length=16)
+    assert long.input_ids.shape[1] == 16
+
+
+def test_batched_encoder_order_and_buckets(enc):
+    be = BatchedEncoder(enc.params, enc.cfg, batch_size=4, buckets=(16, 32, 64))
+    texts = [f"text number {i} " + "pad " * (i % 7) for i in range(11)]
+    out = be.encode(texts)
+    assert out.shape == (11, enc.cfg.embedding_dim)
+    # order preserved: encoding one at a time matches the batch rows
+    solo = be.encode([texts[5]])
+    assert float(out[5] @ solo[0]) > 0.999
+    assert be.encode([]).shape == (0, enc.cfg.embedding_dim)
+
+
+def test_train_step_reduces_loss():
+    cfg = EncoderConfig.tiny()
+    tcfg = TrainConfig(batch_size=8, seq_len=16, learning_rate=3e-3)
+    state = init_train_state(cfg, tcfg)
+    step = make_train_step(cfg, tcfg)
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    texts_q = [f"query about topic {i}" for i in range(8)]
+    texts_p = [f"theorem statement on topic {i}" for i in range(8)]
+    qe = tok(texts_q, pad_to=16)
+    pe = tok(texts_p, pad_to=16)
+    args = tuple(jnp.asarray(x) for x in (qe.input_ids, qe.attention_mask, pe.input_ids, pe.attention_mask))
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, *args)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_train_step_sharded_mesh():
+    mesh = make_mesh(MeshConfig(data=2, shard=4))
+    cfg = EncoderConfig.tiny()
+    tcfg = TrainConfig(batch_size=8, seq_len=16)
+    state = init_sharded_train_state(cfg, tcfg, mesh)
+    step = make_train_step(cfg, tcfg, mesh=mesh)
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    qe = tok([f"q {i}" for i in range(8)], pad_to=16)
+    pe = tok([f"p {i}" for i in range(8)], pad_to=16)
+    args = tuple(jnp.asarray(x) for x in (qe.input_ids, qe.attention_mask, pe.input_ids, pe.attention_mask))
+    state, loss = step(state, *args)
+    assert np.isfinite(float(loss))
+    # params stay sharded over the tp axis
+    wq = state.params["layers"][0]["wq"]
+    assert len(wq.sharding.device_set) == 8
+
+
+def test_sharded_forward_matches_unsharded():
+    mesh = make_mesh(MeshConfig(data=2, shard=4))
+    cfg = EncoderConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    from theoremsearch_tpu.encoder.model import shard_params
+
+    sharded = shard_params(params, mesh)
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    e = tok(["sharding equivalence check"], pad_to=16)
+    ids, mask = jnp.asarray(e.input_ids), jnp.asarray(e.attention_mask)
+    a = np.asarray(encode_pooled(params, ids, mask, cfg))
+    b = np.asarray(encode_pooled(sharded, ids, mask, cfg))
+    np.testing.assert_allclose(a, b, atol=2e-2)
+    assert float(a[0] @ b[0]) > 0.999

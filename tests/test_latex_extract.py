@@ -1,0 +1,251 @@
+"""LaTeX theorem extraction golden tests — the parser-goldens layer
+SURVEY.md §4 calls for. Each case checks rendered names (amsthm
+numbering), bodies, and labels."""
+
+import pytest
+
+from theoremsearch_tpu.ingest.latex.extract import extract_theorems
+from theoremsearch_tpu.ingest.latex.macros import collect_macros, expand_macros
+from theoremsearch_tpu.ingest.latex.numbering import CounterTree, to_alpha
+from theoremsearch_tpu.ingest.latex.scanner import find_env_spans, read_group, strip_comments
+
+
+DOC = r"""
+\documentclass{article}
+\newtheorem{theorem}{Theorem}[section]
+\newtheorem{lemma}[theorem]{Lemma}
+\newtheorem*{remark}{Remark}
+\begin{document}
+\section{Intro}
+\begin{theorem}\label{thm:main} Every even number $n > 2$ is interesting. \end{theorem}
+\begin{lemma} A helpful fact. \end{lemma}
+\section{More}
+\begin{theorem}[Main] The main result. \end{theorem}
+\begin{remark} No number here. \end{remark}
+\end{document}
+"""
+
+
+def test_basic_numbering_and_labels():
+    thms = extract_theorems(DOC)
+    names = [t.name for t in thms]
+    assert names == ["Theorem 1.1.", "Lemma 1.2.", "Theorem 2.1. (Main)", "Remark"]
+    assert thms[0].label == "thm:main"
+    assert "\\label" not in thms[0].body
+    assert "interesting" in thms[0].body
+    assert thms[1].label is None
+
+
+def test_shared_counter_semantics():
+    # lemma shares theorem's counter: Thm 1.1, Lem 1.2, Thm 1.3
+    doc = r"""
+\newtheorem{theorem}{Theorem}[section]
+\newtheorem{lemma}[theorem]{Lemma}
+\begin{document}
+\section{A}
+\begin{theorem} t1 \end{theorem}
+\begin{lemma} l1 \end{lemma}
+\begin{theorem} t2 \end{theorem}
+\end{document}"""
+    names = [t.name for t in extract_theorems(doc)]
+    assert names == ["Theorem 1.1.", "Lemma 1.2.", "Theorem 1.3."]
+
+
+def test_section_resets_counter():
+    doc = r"""
+\newtheorem{theorem}{Theorem}[section]
+\begin{document}
+\section{A}\begin{theorem} a \end{theorem}
+\section{B}\begin{theorem} b \end{theorem}\begin{theorem} c \end{theorem}
+\end{document}"""
+    names = [t.name for t in extract_theorems(doc)]
+    assert names == ["Theorem 1.1.", "Theorem 2.1.", "Theorem 2.2."]
+
+
+def test_unnumbered_global_counter():
+    doc = r"""
+\newtheorem{theorem}{Theorem}
+\begin{document}
+\begin{theorem} a \end{theorem}
+\begin{theorem} b \end{theorem}
+\end{document}"""
+    names = [t.name for t in extract_theorems(doc)]
+    assert names == ["Theorem 1.", "Theorem 2."]
+
+
+def test_appendix_alpha_numbering():
+    doc = r"""
+\newtheorem{theorem}{Theorem}[section]
+\begin{document}
+\section{A}\begin{theorem} main \end{theorem}
+\appendix
+\section{App}\begin{theorem} appendix thm \end{theorem}
+\end{document}"""
+    names = [t.name for t in extract_theorems(doc)]
+    assert names == ["Theorem 1.1.", "Theorem A.1."]
+
+
+def test_default_envs_without_declarations():
+    doc = r"""
+\begin{document}
+\begin{lemma} undeclared lemma \end{lemma}
+\begin{corollary} undeclared corollary \end{corollary}
+\end{document}"""
+    thms = extract_theorems(doc)
+    assert [t.name for t in thms] == ["Lemma 1.", "Corollary 1."]
+
+
+def test_macro_expansion_in_body():
+    doc = r"""
+\newcommand{\R}{\mathbb{R}}
+\newcommand{\norm}[1]{\|#1\|}
+\newtheorem{theorem}{Theorem}
+\begin{document}
+\begin{theorem} For $x \in \R$, $\norm{x} \ge 0$. \end{theorem}
+\end{document}"""
+    t = extract_theorems(doc)[0]
+    assert "\\mathbb{R}" in t.body
+    assert "\\|x\\|" in t.body
+
+
+def test_def_macro_and_mathoperator():
+    doc = r"""
+\def\eps{\varepsilon}
+\DeclareMathOperator{\Spec}{Spec}
+\newtheorem{theorem}{Theorem}
+\begin{document}
+\begin{theorem} $\Spec A$ and $\eps > 0$. \end{theorem}
+\end{document}"""
+    t = extract_theorems(doc)[0]
+    assert "\\operatorname{Spec}" in t.body
+    assert "\\varepsilon" in t.body
+
+
+def test_newenvironment_alias():
+    doc = r"""
+\newtheorem{theorem}{Theorem}[section]
+\newenvironment{mainthm}{\begin{theorem}}{\end{theorem}}
+\begin{document}
+\section{A}
+\begin{mainthm} the big one \end{mainthm}
+\end{document}"""
+    thms = extract_theorems(doc)
+    assert len(thms) == 1
+    assert thms[0].name == "Theorem 1.1."
+
+
+def test_newaliascnt_shared():
+    doc = r"""
+\newtheorem{theorem}{Theorem}
+\newaliascnt{lemma}{theorem}
+\newtheorem{lemma}[lemma]{Lemma}
+\begin{document}
+\begin{theorem} a \end{theorem}
+\begin{lemma} b \end{lemma}
+\end{document}"""
+    names = [t.name for t in extract_theorems(doc)]
+    assert names == ["Theorem 1.", "Lemma 2."]
+
+
+def test_declaretheorem_keyval():
+    doc = r"""
+\declaretheorem[name=Satz, numberwithin=section]{satz}
+\begin{document}
+\section{A}
+\begin{satz} ein satz \end{satz}
+\end{document}"""
+    t = extract_theorems(doc)[0]
+    assert t.name == "Satz 1.1."
+
+
+def test_spnewtheorem():
+    doc = r"""
+\spnewtheorem{mythm}{MyTheorem}{\bfseries}{\itshape}
+\begin{document}
+\begin{mythm} springer style \end{mythm}
+\end{document}"""
+    t = extract_theorems(doc)[0]
+    assert t.name == "MyTheorem 1."
+
+
+def test_duplicate_labels_deduped():
+    doc = r"""
+\newtheorem{theorem}{Theorem}
+\begin{document}
+\begin{theorem}\label{dup} a \end{theorem}
+\begin{theorem}\label{dup} b \end{theorem}
+\end{document}"""
+    thms = extract_theorems(doc)
+    assert thms[0].label == "dup"
+    assert thms[1].label is None
+
+
+def test_comments_stripped_but_escaped_percent_kept():
+    doc = r"""
+\newtheorem{theorem}{Theorem}
+\begin{document}
+% \begin{theorem} commented out \end{theorem}
+\begin{theorem} at least 50\% of cases. % trailing comment
+\end{theorem}
+\end{document}"""
+    thms = extract_theorems(doc)
+    assert len(thms) == 1
+    assert "50\\%" in thms[0].body
+    assert "trailing" not in thms[0].body
+
+
+def test_comment_environment_removed():
+    doc = r"""
+\newtheorem{theorem}{Theorem}
+\begin{document}
+\begin{comment}\begin{theorem} hidden \end{theorem}\end{comment}
+\begin{theorem} visible \end{theorem}
+\end{document}"""
+    thms = extract_theorems(doc)
+    assert len(thms) == 1 and "visible" in thms[0].body
+
+
+def test_nested_env_spans():
+    spans = list(find_env_spans(r"\begin{theorem} outer \begin{theorem} inner \end{theorem} rest \end{theorem}", "theorem"))
+    assert len(spans) == 1
+    assert "inner" in spans[0][2] and "rest" in spans[0][2]
+
+
+def test_read_group_balanced():
+    src = r"{a {b {c}} d}"
+    content, end = read_group(src, 0)
+    assert content == "a {b {c}} d" and end == len(src)
+    assert read_group("{unbalanced", 0) is None
+
+
+def test_counter_tree_alpha():
+    assert to_alpha(1) == "A" and to_alpha(26) == "Z" and to_alpha(27) == "AA"
+
+
+def test_swapnumbers():
+    doc = r"""
+\swapnumbers
+\newtheorem{theorem}{Theorem}
+\begin{document}
+\begin{theorem} x \end{theorem}
+\end{document}"""
+    assert extract_theorems(doc)[0].name == "1. Theorem"
+
+
+def test_macro_recursion_guard():
+    # self-recursive macro must not hang or blow up
+    doc = r"""
+\newcommand{\loop}{\loop x}
+\newtheorem{theorem}{Theorem}
+\begin{document}
+\begin{theorem} safe \end{theorem}
+\end{document}"""
+    thms = extract_theorems(doc)
+    assert len(thms) == 1
+
+
+def test_optional_default_arg_macro():
+    table = collect_macros(r"\newcommand{\greet}[2][World]{Hello #1 and #2}")
+    out = expand_macros(r"\greet{Bob} \greet[Ann]{Cid}", table)
+    assert "Hello World and Bob" in out
+    assert "Hello Ann and Cid" in out

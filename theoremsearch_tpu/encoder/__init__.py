@@ -1,0 +1,13 @@
+from .model import QwenEncoder, init_params, forward, encode_pooled
+from .tokenizer import SimpleTokenizer, get_tokenizer
+from .batching import BatchedEncoder
+
+__all__ = [
+    "QwenEncoder",
+    "init_params",
+    "forward",
+    "encode_pooled",
+    "SimpleTokenizer",
+    "get_tokenizer",
+    "BatchedEncoder",
+]

@@ -1,0 +1,87 @@
+"""Batched, padding-bucketed, data-parallel encoder inference.
+
+Replaces the reference's embed_texts (ec2/generate_embeddings/
+embeddings.py:16-40: SentenceTransformer.encode / encode_multi_process
+with normalize_embeddings=True). TPU version:
+
+- texts are bucketed by token length into a few static padded widths so
+  XLA compiles one program per (batch, width) pair instead of per shape;
+- batches run under jit with inputs sharded over the mesh 'data' axis —
+  the idiomatic replacement for encode_multi_process's process pool;
+- results are re-ordered to input order and returned L2-normalized fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import EncoderConfig
+from .model import Params, encode_pooled
+from .tokenizer import SimpleTokenizer
+
+DEFAULT_BUCKETS = (64, 128, 256, 512)
+
+
+class BatchedEncoder:
+    def __init__(
+        self,
+        params: Params,
+        cfg: EncoderConfig,
+        tokenizer=None,
+        mesh: Mesh | None = None,
+        batch_size: int = 64,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer or SimpleTokenizer(vocab_size=cfg.vocab_size)
+        self.mesh = mesh
+        self.batch_size = batch_size
+        self.buckets = tuple(b for b in buckets if b <= cfg.max_seq_len) or (cfg.max_seq_len,)
+        self._fn = jax.jit(functools.partial(encode_pooled, cfg=cfg))
+        if mesh is not None:
+            self._data_sharding = NamedSharding(mesh, P("data", None))
+        else:
+            self._data_sharding = None
+
+    def _bucket_for(self, n_tokens: int) -> int:
+        for b in self.buckets:
+            if n_tokens <= b:
+                return b
+        return self.buckets[-1]
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        """(len(texts), embedding_dim) fp32, normalized per config."""
+        if not len(texts):
+            return np.zeros((0, self.cfg.embedding_dim), np.float32)
+        tokenized = [self.tokenizer.tokenize(t) for t in texts]
+        order = sorted(range(len(texts)), key=lambda i: len(tokenized[i]))
+        out = np.zeros((len(texts), self.cfg.embedding_dim), np.float32)
+
+        bs = self.batch_size
+        for start in range(0, len(order), bs):
+            idx = order[start : start + bs]
+            chunk = [texts[i] for i in idx]
+            longest = max(len(tokenized[i]) for i in idx) + 2  # BOS/EOS
+            width = self._bucket_for(longest)
+            enc = self.tokenizer(chunk, max_length=width, pad_to=width)
+            ids, mask = enc.input_ids, enc.attention_mask
+            # pad batch to full size so shapes stay static per bucket
+            if len(idx) < bs:
+                pad = bs - len(idx)
+                ids = np.concatenate([ids, np.zeros((pad, width), np.int32)])
+                mask = np.concatenate([mask, np.zeros((pad, width), np.int32)])
+                mask[len(idx):, 0] = 1  # avoid fully-empty rows
+            ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
+            if self._data_sharding is not None:
+                ids_d = jax.device_put(ids_d, self._data_sharding)
+                mask_d = jax.device_put(mask_d, self._data_sharding)
+            emb = np.asarray(self._fn(self.params, ids_d, mask_d))
+            out[idx] = emb[: len(idx)]
+        return out

@@ -1,0 +1,106 @@
+"""Checkpoint loading: HuggingFace Qwen3 safetensors -> our params pytree.
+
+The reference downloads 'Qwen/Qwen3-Embedding-0.6B' through
+sentence-transformers at runtime (streamlit_app.py:52-59). Here the
+checkpoint directory is an explicit input; in environments without the
+assets the framework falls back to deterministic random init (the whole
+retrieval stack is embedding-agnostic, and the eval gate — recall vs
+exact on the same vectors — is checkpoint-independent).
+
+Name mapping (HF Qwen3 -> ours):
+    model.embed_tokens.weight                      -> embed
+    model.norm.weight                              -> final_norm
+    model.layers.{i}.input_layernorm.weight        -> layers[i].attn_norm
+    model.layers.{i}.self_attn.{q,k,v,o}_proj.weight^T -> wq/wk/wv/wo
+    model.layers.{i}.self_attn.{q,k}_norm.weight   -> q_norm/k_norm
+    model.layers.{i}.post_attention_layernorm.weight -> mlp_norm
+    model.layers.{i}.mlp.{gate,up,down}_proj.weight^T -> w_gate/w_up/w_down
+
+HF stores Linear weights as (out, in); we store (in, out), hence the
+transposes.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import EncoderConfig
+from .model import Params
+
+
+def config_from_hf(model_dir: str | Path) -> EncoderConfig:
+    cfg = json.loads((Path(model_dir) / "config.json").read_text())
+    return EncoderConfig(
+        vocab_size=cfg["vocab_size"],
+        hidden_size=cfg["hidden_size"],
+        intermediate_size=cfg["intermediate_size"],
+        num_layers=cfg["num_hidden_layers"],
+        num_heads=cfg["num_attention_heads"],
+        num_kv_heads=cfg["num_key_value_heads"],
+        head_dim=cfg.get("head_dim", cfg["hidden_size"] // cfg["num_attention_heads"]),
+        rope_theta=cfg.get("rope_theta", 1_000_000.0),
+        rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+        embedding_dim=cfg["hidden_size"],
+    )
+
+
+def _iter_safetensors(model_dir: Path):
+    try:
+        from safetensors import safe_open
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("safetensors not available; cannot load HF checkpoint") from e
+    for f in sorted(model_dir.glob("*.safetensors")):
+        with safe_open(str(f), framework="np") as sf:
+            for name in sf.keys():
+                yield name, sf.get_tensor(name)
+
+
+def load_hf_checkpoint(model_dir: str | Path, dtype: str = "bfloat16") -> tuple[Params, EncoderConfig]:
+    """Build the params pytree from a local HF Qwen3 checkpoint dir."""
+    model_dir = Path(model_dir)
+    cfg = config_from_hf(model_dir)
+    pdtype = jnp.dtype(dtype)
+
+    layers: list[dict] = [dict() for _ in range(cfg.num_layers)]
+    params: Params = {"layers": layers}
+
+    def to_param(arr: np.ndarray, transpose: bool, norm: bool):
+        a = np.asarray(arr)
+        if transpose:
+            a = a.T
+        return jnp.asarray(a, dtype=jnp.float32 if norm else pdtype)
+
+    mapping = {
+        "input_layernorm.weight": ("attn_norm", False, True),
+        "self_attn.q_proj.weight": ("wq", True, False),
+        "self_attn.k_proj.weight": ("wk", True, False),
+        "self_attn.v_proj.weight": ("wv", True, False),
+        "self_attn.o_proj.weight": ("wo", True, False),
+        "self_attn.q_norm.weight": ("q_norm", False, True),
+        "self_attn.k_norm.weight": ("k_norm", False, True),
+        "post_attention_layernorm.weight": ("mlp_norm", False, True),
+        "mlp.gate_proj.weight": ("w_gate", True, False),
+        "mlp.up_proj.weight": ("w_up", True, False),
+        "mlp.down_proj.weight": ("w_down", True, False),
+    }
+
+    for name, tensor in _iter_safetensors(model_dir):
+        if name == "model.embed_tokens.weight":
+            params["embed"] = to_param(tensor, False, False)
+        elif name == "model.norm.weight":
+            params["final_norm"] = to_param(tensor, False, True)
+        elif name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            li, sub = rest.split(".", 1)
+            if sub in mapping:
+                key, tr, is_norm = mapping[sub]
+                layers[int(li)][key] = to_param(tensor, tr, is_norm)
+
+    missing = [i for i, l in enumerate(layers) if len(l) != 11]
+    if "embed" not in params or missing:
+        raise ValueError(f"incomplete checkpoint: missing layers {missing[:4]}...")
+    return params, cfg

@@ -1,0 +1,252 @@
+"""Qwen3-Embedding-class text encoder in pure JAX.
+
+TPU-native replacement for the reference's sentence-transformers/PyTorch
+encoder path (ec2/generate_embeddings/embeddings.py:10-40 loads
+'Qwen/Qwen3-Embedding-0.6B' and calls encode with
+normalize_embeddings=True; streamlit_app.py:52-59,173 uses the same model
+at query time; compare_embeddings.py:466 records it as the best of the
+three embedders).
+
+Architecture (Qwen3 0.6B class): token embedding -> N x (RMSNorm ->
+grouped-query attention with per-head q/k RMSNorm and RoPE -> RMSNorm ->
+SwiGLU MLP) -> final RMSNorm -> last-token pooling -> L2 normalize.
+
+Implementation choices for TPU:
+- pure functions over a params pytree; no framework modules — makes
+  pjit/NamedSharding placement explicit and keeps everything jittable.
+- bf16 params/activations, fp32 for norms/softmax accumulation.
+- static shapes: (batch, seq_len) fixed per compilation; the batching
+  layer buckets by padded length.
+- causal attention via a single masked einsum — at seq<=512 the MXU is
+  the bottleneck, so no custom attention kernel is needed; long-context
+  variants can swap in pallas flash attention.
+
+Parallelism (SURVEY.md §2.2 "TPU-native equivalent"):
+- data parallel over the mesh 'data' axis (the reference's only DP is
+  encode_multi_process, embeddings.py:32-38);
+- tensor parallel over the 'shard' axis: attention heads and MLP
+  intermediate are partitioned; XLA/GSPMD inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import EncoderConfig
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _dense_init(key, in_dim, out_dim, dtype):
+    scale = 1.0 / np.sqrt(in_dim)
+    return (jax.random.normal(key, (in_dim, out_dim)) * scale).astype(dtype)
+
+
+def init_params(cfg: EncoderConfig, key: jax.Array) -> Params:
+    pdtype = jnp.dtype(cfg.param_dtype)
+    keys = jax.random.split(key, cfg.num_layers + 2)
+    qkv_dim = cfg.head_dim * cfg.num_heads
+    kv_dim = cfg.head_dim * cfg.num_kv_heads
+
+    layers = []
+    for li in range(cfg.num_layers):
+        k = jax.random.split(keys[li], 8)
+        layers.append(
+            {
+                "attn_norm": jnp.ones((cfg.hidden_size,), jnp.float32),
+                "wq": _dense_init(k[0], cfg.hidden_size, qkv_dim, pdtype),
+                "wk": _dense_init(k[1], cfg.hidden_size, kv_dim, pdtype),
+                "wv": _dense_init(k[2], cfg.hidden_size, kv_dim, pdtype),
+                "wo": _dense_init(k[3], qkv_dim, cfg.hidden_size, pdtype),
+                "q_norm": jnp.ones((cfg.head_dim,), jnp.float32),
+                "k_norm": jnp.ones((cfg.head_dim,), jnp.float32),
+                "mlp_norm": jnp.ones((cfg.hidden_size,), jnp.float32),
+                "w_gate": _dense_init(k[4], cfg.hidden_size, cfg.intermediate_size, pdtype),
+                "w_up": _dense_init(k[5], cfg.hidden_size, cfg.intermediate_size, pdtype),
+                "w_down": _dense_init(k[6], cfg.intermediate_size, cfg.hidden_size, pdtype),
+            }
+        )
+    return {
+        "embed": (jax.random.normal(keys[-2], (cfg.vocab_size, cfg.hidden_size)) * 0.02).astype(pdtype),
+        "final_norm": jnp.ones((cfg.hidden_size,), jnp.float32),
+        "layers": layers,
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps) * weight
+    return out.astype(x.dtype)
+
+
+def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """x: (B, S, H, Dh). Rotary embedding over the head dim."""
+    dh = x.shape[-1]
+    half = dh // 2
+    freqs = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    angles = positions[..., None].astype(jnp.float32) * freqs  # (B, S, half)
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out = jnp.concatenate([xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _attention(layer: Params, x: jax.Array, mask: jax.Array, positions: jax.Array, cfg: EncoderConfig) -> jax.Array:
+    b, s, _ = x.shape
+    h, hk, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    q = (x @ layer["wq"]).reshape(b, s, h, dh)
+    k = (x @ layer["wk"]).reshape(b, s, hk, dh)
+    v = (x @ layer["wv"]).reshape(b, s, hk, dh)
+
+    # Qwen3: per-head RMSNorm on q and k before RoPE
+    q = _rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
+    k = _rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
+    q = _rope(q, positions, cfg.rope_theta)
+    k = _rope(k, positions, cfg.rope_theta)
+
+    # GQA: repeat kv heads
+    rep = h // hk
+    k = jnp.repeat(k, rep, axis=2)
+    v = jnp.repeat(v, rep, axis=2)
+
+    scale = 1.0 / np.sqrt(dh)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+
+    causal = jnp.tril(jnp.ones((s, s), bool))
+    valid = mask[:, None, None, :] & causal[None, None, :, :]
+    logits = jnp.where(valid, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).reshape(b, s, h * dh)
+    return out @ layer["wo"]
+
+
+def _mlp(layer: Params, x: jax.Array) -> jax.Array:
+    gate = jax.nn.silu((x @ layer["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+    up = x @ layer["w_up"]
+    return (gate * up) @ layer["w_down"]
+
+
+def forward(params: Params, input_ids: jax.Array, attention_mask: jax.Array, cfg: EncoderConfig) -> jax.Array:
+    """Hidden states (B, S, H) after the final norm."""
+    x = params["embed"][input_ids].astype(jnp.dtype(cfg.dtype))
+    positions = jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1
+    positions = jnp.maximum(positions, 0)
+    mask = attention_mask.astype(bool)
+    for layer in params["layers"]:
+        x = x + _attention(layer, _rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps), mask, positions, cfg)
+        x = x + _mlp(layer, _rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps))
+    return _rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+
+
+def encode_pooled(params: Params, input_ids: jax.Array, attention_mask: jax.Array, cfg: EncoderConfig) -> jax.Array:
+    """Pooled, (optionally) L2-normalized embeddings (B, D).
+
+    Qwen3-Embedding pools the last non-padding (EOS) position; mean
+    pooling is available for bert/gemma-class encoders. L2 normalization
+    matches the reference's normalize_embeddings=True everywhere
+    (embeddings.py:27,35; streamlit_app.py:173)."""
+    hidden = forward(params, input_ids, attention_mask, cfg)
+    if cfg.pooling == "last_token":
+        lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+        idx = jnp.maximum(lengths - 1, 0)
+        pooled = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0, :]
+    elif cfg.pooling == "mean":
+        m = attention_mask[:, :, None].astype(hidden.dtype)
+        pooled = jnp.sum(hidden * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1)
+    else:
+        raise ValueError(f"unknown pooling {cfg.pooling}")
+    pooled = pooled.astype(jnp.float32)
+    if cfg.embedding_dim != pooled.shape[-1]:
+        pooled = pooled[:, : cfg.embedding_dim]
+    if cfg.normalize:
+        pooled = pooled / jnp.maximum(jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
+    return pooled
+
+
+# ---------------------------------------------------------------------------
+# sharding rules (dp over 'data', tp over 'shard')
+# ---------------------------------------------------------------------------
+
+
+def param_sharding_rules(mesh: Mesh, tp_axis: str = "shard") -> Params:
+    """PartitionSpec pytree matching init_params' structure.
+
+    Tensor-parallel layout: q/k/v and gate/up are column-sharded over the
+    head / intermediate dimension; wo and w_down are row-sharded, so each
+    matmul pair needs a single psum that GSPMD inserts automatically.
+    Embedding is vocab-sharded."""
+    t = tp_axis
+    layer_rules = {
+        "attn_norm": P(None),
+        "wq": P(None, t),
+        "wk": P(None, t),
+        "wv": P(None, t),
+        "wo": P(t, None),
+        "q_norm": P(None),
+        "k_norm": P(None),
+        "mlp_norm": P(None),
+        "w_gate": P(None, t),
+        "w_up": P(None, t),
+        "w_down": P(t, None),
+    }
+    return {
+        "embed": P(t, None),
+        "final_norm": P(None),
+        "layers": layer_rules,
+    }
+
+
+def shard_params(params: Params, mesh: Mesh, tp_axis: str = "shard") -> Params:
+    """Place params on the mesh according to the TP rules."""
+    rules = param_sharding_rules(mesh, tp_axis)
+
+    def place(p, r):
+        return jax.device_put(p, NamedSharding(mesh, r))
+
+    out = {
+        "embed": place(params["embed"], rules["embed"]),
+        "final_norm": place(params["final_norm"], rules["final_norm"]),
+        "layers": [
+            {name: place(val, rules["layers"][name]) for name, val in layer.items()}
+            for layer in params["layers"]
+        ],
+    }
+    return out
+
+
+class QwenEncoder:
+    """Convenience wrapper: config + params + jitted pooled-encode."""
+
+    def __init__(self, cfg: EncoderConfig | None = None, params: Params | None = None, seed: int = 0):
+        self.cfg = cfg or EncoderConfig()
+        if params is None:
+            params = init_params(self.cfg, jax.random.PRNGKey(seed))
+        self.params = params
+        self._encode = jax.jit(
+            functools.partial(encode_pooled, cfg=self.cfg)
+        )
+
+    def __call__(self, input_ids, attention_mask):
+        return self._encode(self.params, input_ids, attention_mask)

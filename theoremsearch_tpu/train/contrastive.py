@@ -1,0 +1,113 @@
+"""Contrastive fine-tuning of the embedding encoder (InfoNCE).
+
+The reference treats its embedder as a frozen download; a production
+theorem-search deployment wants to fine-tune on (query, slogan) pairs —
+exactly the data the validation set and slogan tables hold. This module
+supplies the training step the reference lacks, built mesh-first:
+
+- in-batch-negatives InfoNCE: queries x positives similarity matrix,
+  symmetric cross-entropy at temperature tau;
+- data parallel over the 'data' mesh axis, tensor parallel over 'shard'
+  via the encoder's param sharding rules (model.py param_sharding_rules);
+- optax adamw + global-norm clipping; donated state for in-place updates.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import EncoderConfig, TrainConfig
+from ..encoder.model import Params, encode_pooled, init_params, param_sharding_rules
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay),
+    )
+
+
+def init_train_state(enc_cfg: EncoderConfig, train_cfg: TrainConfig, key=None) -> TrainState:
+    key = key if key is not None else jax.random.PRNGKey(train_cfg.seed)
+    params = init_params(enc_cfg, key)
+    opt = make_optimizer(train_cfg)
+    return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def info_nce_loss(
+    params: Params,
+    q_ids: jax.Array,
+    q_mask: jax.Array,
+    p_ids: jax.Array,
+    p_mask: jax.Array,
+    enc_cfg: EncoderConfig,
+    temperature: float,
+) -> jax.Array:
+    q = encode_pooled(params, q_ids, q_mask, enc_cfg)          # (B, D) fp32, normalized
+    p = encode_pooled(params, p_ids, p_mask, enc_cfg)
+    logits = (q @ p.T) / temperature                            # (B, B)
+    labels = jnp.arange(q.shape[0])
+    loss_qp = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    loss_pq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
+    return 0.5 * (loss_qp.mean() + loss_pq.mean())
+
+
+def make_train_step(
+    enc_cfg: EncoderConfig,
+    train_cfg: TrainConfig,
+    mesh: Mesh | None = None,
+):
+    """jitted (state, q_ids, q_mask, p_ids, p_mask) -> (state, loss).
+
+    With a mesh: params/opt-state follow the tensor-parallel rules over
+    'shard', batches are sharded over 'data'; XLA/GSPMD inserts the
+    gradient psum (dp) and the attention/MLP collectives (tp)."""
+    opt = make_optimizer(train_cfg)
+
+    def step(state: TrainState, q_ids, q_mask, p_ids, p_mask):
+        loss, grads = jax.value_and_grad(info_nce_loss)(
+            state.params, q_ids, q_mask, p_ids, p_mask, enc_cfg, train_cfg.temperature
+        )
+        updates, new_opt = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_opt, state.step + 1), loss
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    batch_spec = NamedSharding(mesh, P("data", None))
+    jitted = jax.jit(step, donate_argnums=(0,))
+
+    def run(state: TrainState, q_ids, q_mask, p_ids, p_mask):
+        q_ids = jax.device_put(q_ids, batch_spec)
+        q_mask = jax.device_put(q_mask, batch_spec)
+        p_ids = jax.device_put(p_ids, batch_spec)
+        p_mask = jax.device_put(p_mask, batch_spec)
+        return jitted(state, q_ids, q_mask, p_ids, p_mask)
+
+    return run
+
+
+def init_sharded_train_state(
+    enc_cfg: EncoderConfig, train_cfg: TrainConfig, mesh: Mesh, key=None
+) -> TrainState:
+    """Params placed by the tensor-parallel rules; the adamw moments
+    inherit the param shardings from opt.init on already-placed params."""
+    from ..encoder.model import shard_params
+
+    key = key if key is not None else jax.random.PRNGKey(train_cfg.seed)
+    params = shard_params(init_params(enc_cfg, key), mesh)
+    opt = make_optimizer(train_cfg)
+    return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
