@@ -26,9 +26,16 @@ from __future__ import annotations
 
 import functools
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.time()
+
+
+def _log(msg: str) -> None:
+    print(f"# [{time.time()-_T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def _build_corpus(key, n, d):
@@ -48,21 +55,16 @@ def _build_corpus(key, n, d):
 
 
 def _timed_loop(fn, q0, iters):
-    """Sustained per-iteration time with a cross-iteration data dependence."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def loop(q):
-        def body(i, q):
-            s, ids = fn(q)
-            return q + (s[:, :1] * 1e-20).astype(q.dtype)
-        q = jax.lax.fori_loop(0, iters, body, q)
-        return jnp.sum(q)
-
-    _ = np.asarray(loop(q0))  # compile + warm
+    """Sustained per-batch time: async-dispatch `iters` launches (the
+    device executes them in order), fetch one scalar of the last result.
+    Wrapping the pallas kernel in a fori_loop instead triggers a
+    pathologically slow Mosaic re-compile, so dispatch pipelining it is."""
+    s, i = fn(q0)
+    _ = np.asarray(i[0, 0])  # compile + warm
     t0 = time.time()
-    _ = np.asarray(loop(q0))
+    for _ in range(iters):
+        s, i = fn(q0)
+    _ = np.asarray(i[0, 0])
     return (time.time() - t0) / iters
 
 
@@ -80,7 +82,10 @@ def main():
 
     key = jax.random.PRNGKey(0)
     kq, kc = jax.random.split(key)
+    _log(f"building corpus N={N} D={D} on device")
     corpus_f32, codes, scales = _build_corpus(kc, N, D)
+    jax.block_until_ready(scales)
+    _log("corpus built")
     q = jax.random.normal(kq, (B, D), jnp.float32)
     q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
 
@@ -100,25 +105,31 @@ def main():
     for i in range(0, B, step_b):
         exact_ids.append(np.asarray(exact10(q[i : i + step_b], corpus_f32)))
     exact_ids = np.concatenate(exact_ids)
+    _log("exact oracle done")
 
     s8, i8 = xla_mips_topk_scan(q, codes, scales, k=k_retrieve, chunk=min(65536, N))
     i8 = np.asarray(i8)
     hit = (i8[:, :, None] == exact_ids[:, None, :]).any(axis=1)
     recall = float(hit.mean())
+    _log(f"recall@10 (int8, {k_retrieve}-retrieve) = {recall:.4f}")
 
     # ---- throughput candidates ----
+    rb = 2048 if on_tpu else 1024
     results = {}
     cands = {
-        "pallas_int8": lambda qq: fused_mips_topk(qq, codes, scales, k=K, row_block=2048),
+        "pallas_int8": lambda qq: fused_mips_topk(
+            qq, codes, scales, k=K, row_block=min(rb, N), interpret=not on_tpu
+        ),
         "xla_scan_int8": lambda qq: xla_mips_topk_scan(qq, codes, scales, k=K, chunk=min(65536, N)),
     }
     for name, fn in cands.items():
         try:
             dt = _timed_loop(fn, q, ITERS)
             results[name] = B / dt
+            _log(f"{name}: {dt*1e3:.2f} ms/batch -> {B/dt:,.0f} QPS")
         except Exception as e:  # noqa: BLE001
             results[name] = float("nan")
-            print(f"# {name} failed: {str(e)[:100]}")
+            _log(f"{name} failed: {str(e)[:160]}")
 
     best_name = max(results, key=lambda k: (results[k] if np.isfinite(results[k]) else -1))
     qps = results[best_name]

@@ -41,6 +41,17 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _quantize_queries(queries: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-query int8 (codes, scales (B,1) f32). A positive
+    per-query factor never changes that query's ranking, so int8-corpus
+    search runs the MXU in native int8 x int8 -> int32 (2x bf16 peak)."""
+    qf = queries.astype(jnp.float32)
+    qmax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)
+    qscales = jnp.where(qmax > 0, qmax / 127.0, 1.0)
+    q8 = jnp.clip(jnp.round(qf / qscales), -127, 127).astype(jnp.int8)
+    return q8, qscales
+
+
 # ---------------------------------------------------------------------------
 # Exact top-k merge (shared by kernel and XLA paths)
 # ---------------------------------------------------------------------------
@@ -86,19 +97,32 @@ def merge_topk(
 
 def _mips_kernel(
     nvalid_ref,  # SMEM (1, 1) int32: number of real (non-padding) corpus rows
-    q_ref,       # VMEM (B, D) corpus-dtype queries
+    q_ref,       # VMEM (B, D) queries (corpus dtype; int8 when corpus is int8)
+    qscale_ref,  # VMEM (B, 1) f32 per-query dequant scales (ones unless int8 q)
     c_ref,       # VMEM (row_block, D) corpus tile
     scale_ref,   # VMEM (1, row_block) f32 per-row scales (all-ones for bf16)
     bias_ref,    # VMEM (1, row_block) f32 additive bias (0 keep / -inf filtered)
     out_s_ref,   # VMEM (B, k) f32
     out_i_ref,   # VMEM (B, k) i32
-    top_s,       # scratch VMEM (B, k) f32
+    top_s,       # scratch VMEM (B, k) f32, sorted desc across grid steps
     top_i,       # scratch VMEM (B, k) i32
+    s_buf,       # scratch VMEM (B, row_block) f32 — the tile's score matrix
     *,
     k: int,
     row_block: int,
     int8_corpus: bool = False,
 ):
+    """Fused matmul + exact running top-k.
+
+    The merge exploits that after the first few tiles almost no tile score
+    beats the current per-query kth best: it counts threshold crossings
+    (one VPU pass) and runs only that many extract-and-insert rounds
+    (dynamic-trip-count fori_loop on the scalar core). Each round is an
+    argmax + clear over the tile plus a k-wide sorted insert, so the
+    expected merge cost per tile is ~1-2 rounds instead of k.
+
+    Per-query dequant scales (int8 queries) multiply only at emission:
+    a positive per-query factor never changes that query's ranking."""
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
 
@@ -108,31 +132,64 @@ def _mips_kernel(
         top_i[:] = jnp.full_like(top_i, -1)
 
     b = q_ref.shape[0]
-    # int8 codes are exactly representable in bf16; upcast feeds the MXU
-    c_tile = c_ref[:].astype(jnp.bfloat16) if int8_corpus else c_ref[:]
-    # MXU: (B, D) x (D, row_block) -> f32
-    s = jax.lax.dot_general(
-        q_ref[:],
-        c_tile,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if int8_corpus:
+        # native int8 x int8 -> int32 on the MXU (2x bf16 peak)
+        acc = jax.lax.dot_general(
+            q_ref[:],
+            c_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        s = acc.astype(jnp.float32)
+    else:
+        s = jax.lax.dot_general(
+            q_ref[:],
+            c_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     s = s * scale_ref[0, :][None, :] + bias_ref[0, :][None, :]
 
-    # global row ids for this tile; mask padding rows to -inf
+    # mask padding rows (only possible in the final tiles)
     col = jax.lax.broadcasted_iota(jnp.int32, (b, row_block), 1)
-    gids = col + i * row_block
-    s = jnp.where(gids < nvalid_ref[0, 0], s, NEG_INF)
+    remaining = nvalid_ref[0, 0] - i * row_block
+    s = jnp.where(col < remaining, s, NEG_INF)
+    s_buf[:] = s
 
-    cand_s = jnp.concatenate([top_s[:], s], axis=1)
-    cand_i = jnp.concatenate([top_i[:], gids], axis=1)
-    new_s, new_i = _fold_topk(cand_s, cand_i, k)
-    top_s[:] = new_s
-    top_i[:] = new_i
+    # count per-query threshold crossings; bound the extraction rounds
+    thresh = top_s[:, k - 1]
+    cnt = jnp.sum((s > thresh[:, None]).astype(jnp.int32), axis=1)
+    rounds = jnp.minimum(jnp.max(cnt), k)
+
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+
+    def _round(_, carry):
+        sv = s_buf[:]
+        m = jnp.max(sv, axis=1)
+        is_max = sv == m[:, None]
+        c = jnp.min(jnp.where(is_max, col, row_block), axis=1)
+        gid = c + i * row_block
+        # clear the extracted element
+        s_buf[:] = jnp.where(col == c[:, None], NEG_INF, sv)
+        # sorted insert into (top_s, top_i); pos == k -> no-op
+        ts = top_s[:]
+        ti = top_i[:]
+        pos = jnp.sum((ts > m[:, None]).astype(jnp.int32), axis=1)[:, None]
+        ts_shift = jnp.concatenate([ts[:, :1], ts[:, :-1]], axis=1)
+        ti_shift = jnp.concatenate([ti[:, :1], ti[:, :-1]], axis=1)
+        top_s[:] = jnp.where(
+            kcol < pos, ts, jnp.where(kcol == pos, m[:, None], ts_shift)
+        )
+        top_i[:] = jnp.where(
+            kcol < pos, ti, jnp.where(kcol == pos, gid[:, None], ti_shift)
+        )
+        return carry
+
+    jax.lax.fori_loop(0, rounds, _round, 0)
 
     @pl.when(i == n_tiles - 1)
     def _emit():
-        out_s_ref[:] = top_s[:]
+        out_s_ref[:] = top_s[:] * qscale_ref[:]
         out_i_ref[:] = top_i[:]
 
 
@@ -175,9 +232,11 @@ def fused_mips_topk(
     if int8_corpus:
         if scales is None:
             raise ValueError("int8 corpus requires scales")
-        qk = queries.astype(jnp.bfloat16)
+        # per-query factor applied only to emitted scores (rank-invariant)
+        qk, qscales = _quantize_queries(queries)
     else:
         qk = queries.astype(corpus.dtype)
+        qscales = jnp.ones((b, 1), dtype=jnp.float32)
     if scales is None:
         scales2d = jnp.ones((1, n_pad), dtype=jnp.float32)
     else:
@@ -194,6 +253,7 @@ def fused_mips_topk(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((b, d), lambda i, *_: (0, 0)),            # queries, resident
+            pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),            # query scales
             pl.BlockSpec((row_block, d), lambda i, *_: (i, 0)),    # corpus tile, streamed
             pl.BlockSpec((1, row_block), lambda i, *_: (0, i)),    # scales tile
             pl.BlockSpec((1, row_block), lambda i, *_: (0, i)),    # bias tile
@@ -205,6 +265,7 @@ def fused_mips_topk(
         scratch_shapes=[
             pltpu.VMEM((b, k), jnp.float32),
             pltpu.VMEM((b, k), jnp.int32),
+            pltpu.VMEM((b, row_block), jnp.float32),
         ],
     )
 
@@ -225,7 +286,7 @@ def fused_mips_topk(
             bytes_accessed=n_pad * d * corpus.dtype.itemsize + b * d * 4,
             transcendentals=0,
         ),
-    )(nvalid_arr, qk, corpus, scales2d, bias2d)
+    )(nvalid_arr, qk, qscales, corpus, scales2d, bias2d)
     return out_s, out_i
 
 
@@ -247,18 +308,22 @@ def xla_mips_topk(
     """Materialize the full (B, N) score matrix, then lax.top_k.
 
     Exact; memory O(B*N) — the small-corpus / testing path, numerically
-    the twin of the fused kernel (same dtypes, masking, and bias)."""
+    the twin of the fused kernel (same dtypes, masking, bias, and int8
+    query quantization)."""
     n_pad = corpus.shape[0]
     if corpus.dtype == jnp.int8:
-        q = queries.astype(jnp.bfloat16)
-        c = corpus.astype(jnp.bfloat16)
+        q, qscales = _quantize_queries(queries)
+        acc = jax.lax.dot_general(
+            q, corpus, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        s = acc.astype(jnp.float32) * qscales
     else:
         q = queries.astype(corpus.dtype)
-        c = corpus
-    s = jax.lax.dot_general(
-        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        s = jax.lax.dot_general(
+            q, corpus, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     if scales is not None:
         s = s * scales[None, :].astype(jnp.float32)
     if bias is not None:
@@ -289,10 +354,12 @@ def xla_mips_topk_scan(
     b = queries.shape[0]
     if n_pad % chunk != 0:
         raise ValueError(f"corpus rows {n_pad} not a multiple of chunk {chunk}")
-    if corpus.dtype == jnp.int8:
-        q = queries.astype(jnp.bfloat16)
+    int8_corpus = corpus.dtype == jnp.int8
+    if int8_corpus:
+        q, qscales = _quantize_queries(queries)
     else:
         q = queries.astype(corpus.dtype)
+        qscales = None
     n_valid = jnp.asarray(n_pad if n_valid is None else n_valid, jnp.int32)
 
     n_chunks = n_pad // chunk
@@ -303,11 +370,17 @@ def xla_mips_topk_scan(
     def step(carry, xs):
         top_s, top_i = carry
         c_chunk, sc, bs, start = xs
-        cc = c_chunk.astype(jnp.bfloat16) if c_chunk.dtype == jnp.int8 else c_chunk
-        s = jax.lax.dot_general(
-            q, cc, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if int8_corpus:
+            acc = jax.lax.dot_general(
+                q, c_chunk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            s = acc.astype(jnp.float32) * qscales
+        else:
+            s = jax.lax.dot_general(
+                q, c_chunk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         if sc is not None:
             s = s * sc[None, :].astype(jnp.float32)
         if bs is not None:

@@ -1,0 +1,138 @@
+"""Serving layer: the reference streamlit_app.py feature set as a
+UI-agnostic service (the optional Streamlit frontend lives in ui.py).
+
+Covers: encoder loading, TTL-cached facet loads (authors, tags-per-source,
+theorem count — streamlit_app.py:70-116), the full filter set, both
+ranking modes (pure vector / citation-weighted), latest-slogan selection
+(handled at index-build time via the catalog's latest-slogan queue),
+LaTeX display cleanup, and a working feedback store (the reference's
+save_feedback is a stub, streamlit_app.py:145-147).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Sequence
+
+import numpy as np
+
+from ..search.engine import SearchEngine
+from ..search.filters import SearchFilters, parse_paper_filter
+from .latex_display import clean_latex_for_display
+
+FACET_TTL_S = 24 * 3600  # reference caches facets for 24h
+
+
+class _TTLCache:
+    def __init__(self, ttl_s: float = FACET_TTL_S):
+        self.ttl = ttl_s
+        self._store: dict[str, tuple[float, Any]] = {}
+
+    def get(self, key: str, compute: Callable[[], Any]):
+        now = time.time()
+        hit = self._store.get(key)
+        if hit and now - hit[0] < self.ttl:
+            return hit[1]
+        val = compute()
+        self._store[key] = (now, val)
+        return val
+
+
+class SearchService:
+    """encode -> engine.search -> cleaned, display-ready results."""
+
+    def __init__(
+        self,
+        engine: SearchEngine,
+        encode_fn: Callable[[list[str]], np.ndarray],
+        feedback_path: str | None = None,
+    ):
+        self.engine = engine
+        self.encode = encode_fn
+        self._facets = _TTLCache()
+        self._feedback_path = feedback_path
+
+    # ---------------- facets ----------------
+
+    def load_theorem_count(self) -> int:
+        return self._facets.get("count", lambda: self.engine.n_valid)
+
+    def load_authors(self) -> list[str]:
+        meta = self.engine.meta
+        return self._facets.get("authors", meta.load_authors) if meta else []
+
+    def load_tags_per_source(self) -> dict[str, list[str]]:
+        meta = self.engine.meta
+        return self._facets.get("tags", meta.load_tags_per_source) if meta else {}
+
+    # ---------------- search ----------------
+
+    def search_and_display(
+        self, query: str, filters: SearchFilters | dict | None = None
+    ) -> list[dict[str, Any]]:
+        """The search_and_display core (streamlit_app.py:165) minus the
+        widget rendering: returns result dicts with a `display_markdown`
+        field of cleaned LaTeX."""
+        if isinstance(filters, dict):
+            filters = _filters_from_ui(filters)
+        filters = filters or SearchFilters()
+        if not filters.sources:
+            return []
+        qvec = np.asarray(self.encode([query or ""]))[0]
+        rows = self.engine.search(qvec, filters)
+        for r in rows:
+            r["display_markdown"] = clean_latex_for_display(r.get("theorem_body", ""))
+        return rows
+
+    def search_batch(
+        self,
+        queries: Sequence[str],
+        filters: SearchFilters | None = None,
+        k: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched vector interface for throughput serving: amortizes the
+        corpus scan over many queries per kernel launch (the property the
+        QPS target depends on, SURVEY.md §7.4)."""
+        qvecs = np.asarray(self.encode(list(queries)))
+        return self.engine.search_vectors(qvecs, k=k, filters=filters)
+
+    # ---------------- feedback ----------------
+
+    def save_feedback(
+        self, feedback: str, query: str, url: str, theorem_name: str, filters: SearchFilters | None = None
+    ) -> None:
+        """Thumbs-up/down persistence (implemented, unlike the reference stub)."""
+        import json
+
+        record = {
+            "time": time.time(),
+            "feedback": feedback,
+            "query": query,
+            "url": url,
+            "theorem_name": theorem_name,
+            "filters": (filters.__dict__ if filters else {}),
+        }
+        if self._feedback_path:
+            with open(self._feedback_path, "a", encoding="utf-8") as f:
+                f.write(json.dumps(record, default=list) + "\n")
+
+
+def _filters_from_ui(d: dict) -> SearchFilters:
+    """Translate the reference UI's filters dict (streamlit_app.py:448-536
+    widget state) into SearchFilters."""
+    pf = d.get("paper_filter")
+    if isinstance(pf, str):
+        pf = parse_paper_filter(pf)
+    return SearchFilters(
+        sources=d.get("sources", ("arXiv", "Stacks Project")),
+        authors=d.get("authors", ()),
+        tags=d.get("tags", ()),
+        year_range=d.get("year_range"),
+        journal_status=d.get("journal_status", "All"),
+        paper_filter=pf or {"ids": set(), "titles": set()},
+        types=d.get("types", ()),
+        citation_range=d.get("citation_range"),
+        include_unknown_citations=d.get("include_unknown_citations", True),
+        top_k=int(d.get("top_k", 10)),
+        citation_weight=float(d.get("citation_weight", 0.0)),
+    )

@@ -1,0 +1,30 @@
+"""Progress reporting: tqdm with live postfix when available (the
+reference's UX — parse-rate / cost postfixes, e.g.
+ec2/parse_arxiv_papers/__main__.py:267), plain-iterator fallback."""
+
+from __future__ import annotations
+
+
+def progress(iterable=None, total=None, desc: str = ""):
+    try:
+        from tqdm import tqdm
+
+        return tqdm(iterable, total=total, desc=desc)
+    except ImportError:
+        class _Plain:
+            def __init__(self, it):
+                self.it = it
+
+            def __iter__(self):
+                return iter(self.it if self.it is not None else range(total or 0))
+
+            def set_postfix(self, *a, **k):
+                pass
+
+            def update(self, n=1):
+                pass
+
+            def close(self):
+                pass
+
+        return _Plain(iterable)
