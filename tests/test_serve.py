@@ -59,15 +59,16 @@ def test_clean_empty_passthrough():
 
 @pytest.fixture(scope="module")
 def service(tmp_path_factory):
-    rng = np.random.default_rng(3)
-    n, d = 500, 64
+    n, d = 500, 256
 
     def encode(texts):
+        # deterministic bag-of-words hash encoder: query-time vectors must
+        # equal index-time vectors for retrieval assertions to hold
         out = np.zeros((len(texts), d), dtype=np.float32)
         for i, t in enumerate(texts):
             for tok in t.lower().split():
                 out[i, hash(tok) % d] += 1.0
-        return np.asarray(l2_normalize(out + 1e-3 * rng.standard_normal((len(texts), d))))
+        return np.asarray(l2_normalize(out))
 
     bodies = [f"Theorem body about topic {i % 40} with $x_{i}$" for i in range(n)]
     emb = encode(bodies)
