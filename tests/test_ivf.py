@@ -1,0 +1,114 @@
+"""IVF index tests: k-means sanity, build layout invariants, recall vs
+exact at high nprobe, nprobe recall monotonicity, spill exactness,
+save/load roundtrip."""
+
+import numpy as np
+import pytest
+
+from theoremsearch_tpu.core import IndexConfig
+from theoremsearch_tpu.eval.metrics import recall_vs_exact
+from theoremsearch_tpu.eval.oracle import exact_topk, l2_normalize
+from theoremsearch_tpu.index.ivf import IVFIndex, train_kmeans
+
+
+@pytest.fixture(scope="module")
+def clustered_corpus():
+    # clustered data: 50 centers, 80 points each
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((50, 64)).astype(np.float32) * 3
+    pts = (centers[np.repeat(np.arange(50), 80)] + rng.standard_normal((4000, 64)).astype(np.float32))
+    emb = np.asarray(l2_normalize(pts))
+    queries = np.asarray(l2_normalize(centers[:20] + 0.5 * rng.standard_normal((20, 64)).astype(np.float32)))
+    return emb, queries
+
+
+def test_kmeans_reduces_quantization_error(clustered_corpus):
+    emb, _ = clustered_corpus
+    cents = train_kmeans(emb, nlist=50, iters=20, seed=0)
+    assert cents.shape == (50, 64)
+    np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, rtol=1e-4)
+    sims = (emb @ cents.T).max(axis=1)
+    # on clustered unit data, points should sit close to their centroid
+    assert sims.mean() > 0.8
+
+
+def test_ivf_build_layout(clustered_corpus):
+    emb, _ = clustered_corpus
+    idx = IVFIndex.build(emb, config=IndexConfig(ivf_nlist=50, dtype="int8"), normalize=False)
+    L, R, D = idx.slabs.shape
+    assert L == 50 and D == 64
+    # every doc id appears exactly once across slabs + spill
+    all_ids = np.concatenate([idx.slab_ids.ravel(), idx.spill_ids])
+    real = all_ids[all_ids >= 0]
+    assert len(real) == 4000 and len(set(real.tolist())) == 4000
+    # padding slots are zero vectors
+    pad_mask = idx.slab_ids < 0
+    assert not idx.slabs[pad_mask].any()
+
+
+def test_ivf_full_probe_matches_exact(clustered_corpus):
+    emb, q = clustered_corpus
+    idx = IVFIndex.build(
+        emb, config=IndexConfig(ivf_nlist=50, dtype="float32"), normalize=False
+    )
+    s, i = idx.search(q, k=10, nprobe=50)   # probe everything -> exact
+    _, ref = exact_topk(q, emb, k=10)
+    assert recall_vs_exact(i, ref, k=10) == 1.0
+
+
+def test_ivf_recall_monotone_in_nprobe(clustered_corpus):
+    emb, q = clustered_corpus
+    idx = IVFIndex.build(emb, config=IndexConfig(ivf_nlist=50, dtype="float32"), normalize=False)
+    _, ref = exact_topk(q, emb, k=10)
+    recalls = [
+        recall_vs_exact(idx.search(q, k=10, nprobe=p)[1], ref, k=10) for p in (1, 4, 16, 50)
+    ]
+    assert all(recalls[i] <= recalls[i + 1] + 1e-9 for i in range(len(recalls) - 1))
+    assert recalls[-1] == 1.0
+    assert recalls[1] > 0.5   # a few probes already catch most neighbors on clustered data
+
+
+def test_ivf_int8_rescore_recall(clustered_corpus):
+    # This synthetic corpus is adversarial for quantization: 80 points per
+    # cluster within ~0.005 score spread, comparable to bf16 resolution.
+    # int8-scan + bf16-rescore must still beat the raw int8 ranking and
+    # clear 0.95; real embedding corpora have far wider score gaps.
+    emb, q = clustered_corpus
+    idx = IVFIndex.build(emb, config=IndexConfig(ivf_nlist=50, dtype="int8"), normalize=False)
+    assert idx.raw_flat is not None  # rescore copies default on for int8
+    _, ref = exact_topk(q, emb, k=10)
+    _, i_rescored = idx.search(q, k=10, nprobe=50, rescore_factor=8)
+    r_rescored = recall_vs_exact(i_rescored, ref, k=10)
+
+    idx_plain = IVFIndex.build(
+        emb, config=IndexConfig(ivf_nlist=50, dtype="int8"), normalize=False, rescore=False
+    )
+    _, i_plain = idx_plain.search(q, k=10, nprobe=50)
+    r_plain = recall_vs_exact(i_plain, ref, k=10)
+
+    assert r_rescored >= r_plain
+    assert r_rescored >= 0.95
+
+
+def test_ivf_spill_rows_reachable(clustered_corpus):
+    emb, q = clustered_corpus
+    # tiny slabs force heavy spill; full-probe search must still be exact
+    idx = IVFIndex.build(
+        emb, config=IndexConfig(ivf_nlist=50, dtype="float32"), slab_rows=32, normalize=False
+    )
+    assert (idx.spill_ids >= 0).sum() > 0
+    s, i = idx.search(q, k=10, nprobe=50)
+    _, ref = exact_topk(q, emb, k=10)
+    assert recall_vs_exact(i, ref, k=10) == 1.0
+
+
+def test_ivf_save_load_roundtrip(clustered_corpus, tmp_path):
+    emb, q = clustered_corpus
+    idx = IVFIndex.build(emb, config=IndexConfig(ivf_nlist=32, dtype="int8"), normalize=False)
+    idx.save(tmp_path / "ivf")
+    idx2 = IVFIndex.load(tmp_path / "ivf")
+    s1, i1 = idx.search(q[:5], k=5, nprobe=8)
+    s2, i2 = idx2.search(q[:5], k=5, nprobe=8)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+    assert idx2.memory_bytes() > 0

@@ -1,0 +1,348 @@
+"""IVF (inverted-file) index with a spherical k-means coarse quantizer.
+
+The equal-memory large-corpus configuration from BASELINE.json ("IVF
+coarse-quantized index + int8 embeddings at 1M"). Design is TPU-first:
+
+- **Training**: spherical k-means run entirely on device — assignment is
+  one (N, D) x (D, L) matmul + argmax per iteration (MXU), centroid
+  update is a segment-sum, centroids re-normalized each round (cosine
+  geometry, matching the corpus's L2-normalized rows). Empty clusters are
+  re-seeded from the rows worst-served by their current centroid.
+
+- **Layout**: rows are sorted by cluster and packed into fixed-size slabs
+  of ``slab_rows`` per cluster (static shapes for XLA). Overflow rows of
+  oversized clusters go to a **spill segment** that every query scans
+  brute-force, so capping never loses recall mass silently; padding slots
+  carry PAD_ID and zero vectors.
+
+- **Query**: coarse scores (B, L) on the MXU -> lax.top_k nprobe -> slab
+  gather (chunked over queries to bound memory) -> candidate scores ->
+  merge with the spill scan. All shapes static; accuracy is controlled by
+  nprobe against the recall gate (eval/harness.recall_gate).
+
+Use the flat fused kernel for max-throughput batched scans; IVF wins on
+the low-latency / small-batch path where brute force wastes FLOPs.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import IndexConfig
+from .flat import PAD_ID
+from .quant import quantize_int8
+
+
+# ---------------------------------------------------------------------------
+# spherical k-means (device)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("nlist", "iters"))
+def _kmeans_device(x: jax.Array, init_idx: jax.Array, *, nlist: int, iters: int):
+    """x: (N, D) L2-normalized fp32. Returns centroids (nlist, D) normalized."""
+    n, d = x.shape
+    cents = x[init_idx]
+
+    def step(cents, _):
+        scores = jnp.dot(x, cents.T, preferred_element_type=jnp.float32)  # (N, L)
+        assign = jnp.argmax(scores, axis=1)
+        one_hot = jax.nn.one_hot(assign, nlist, dtype=jnp.float32)        # (N, L)
+        sums = one_hot.T @ x                                              # (L, D)
+        counts = one_hot.sum(axis=0)[:, None]
+        new = sums / jnp.maximum(counts, 1.0)
+        norms = jnp.linalg.norm(new, axis=1, keepdims=True)
+        new = new / jnp.maximum(norms, 1e-12)
+        # re-seed empty clusters with the rows least well represented
+        worst = jnp.argsort(jnp.max(scores, axis=1))[:nlist]
+        empty = counts[:, 0] < 0.5
+        new = jnp.where(empty[:, None], x[worst], new)
+        return new, None
+
+    cents, _ = jax.lax.scan(step, cents, None, length=iters)
+    return cents
+
+
+def train_kmeans(
+    embeddings: np.ndarray, nlist: int, iters: int = 25, seed: int = 0, sample: int | None = 262_144
+) -> np.ndarray:
+    """Train on a sample (k-means quality saturates well below full N)."""
+    x = np.asarray(embeddings, np.float32)
+    rng = np.random.default_rng(seed)
+    if sample is not None and x.shape[0] > sample:
+        x = x[rng.choice(x.shape[0], sample, replace=False)]
+    init = rng.choice(x.shape[0], nlist, replace=False)
+    cents = _kmeans_device(jnp.asarray(x), jnp.asarray(init), nlist=nlist, iters=iters)
+    return np.asarray(cents)
+
+
+# ---------------------------------------------------------------------------
+# index
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class IVFIndex:
+    centroids: np.ndarray        # (L, D) fp32, unit rows
+    slabs: np.ndarray            # (L, slab_rows, D) int8 (or fp32) packed clusters
+    slab_scales: np.ndarray      # (L, slab_rows) fp32 (int8 only; ones otherwise)
+    slab_ids: np.ndarray         # (L, slab_rows) int32 doc ids, PAD_ID padding
+    spill: np.ndarray            # (S, D) overflow rows (always scanned)
+    spill_scales: np.ndarray     # (S,)
+    spill_ids: np.ndarray        # (S,) int32
+    num_rows: int
+    config: IndexConfig
+    # optional bf16 rescore copies: int8 scan selects candidates, bf16
+    # rescoring restores exact-grade ranking. int8 + bf16 = 3 bytes/dim,
+    # still under the reference's 4-byte fp32 pgvector rows
+    raw_flat: np.ndarray | None = None   # (L*slab_rows + S, D) bf16
+
+    # ---------------- build ----------------
+
+    @classmethod
+    def build(
+        cls,
+        embeddings: np.ndarray,
+        ids: np.ndarray | None = None,
+        config: IndexConfig | None = None,
+        slab_rows: int | None = None,
+        normalize: bool = True,
+        rescore: bool | None = None,
+    ) -> "IVFIndex":
+        emb = np.asarray(embeddings, np.float32)
+        n, d = emb.shape
+        cfg = (config or IndexConfig(ivf_nlist=max(1, n // 256))).replace(dim=d)
+        if cfg.ivf_nlist <= 0:
+            raise ValueError("IndexConfig.ivf_nlist must be > 0 for IVF")
+        if ids is None:
+            ids = np.arange(n, dtype=np.int64)
+        ids = np.asarray(ids, np.int64).astype(np.int32)
+        if normalize:
+            emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+
+        nlist = min(cfg.ivf_nlist, n)
+        cents = train_kmeans(emb, nlist, iters=cfg.kmeans_iters, seed=cfg.seed)
+
+        # assign on device in chunks
+        assign = np.empty(n, np.int32)
+        cents_d = jnp.asarray(cents)
+        step = 262_144
+        for i in range(0, n, step):
+            sc = jnp.dot(jnp.asarray(emb[i : i + step]), cents_d.T)
+            assign[i : i + step] = np.asarray(jnp.argmax(sc, axis=1))
+
+        sizes = np.bincount(assign, minlength=nlist)
+        if slab_rows is None:
+            # p99 cluster size rounded up to the int8 sublane multiple
+            slab_rows = int(np.percentile(sizes, 99))
+            slab_rows = max(32, ((slab_rows + 31) // 32) * 32)
+
+        int8 = cfg.dtype == "int8"
+        if rescore is None:
+            rescore = int8
+        if int8:
+            codes, scales = quantize_int8(emb)
+        else:
+            codes, scales = emb.astype(np.float32), np.ones(n, np.float32)
+
+        import ml_dtypes
+
+        slabs = np.zeros((nlist, slab_rows, d), codes.dtype)
+        slab_scales = np.zeros((nlist, slab_rows), np.float32)
+        slab_ids = np.full((nlist, slab_rows), PAD_ID, np.int32)
+        slab_raw = (
+            np.zeros((nlist, slab_rows, d), ml_dtypes.bfloat16) if rescore else None
+        )
+        spill_rows: list[int] = []
+        order = np.argsort(assign, kind="stable")
+        row_of_cluster = np.searchsorted(assign[order], np.arange(nlist))
+        bounds = np.append(row_of_cluster, n)
+        for c in range(nlist):
+            members = order[bounds[c] : bounds[c + 1]]
+            keep = members[:slab_rows]
+            slabs[c, : len(keep)] = codes[keep]
+            slab_scales[c, : len(keep)] = scales[keep]
+            slab_ids[c, : len(keep)] = ids[keep]
+            if slab_raw is not None:
+                slab_raw[c, : len(keep)] = emb[keep].astype(ml_dtypes.bfloat16)
+            spill_rows.extend(members[slab_rows:].tolist())
+
+        sp = np.asarray(spill_rows, np.int64)
+        # pad spill to a multiple of 8 for clean tiling
+        s_pad = max((-len(sp)) % 8, 8 if len(sp) == 0 else 0)
+        spill = np.concatenate([codes[sp], np.zeros((s_pad, d), codes.dtype)])
+        spill_scales = np.concatenate([scales[sp], np.zeros(s_pad, np.float32)])
+        spill_ids = np.concatenate([ids[sp], np.full(s_pad, PAD_ID, np.int32)])
+        raw_flat = None
+        if rescore:
+            spill_raw = np.concatenate(
+                [emb[sp].astype(ml_dtypes.bfloat16), np.zeros((s_pad, d), ml_dtypes.bfloat16)]
+            )
+            raw_flat = np.concatenate([slab_raw.reshape(-1, d), spill_raw])
+
+        return cls(
+            centroids=cents,
+            slabs=slabs,
+            slab_scales=slab_scales,
+            slab_ids=slab_ids,
+            spill=spill,
+            spill_scales=spill_scales,
+            spill_ids=spill_ids,
+            num_rows=n,
+            config=cfg.replace(ivf_nlist=nlist),
+            raw_flat=raw_flat,
+        )
+
+    # ---------------- search ----------------
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        nprobe: int | None = None,
+        query_chunk: int = 64,
+        rescore_factor: int = 4,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(scores, doc_ids) each (B, k). nprobe trades recall for speed.
+        With rescore copies present, the int8 scan selects
+        rescore_factor*k candidates and bf16/fp32 rescoring ranks them."""
+        nprobe = int(nprobe or self.config.ivf_nprobe)
+        nprobe = min(nprobe, self.centroids.shape[0])
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        if q.ndim == 1:
+            q = q[None]
+        out_s, out_i = [], []
+        fn = _ivf_search_jit
+        args = (
+            jnp.asarray(self.centroids),
+            jnp.asarray(self.slabs),
+            jnp.asarray(self.slab_scales),
+            jnp.asarray(self.slab_ids),
+            jnp.asarray(self.spill),
+            jnp.asarray(self.spill_scales),
+            jnp.asarray(self.spill_ids),
+            jnp.asarray(self.raw_flat) if self.raw_flat is not None else None,
+        )
+        c_rescore = min(rescore_factor * k, nprobe * self.slabs.shape[1])
+        for i in range(0, q.shape[0], query_chunk):
+            chunk = q[i : i + query_chunk]
+            pad = query_chunk - chunk.shape[0]
+            if pad:
+                chunk = jnp.concatenate([chunk, jnp.zeros((pad, q.shape[1]), q.dtype)])
+            s, d = fn(chunk, *args, k=k, nprobe=nprobe, c_rescore=c_rescore)
+            out_s.append(np.asarray(s)[: query_chunk - pad])
+            out_i.append(np.asarray(d)[: query_chunk - pad])
+        return np.concatenate(out_s), np.concatenate(out_i)
+
+    # ---------------- persistence ----------------
+
+    def save(self, path: str | Path) -> None:
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        arrays = dict(
+            centroids=self.centroids,
+            slabs=self.slabs,
+            slab_scales=self.slab_scales,
+            slab_ids=self.slab_ids,
+            spill=self.spill,
+            spill_scales=self.spill_scales,
+            spill_ids=self.spill_ids,
+        )
+        if self.raw_flat is not None:
+            arrays["raw_flat"] = self.raw_flat.view(np.uint16)
+        np.savez_compressed(path / "ivf.npz", **arrays)
+        manifest = {"format": "ivf", "num_rows": self.num_rows, "config": self.config.to_dict()}
+        (path / "manifest.json").write_text(json.dumps(manifest, indent=2))
+
+    @classmethod
+    def load(cls, path: str | Path) -> "IVFIndex":
+        import ml_dtypes
+
+        path = Path(path)
+        manifest = json.loads((path / "manifest.json").read_text())
+        z = np.load(path / "ivf.npz")
+        raw = z["raw_flat"].view(ml_dtypes.bfloat16) if "raw_flat" in z else None
+        return cls(
+            centroids=z["centroids"],
+            slabs=z["slabs"],
+            slab_scales=z["slab_scales"],
+            slab_ids=z["slab_ids"],
+            spill=z["spill"],
+            spill_scales=z["spill_scales"],
+            spill_ids=z["spill_ids"],
+            num_rows=manifest["num_rows"],
+            config=IndexConfig.from_dict(manifest["config"]),
+            raw_flat=raw,
+        )
+
+    def memory_bytes(self) -> int:
+        arrays = [
+            self.centroids, self.slabs, self.slab_scales, self.slab_ids,
+            self.spill, self.spill_scales, self.spill_ids,
+        ]
+        if self.raw_flat is not None:
+            arrays.append(self.raw_flat)
+        return sum(a.nbytes for a in arrays)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "c_rescore"))
+def _ivf_search_jit(
+    q, centroids, slabs, slab_scales, slab_ids, spill, spill_scales, spill_ids,
+    raw_flat, *, k, nprobe, c_rescore
+):
+    b, d = q.shape
+    slab_rows = slabs.shape[1]
+    # 1. coarse quantizer
+    coarse = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)   # (B, L)
+    _, probe = jax.lax.top_k(coarse, nprobe)                               # (B, P)
+
+    # 2. slab gather + candidate scoring
+    cand = jnp.take(slabs, probe, axis=0)                                  # (B, P, R, D)
+    cand_sc = jnp.take(slab_scales, probe, axis=0)                         # (B, P, R)
+    cand_id = jnp.take(slab_ids, probe, axis=0)                            # (B, P, R)
+    cf = cand.astype(jnp.float32) if cand.dtype != jnp.float32 else cand
+    scores = jnp.einsum("bprd,bd->bpr", cf, q, preferred_element_type=jnp.float32)
+    scores = scores * cand_sc
+    scores = jnp.where(cand_id >= 0, scores, -jnp.inf)
+    flat_s = scores.reshape(b, -1)
+    flat_i = cand_id.reshape(b, -1)
+    # flat position into raw_flat for each candidate (slab-major)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (b, nprobe, slab_rows), 2)
+    flat_p = (probe[:, :, None] * slab_rows + rr).reshape(b, -1)
+
+    # 3. spill scan (always exact over the overflow segment)
+    n_spill = spill_ids.shape[0]
+    sp = spill.astype(jnp.float32) if spill.dtype != jnp.float32 else spill
+    sp_scores = jnp.dot(q, sp.T, preferred_element_type=jnp.float32) * spill_scales[None, :]
+    sp_scores = jnp.where(spill_ids[None, :] >= 0, sp_scores, -jnp.inf)
+    sp_pos = jax.lax.broadcasted_iota(jnp.int32, (b, n_spill), 1) + slabs.shape[0] * slab_rows
+
+    all_s = jnp.concatenate([flat_s, sp_scores], axis=1)
+    all_i = jnp.concatenate([flat_i, jnp.broadcast_to(spill_ids[None, :], (b, n_spill))], axis=1)
+    all_p = jnp.concatenate([flat_p, sp_pos], axis=1)
+
+    if raw_flat is None:
+        top_s, sel = jax.lax.top_k(all_s, k)
+        top_i = jnp.take_along_axis(all_i, sel, axis=1)
+        return top_s, jnp.where(jnp.isfinite(top_s), top_i, PAD_ID)
+
+    # 4. bf16 rescoring of the oversampled candidate set
+    c = max(c_rescore, k)
+    cand_s, sel = jax.lax.top_k(all_s, c)
+    cand_i = jnp.take_along_axis(all_i, sel, axis=1)                       # (B, C)
+    cand_p = jnp.take_along_axis(all_p, sel, axis=1)
+    raw = raw_flat[cand_p]                                                 # (B, C, D) bf16
+    re_s = jnp.einsum(
+        "bcd,bd->bc", raw.astype(jnp.float32), q, preferred_element_type=jnp.float32
+    )
+    re_s = jnp.where(jnp.isfinite(cand_s), re_s, -jnp.inf)
+    top_s, sel2 = jax.lax.top_k(re_s, k)
+    top_i = jnp.take_along_axis(cand_i, sel2, axis=1)
+    return top_s, jnp.where(jnp.isfinite(top_s), top_i, PAD_ID)
