@@ -1,0 +1,227 @@
+"""Unified CLI.
+
+One entrypoint with subcommands covering the reference's per-module CLIs
+(python -m ec2.upsert_arxiv / locate_arxiv_in_s3 / parse_arxiv_papers /
+upsert_stacks / generate_slogans / generate_embeddings, plus the eval and
+quality probes and a search REPL):
+
+    python -m theoremsearch_tpu ingest-arxiv --categories math.AG --date-partition month
+    python -m theoremsearch_tpu locate-s3 --bundle-start 0
+    python -m theoremsearch_tpu parse --timeout 30 --limit 100
+    python -m theoremsearch_tpu stacks --parsed stacks_parsed.zip --tags tags
+    python -m theoremsearch_tpu slogans --model offline-stub --prompt-id body-only-v1
+    python -m theoremsearch_tpu embed --embedder qwen --spool ./spool
+    python -m theoremsearch_tpu search "chromatic number bound" --top-k 5
+    python -m theoremsearch_tpu eval --validation /root/reference/validation_set.csv
+    python -m theoremsearch_tpu quality --sample 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _catalog(args):
+    from .ingest.catalog import Catalog
+
+    return Catalog(args.catalog)
+
+
+def _encoder(args):
+    """Checkpoint encoder when --model-dir is given, hermetic otherwise."""
+    from .core.config import EncoderConfig
+    from .encoder.batching import BatchedEncoder
+    from .encoder.model import init_params
+    from .encoder.tokenizer import get_tokenizer
+    import jax
+
+    model_dir = getattr(args, "model_dir", None)
+    if model_dir:
+        from .encoder.loader import load_hf_checkpoint
+
+        params, cfg = load_hf_checkpoint(model_dir)
+        tok = get_tokenizer(model_dir, cfg.vocab_size)
+    else:
+        cfg = EncoderConfig.tiny()
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        tok = get_tokenizer(None, cfg.vocab_size)
+    be = BatchedEncoder(params, cfg, tokenizer=tok)
+    return be.encode
+
+
+def cmd_ingest_arxiv(args):
+    from .ingest.arxiv_api import MATH_CATEGORIES, upsert_arxiv
+    from .ingest.citations import get_paper_citations
+
+    cats = args.categories or MATH_CATEGORIES
+    n = upsert_arxiv(
+        _catalog(args),
+        categories=cats,
+        date_partition=args.date_partition,
+        citation_lookup=get_paper_citations if args.citations else None,
+    )
+    print(f"upserted {n} papers")
+
+
+def cmd_locate_s3(args):
+    from .ingest.sources import locate_in_bundles, s3_bundle_iterator
+
+    cat = _catalog(args)
+    for key, n in locate_in_bundles(cat, s3_bundle_iterator(args.bundle_start)):
+        print(f"{key}: located {n}")
+
+
+def cmd_parse(args):
+    from .ingest.parse_driver import parse_papers
+
+    stats = parse_papers(
+        _catalog(args),
+        timeout_s=args.timeout,
+        limit=args.limit,
+        debug=args.debugging_mode,
+        verbose=True,
+    )
+    print(
+        f"parsed={stats.parsed} failed={stats.failed} timeouts={stats.timeouts}"
+        f" theorems={stats.theorems} rate={stats.parse_rate:.2%}"
+    )
+
+
+def cmd_stacks(args):
+    from .ingest.stacks import load_tag_map, upsert_stacks_from_json
+
+    tag_map = load_tag_map(args.tags) if args.tags else {}
+    n = upsert_stacks_from_json(_catalog(args), args.parsed, tag_map)
+    print(f"ingested {n} stacks theorems")
+
+
+def cmd_slogans(args):
+    from .slogans import generate_slogans, get_client, load_prompt
+    from .utils.tracing import get_tracer
+
+    prompt = load_prompt(args.prompt_id, prompts_dir=args.prompts_dir)
+    client = get_client(args.model)
+    tracer = get_tracer("jsonl", args.trace) if args.trace else None
+    cost = generate_slogans(
+        _catalog(args), prompt, client, model_name=args.model,
+        workers=args.workers, limit=args.limit, tracer=tracer,
+    )
+    print(json.dumps(cost.summary()))
+
+
+def cmd_embed(args):
+    from .index.builder import IndexBuilder
+    from .pipeline import embed_missing_slogans
+
+    n = embed_missing_slogans(
+        _catalog(args), _encoder(args), IndexBuilder(args.spool),
+        embedder=args.embedder, limit=args.limit,
+    )
+    print(f"embedded {n} slogans")
+
+
+def cmd_search(args):
+    from .pipeline import build_engine_from_catalog
+    from .search.filters import SearchFilters
+    from .serve.app import SearchService
+
+    encode = _encoder(args)
+    engine = build_engine_from_catalog(_catalog(args), encode, args.spool)
+    svc = SearchService(engine, encode)
+    rows = svc.search_and_display(
+        args.query, SearchFilters(top_k=args.top_k, citation_weight=args.citation_weight)
+    )
+    for r in rows:
+        print(f"[{r['similarity']:.4f}] {r['theorem_name']} — {r['paper_title']}")
+        if r.get("theorem_slogan"):
+            print(f"    {r['theorem_slogan'][:200]}")
+
+
+def cmd_eval(args):
+    from .eval.harness import evaluate_encoder_on_validation
+
+    m = evaluate_encoder_on_validation(_encoder(args), args.validation, args.context_window)
+    print(json.dumps({k: round(v, 4) for k, v in m.items()}))
+
+
+def cmd_quality(args):
+    from .eval.quality import rate_slogans_quality
+
+    report = rate_slogans_quality(_catalog(args), sample_size=args.sample)
+    print(f"mean rating: {report.mean:.2f} over {len(report.ratings)} slogans")
+    for sid, r in report.flagged:
+        print(f"  flagged slogan_id={sid} rating={r}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="theoremsearch_tpu")
+    p.add_argument("--catalog", default="catalog.db")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("ingest-arxiv")
+    s.add_argument("--categories", nargs="*")
+    s.add_argument("--date-partition", default="month", choices=["year", "month", "week", "day"])
+    s.add_argument("--citations", action="store_true")
+    s.set_defaults(fn=cmd_ingest_arxiv)
+
+    s = sub.add_parser("locate-s3")
+    s.add_argument("--bundle-start", type=int, default=0)
+    s.set_defaults(fn=cmd_locate_s3)
+
+    s = sub.add_parser("parse")
+    s.add_argument("--timeout", type=float, default=30.0)
+    s.add_argument("--limit", type=int)
+    s.add_argument("--debugging-mode", action="store_true")
+    s.set_defaults(fn=cmd_parse)
+
+    s = sub.add_parser("stacks")
+    s.add_argument("--parsed", required=True)
+    s.add_argument("--tags")
+    s.set_defaults(fn=cmd_stacks)
+
+    s = sub.add_parser("slogans")
+    s.add_argument("--model", default="offline-stub")
+    s.add_argument("--prompt-id", default="body-only-v1")
+    s.add_argument("--prompts-dir")
+    s.add_argument("--workers", type=int, default=16)
+    s.add_argument("--limit", type=int)
+    s.add_argument("--trace")
+    s.set_defaults(fn=cmd_slogans)
+
+    s = sub.add_parser("embed")
+    s.add_argument("--embedder", default="qwen")
+    s.add_argument("--spool", default="./spool")
+    s.add_argument("--model-dir")
+    s.add_argument("--limit", type=int)
+    s.set_defaults(fn=cmd_embed)
+
+    s = sub.add_parser("search")
+    s.add_argument("query")
+    s.add_argument("--spool", default="./spool")
+    s.add_argument("--model-dir")
+    s.add_argument("--top-k", type=int, default=10)
+    s.add_argument("--citation-weight", type=float, default=0.0)
+    s.set_defaults(fn=cmd_search)
+
+    s = sub.add_parser("eval")
+    s.add_argument("--validation", default="/root/reference/validation_set.csv")
+    s.add_argument("--context-window", default="body-and-summary-v1")
+    s.add_argument("--model-dir")
+    s.set_defaults(fn=cmd_eval)
+
+    s = sub.add_parser("quality")
+    s.add_argument("--sample", type=int, default=20)
+    s.set_defaults(fn=cmd_quality)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""End-to-end pipeline glue: catalog -> encoder -> index -> engine.
+
+The TPU-side counterpart of the reference's generate_embeddings stage
+(ec2/generate_embeddings/__main__.py:10-167): pages the latest slogans
+missing vectors for an embedder, encodes them batched on the mesh,
+spools into the resumable IndexBuilder, and records the embedding
+manifest (the catalog commit is the checkpoint).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+from .core.config import IndexConfig
+from .index.builder import IndexBuilder
+from .index.flat import FlatIndex
+from .ingest.catalog import Catalog
+from .search.engine import SearchEngine
+from .search.metadata import CorpusMetadata
+
+
+def embed_missing_slogans(
+    catalog: Catalog,
+    encode_fn: Callable[[list[str]], np.ndarray],
+    builder: IndexBuilder,
+    embedder: str = "qwen",
+    page_size: int = 256,
+    limit: int | None = None,
+) -> int:
+    """Encode every latest-slogan lacking a vector; returns rows embedded."""
+    done = 0
+    for page in catalog.slogans_missing_embedding(embedder, page_size):
+        rows = [dict(r) for r in page]
+        if limit is not None:
+            rows = rows[: max(0, limit - done)]
+            if not rows:
+                break
+        texts = [r["slogan"] or "" for r in rows]
+        ids = np.array([r["slogan_id"] for r in rows], np.int64)
+        emb = np.asarray(encode_fn(texts), np.float32)
+        builder.add(ids, emb)
+        catalog.upsert_rows(
+            "embedding_manifest",
+            [
+                {"embedder": embedder, "slogan_id": int(sid), "shard": builder.dir.name, "row": -1}
+                for sid in ids
+            ],
+            ["embedder", "slogan_id"],
+        )
+        done += len(rows)
+        if limit is not None and done >= limit:
+            break
+    return done
+
+
+def corpus_metadata_from_catalog(catalog: Catalog, slogan_ids: np.ndarray) -> CorpusMetadata:
+    """Join paper+theorem+slogan rows for the indexed slogan ids, in index
+    order (the metadata side of the latest-slogan CTE join,
+    streamlit_app.py:253-279)."""
+    import json as _json
+
+    rows = []
+    for sid in slogan_ids.tolist():
+        r = catalog.conn.execute(
+            "SELECT p.paper_id, p.title, p.authors, p.link, p.last_updated,"
+            " p.journal_ref, p.primary_category, p.citations, p.summary,"
+            " t.name, t.body, s.slogan"
+            " FROM theorem_slogan s"
+            " JOIN theorem t ON t.theorem_id = s.theorem_id"
+            " JOIN paper p ON p.paper_id = t.paper_id"
+            " WHERE s.slogan_id = ?",
+            (int(sid),),
+        ).fetchone()
+        if r is None:
+            rows.append({})
+            continue
+        year = 0
+        if r[4]:
+            try:
+                year = int(str(r[4])[:4])
+            except ValueError:
+                year = 0
+        rows.append(
+            {
+                "paper_id": r[0],
+                "paper_title": r[1] or "",
+                "authors": _json.loads(r[2]) if r[2] else [],
+                "link": r[3] or "",
+                "year": year,
+                "primary_category": r[6] or "",
+                "journal_ref": r[5],
+                "citations": r[7],
+                "summary": r[8] or "",
+                "theorem_name": r[9] or "",
+                "theorem_body": r[10] or "",
+                "slogan": r[11] or "",
+            }
+        )
+    return CorpusMetadata.from_rows(rows)
+
+
+def build_engine_from_catalog(
+    catalog: Catalog,
+    encode_fn: Callable[[list[str]], np.ndarray],
+    spool_dir: str,
+    embedder: str = "qwen",
+    index_config: IndexConfig | None = None,
+    mesh=None,
+    use_pallas: bool | None = None,
+) -> SearchEngine:
+    """One-call path: embed whatever is missing, pack the index, join the
+    metadata, return a ready SearchEngine."""
+    builder = IndexBuilder(spool_dir, index_config)
+    embed_missing_slogans(catalog, encode_fn, builder, embedder)
+    index = builder.finalize()
+    real_ids = index.ids[index.ids >= 0]
+    meta = corpus_metadata_from_catalog(catalog, np.sort(real_ids))
+    # index rows are ordered by spool order == sorted slogan_id order only
+    # if pages were in-order; remap doc ids -> positions in meta
+    order = np.argsort(real_ids, kind="stable")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    # rebuild FlatIndex with ids = positions into meta
+    pos_ids = np.full_like(index.ids, -1)
+    pos_ids[: len(inv)] = inv
+    index = FlatIndex(
+        vectors=index.vectors,
+        ids=np.where(index.ids >= 0, pos_ids, -1),
+        scales=index.scales,
+        num_rows=index.num_rows,
+        config=index.config,
+    )
+    return SearchEngine(index, meta=meta, mesh=mesh, use_pallas=use_pallas)
