@@ -18,12 +18,13 @@ import numpy as np
 
 
 def quantize_int8(x: np.ndarray | jax.Array) -> tuple[np.ndarray, np.ndarray]:
-    """Per-row symmetric int8. Returns (codes int8 (N,D), scales fp32 (N,))."""
-    x = np.asarray(x, dtype=np.float32)
-    absmax = np.abs(x).max(axis=-1)
-    scales = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
-    codes = np.clip(np.rint(x / scales[:, None]), -127, 127).astype(np.int8)
-    return codes, scales
+    """Per-row symmetric int8. Returns (codes int8 (N,D), scales fp32 (N,)).
+
+    Delegates to the multi-threaded C++ kernel (utils/native.py) when the
+    native library is available; numpy otherwise (identical results)."""
+    from ..utils import native
+
+    return native.quantize_int8(np.asarray(x, dtype=np.float32))
 
 
 def dequantize_int8(codes: np.ndarray, scales: np.ndarray) -> np.ndarray:
