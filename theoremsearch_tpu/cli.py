@@ -80,6 +80,7 @@ def cmd_parse(args):
         _catalog(args),
         timeout_s=args.timeout,
         limit=args.limit,
+        parsing_method=args.parsing_method,
         debug=args.debugging_mode,
         verbose=True,
     )
@@ -173,6 +174,10 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("parse")
     s.add_argument("--timeout", type=float, default=30.0)
     s.add_argument("--limit", type=int)
+    s.add_argument(
+        "--parsing-method", default="scanner",
+        choices=["scanner", "flatten", "tex", "plastex"],
+    )
     s.add_argument("--debugging-mode", action="store_true")
     s.set_defaults(fn=cmd_parse)
 

@@ -41,29 +41,45 @@ class ParseStats:
         return self.parsed / total if total else 0.0
 
 
-def parse_source_tree(src_dir: str | Path) -> list[dict]:
-    """Extract theorems from a paper source tree: find main tex, run the
-    scanner extractor, return theorem rows."""
+def parse_source_tree(src_dir: str | Path, method: str = "scanner") -> list[dict]:
+    """Extract theorems from a paper source tree with the chosen method
+    (scanner | flatten | tex | plastex — the reference's --parsing-method
+    choices, ec2/parse_arxiv_papers/__main__.py:290-321)."""
     main = find_main_tex(src_dir)
     if main is None:
         return []
-    thms = extract_file(str(main))
+    if method == "scanner":
+        thms = extract_file(str(main))
+    elif method == "flatten":
+        from .methods.flatten import parse_by_flatten
+
+        thms = parse_by_flatten(main)
+    elif method == "tex":
+        from .methods.tex_capture import parse_by_tex
+
+        thms = parse_by_tex(src_dir)
+    elif method == "plastex":
+        from .methods.plastex_method import parse_by_plastex
+
+        thms = parse_by_plastex(src_dir)
+    else:
+        raise ValueError(f"unknown parsing method {method!r}")
     return [{"name": t.name, "body": t.body, "label": t.label} for t in thms]
 
 
-def _worker_entry(src_dir: str, queue: mp.Queue) -> None:
+def _worker_entry(src_dir: str, method: str, queue: mp.Queue) -> None:
     try:
-        queue.put(("ok", parse_source_tree(src_dir)))
+        queue.put(("ok", parse_source_tree(src_dir, method)))
     except Exception as e:  # noqa: BLE001
         queue.put(("err", repr(e)[:300]))
 
 
-def parse_with_hard_timeout(src_dir: str | Path, timeout_s: float = 30.0):
+def parse_with_hard_timeout(src_dir: str | Path, timeout_s: float = 30.0, method: str = "scanner"):
     """Run extraction in a fresh kill-able child process.
     Returns (status, rows) with status in {ok, err, timeout}."""
     ctx = mp.get_context("fork" if sys.platform != "win32" else "spawn")
     queue: mp.Queue = ctx.Queue()
-    proc = ctx.Process(target=_worker_entry, args=(str(src_dir), queue))
+    proc = ctx.Process(target=_worker_entry, args=(str(src_dir), method, queue))
     proc.start()
     proc.join(timeout_s)
     if proc.is_alive():
@@ -86,7 +102,7 @@ def parse_papers(
     timeout_s: float = 30.0,
     page_size: int = 32,
     limit: int | None = None,
-    parsing_method: str = "scanner",
+    parsing_method: str = "scanner",   # scanner | flatten | tex | plastex
     debug: bool = False,
     verbose: bool = False,
 ) -> ParseStats:
@@ -117,7 +133,7 @@ def parse_papers(
             try:
                 data = fetcher(paper_id)
                 src = extract_source_tree(data, work / "src")
-                status, thms = parse_with_hard_timeout(src, timeout_s)
+                status, thms = parse_with_hard_timeout(src, timeout_s, parsing_method)
                 if status == "ok":
                     catalog.replace_theorems(paper_id, thms, parsing_method)
                     stats.parsed += 1
