@@ -210,3 +210,25 @@ def test_metadata_facets_and_roundtrip(meta, tmp_path):
     assert m2.paper_id == meta.paper_id
     np.testing.assert_array_equal(m2.citations, meta.citations)
     assert m2.authors[5] == meta.authors[5]
+
+
+def test_engine_rescore_improves_int8_recall(corpus):
+    emb, q = corpus
+    idx = FlatIndex.build(emb, config=IndexConfig(pad_multiple=256, dtype="int8"), normalize=False)
+    plain = SearchEngine(idx, use_pallas=False, row_block=128)
+    rescored = SearchEngine(
+        idx, use_pallas=False, row_block=128, rescore_vectors=emb, rescore_factor=8
+    )
+    _, ref = exact_topk(q, emb, k=10)
+    _, i_plain = plain.search_vectors(q, k=10)
+    _, i_re = rescored.search_vectors(q, k=10)
+    from theoremsearch_tpu.eval.metrics import recall_vs_exact
+
+    r_plain = recall_vs_exact(i_plain, ref, k=10)
+    r_re = recall_vs_exact(i_re, ref, k=10)
+    assert r_re >= r_plain
+    assert r_re >= 0.99
+    # rescored scores are exact fp32 inner products
+    s_re, i_re2 = rescored.search_vectors(q[:2], k=5)
+    expected = np.take_along_axis(q[:2] @ emb.T, i_re2, axis=1)
+    np.testing.assert_allclose(s_re, expected, rtol=1e-5)

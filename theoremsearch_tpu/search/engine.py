@@ -60,11 +60,22 @@ class SearchEngine:
         config: SearchConfig | None = None,
         use_pallas: bool | None = None,
         row_block: int = 1024,
+        rescore_vectors: np.ndarray | None = None,
+        rescore_factor: int = 4,
     ):
+        """rescore_vectors: optional host-resident (num_rows, D) bf16/f32
+        copy of the original embeddings; when present, int8/bf16 scans
+        retrieve rescore_factor*k candidates and exact fp32 rescoring of
+        the gathered originals ranks the final top-k (int8 + bf16 copy =
+        3 bytes/dim, still under pgvector's fp32 rows)."""
         self.meta = meta
         self.config = config or SearchConfig()
         self.mesh = mesh
         self.row_block = row_block
+        self.rescore_vectors = (
+            np.asarray(rescore_vectors) if rescore_vectors is not None else None
+        )
+        self.rescore_factor = rescore_factor
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
@@ -209,7 +220,9 @@ class SearchEngine:
         """Batched vector search. Returns (scores (B, k), doc_ids (B, k));
         doc_id PAD_ID (-1) marks slots beyond the number of matching docs."""
         k = k or self.config.top_k
-        k_dev = min(max(k, 1), self.rows_per_shard)
+        do_rescore = self.rescore_vectors is not None
+        k_fetch = k * self.rescore_factor if do_rescore else k
+        k_dev = min(max(k_fetch, 1), self.rows_per_shard)
         q = jnp.asarray(np.asarray(query_vecs, dtype=np.float32))
         if q.ndim == 1:
             q = q[None, :]
@@ -238,11 +251,26 @@ class SearchEngine:
             fn = self._get_search_fn(k_dev, with_bias=True)
             s, i = fn(q, bias)
 
-        s = np.asarray(s)[:b, :k]
-        i = np.asarray(i)[:b, :k]
+        s = np.asarray(s)[:b]
+        i = np.asarray(i)[:b]
+        if do_rescore:
+            s, i = self._rescore(np.asarray(q)[:b], s, i, k)
+        s, i = s[:, :k], i[:, :k]
         # -inf scores mean "fewer than k docs pass the filter": blank them
         i = np.where(np.isfinite(s), i, PAD_ID)
         return s, i
+
+    def _rescore(self, q: np.ndarray, s: np.ndarray, ids: np.ndarray, k: int):
+        """Exact fp32 rescoring of the oversampled candidates: gather the
+        original rows for each (query, candidate) and re-rank. Host-side —
+        the gather is (B, C, D), tiny next to the device scan."""
+        b, c = ids.shape
+        safe = np.clip(ids, 0, self.rescore_vectors.shape[0] - 1)
+        cand = self.rescore_vectors[safe].astype(np.float32)        # (B, C, D)
+        re_s = np.einsum("bcd,bd->bc", cand, q.astype(np.float32))
+        re_s = np.where((ids >= 0) & np.isfinite(s), re_s, -np.inf)
+        sel = np.argsort(-re_s, axis=1, kind="stable")[:, :k]
+        return np.take_along_axis(re_s, sel, 1), np.take_along_axis(ids, sel, 1)
 
     # ------------------------------------------------------------------
     # full serving path (the streamlit_app.py backend behavior)
