@@ -147,6 +147,41 @@ def cmd_eval(args):
     print(json.dumps({k: round(v, 4) for k, v in m.items()}))
 
 
+def cmd_ingest_tex(args):
+    """Ingest local .tex files directly (parity with the reference's
+    selective_ingest.py GitHub-tex ingestor): each file becomes a
+    synthetic paper + its extracted theorems."""
+    from pathlib import Path
+
+    from .ingest.latex.extract import extract_file
+
+    cat = _catalog(args)
+    total = 0
+    for path in args.files:
+        p = Path(path)
+        thms = extract_file(str(p))
+        pid = f"local-{p.stem}"
+        cat.upsert_paper(
+            {
+                "paper_id": pid,
+                "title": args.title or p.stem,
+                "authors": args.authors or [],
+                "summary": "",
+                "link": f"file://{p.resolve()}",
+                "last_updated": None,
+                "journal_ref": None,
+                "primary_category": args.category,
+                "categories": [args.category],
+                "citations": None,
+            }
+        )
+        cat.replace_theorems(
+            pid, [{"name": t.name, "body": t.body, "label": t.label} for t in thms], "scanner"
+        )
+        total += len(thms)
+    print(f"ingested {total} theorems from {len(args.files)} files")
+
+
 def cmd_quality(args):
     from .eval.quality import rate_slogans_quality
 
@@ -215,6 +250,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--context-window", default="body-and-summary-v1")
     s.add_argument("--model-dir")
     s.set_defaults(fn=cmd_eval)
+
+    s = sub.add_parser("ingest-tex")
+    s.add_argument("files", nargs="+")
+    s.add_argument("--title")
+    s.add_argument("--authors", nargs="*")
+    s.add_argument("--category", default="math.GM")
+    s.set_defaults(fn=cmd_ingest_tex)
 
     s = sub.add_parser("quality")
     s.add_argument("--sample", type=int, default=20)
