@@ -1,0 +1,101 @@
+"""Micro-batching scheduler: correctness under concurrency, batching
+effectiveness, filter-group isolation, error propagation, shutdown."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from theoremsearch_tpu.core import IndexConfig
+from theoremsearch_tpu.eval.oracle import exact_topk, l2_normalize
+from theoremsearch_tpu.index import FlatIndex
+from theoremsearch_tpu.search import CorpusMetadata, SearchEngine, SearchFilters
+from theoremsearch_tpu.serve.scheduler import BatchScheduler
+
+
+@pytest.fixture(scope="module")
+def engine():
+    rng = np.random.default_rng(0)
+    emb = np.asarray(l2_normalize(rng.standard_normal((2000, 64)).astype(np.float32)))
+    rows = [
+        {"paper_id": f"p{i}", "paper_title": f"T{i}", "authors": [],
+         "link": "https://arxiv.org/abs/x", "year": 2020,
+         "primary_category": "math.AG" if i % 2 else "math.NT",
+         "journal_ref": None, "citations": i, "theorem_name": "Theorem 1.",
+         "theorem_body": "b", "slogan": "s"}
+        for i in range(2000)
+    ]
+    meta = CorpusMetadata.from_rows(rows)
+    idx = FlatIndex.build(
+        emb, config=IndexConfig(pad_multiple=256, dtype="float32"), normalize=False
+    )
+    eng = SearchEngine(idx, meta=meta, use_pallas=False, row_block=128)
+    return eng, emb
+
+
+def test_concurrent_submits_batched_and_correct(engine):
+    eng, emb = engine
+    rng = np.random.default_rng(1)
+    queries = np.asarray(l2_normalize(rng.standard_normal((40, 64)).astype(np.float32)))
+    sched = BatchScheduler(eng, max_batch=64, max_wait_ms=50)
+    results = [None] * 40
+
+    def worker(i):
+        results[i] = sched.search(queries[i], k=5)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(40)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    ref_s, ref = exact_topk(queries, emb, k=5)
+    for i in range(40):
+        s, ids = results[i]
+        # chunked-scan accumulation order can swap last-ulp ties; compare
+        # by score and set membership rather than exact id order
+        np.testing.assert_allclose(np.sort(s), np.sort(ref_s[i]), atol=1e-5)
+        assert len(set(ids.tolist()) & set(ref[i].tolist())) >= 4
+    stats = sched.stats()
+    assert stats["queries"] == 40
+    assert stats["avg_batch"] > 2.0  # concurrency actually batched
+    sched.shutdown()
+
+
+def test_filter_groups_isolated(engine):
+    eng, emb = engine
+    rng = np.random.default_rng(2)
+    q = np.asarray(l2_normalize(rng.standard_normal((2, 64)).astype(np.float32)))
+    sched = BatchScheduler(eng, max_batch=8, max_wait_ms=40)
+    f_ag = SearchFilters(tags=["math.AG"])
+    fut1 = sched.submit(q[0], k=5, filters=f_ag)
+    fut2 = sched.submit(q[1], k=5)
+    s1, i1 = fut1.result(10)
+    s2, i2 = fut2.result(10)
+    assert all(eng.meta.primary_category[d] == "math.AG" for d in i1 if d >= 0)
+    sched.shutdown()
+
+
+def test_mixed_k(engine):
+    eng, emb = engine
+    q = np.asarray(l2_normalize(np.random.default_rng(3).standard_normal((2, 64)).astype(np.float32)))
+    sched = BatchScheduler(eng, max_batch=8, max_wait_ms=40)
+    f1 = sched.submit(q[0], k=3)
+    f2 = sched.submit(q[1], k=7)
+    assert f1.result(10)[1].shape == (3,)
+    assert f2.result(10)[1].shape == (7,)
+    sched.shutdown()
+
+
+def test_error_propagation(engine):
+    eng, _ = engine
+    sched = BatchScheduler(eng, max_batch=4, max_wait_ms=10)
+    bad = np.zeros(17, np.float32)  # wrong dim -> engine raises
+    fut = sched.submit(bad, k=5)
+    with pytest.raises(Exception):
+        fut.result(10)
+    # scheduler still alive afterwards
+    good = np.zeros(64, np.float32)
+    s, ids = sched.search(good, k=2)
+    assert ids.shape == (2,)
+    sched.shutdown()

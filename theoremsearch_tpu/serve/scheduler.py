@@ -1,0 +1,136 @@
+"""Micro-batching query scheduler for concurrent serving.
+
+The throughput target (>=100k QPS/chip) depends on amortizing each corpus
+scan over a large query batch (SURVEY.md §7.4: "requires batched query
+execution ... batch queries across concurrent users"). The reference has
+nothing comparable — each Streamlit request runs its own SQL scan.
+
+This scheduler collects concurrently-submitted queries into batches of up
+to ``max_batch`` (or whatever arrives within ``max_wait_ms``), runs ONE
+engine scan per batch on a dedicated dispatch thread (the TPU runtime is
+happiest with a single submitting thread), and resolves per-caller
+futures. Filtered queries batch only with queries sharing the same
+filter signature, since the filter mask is a per-scan input.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from ..search.engine import SearchEngine
+from ..search.filters import SearchFilters
+
+
+def _filter_key(f: SearchFilters | None) -> tuple:
+    if f is None or f.is_default:
+        return ()
+    return (
+        tuple(sorted(f.sources)),
+        tuple(sorted(f.authors)),
+        tuple(sorted(f.tags)),
+        f.year_range,
+        f.journal_status,
+        tuple(sorted(f.paper_filter.get("ids", ()))),
+        tuple(sorted(f.paper_filter.get("titles", ()))),
+        tuple(sorted(f.types)),
+        f.citation_range,
+        f.include_unknown_citations,
+    )
+
+
+@dataclass
+class _Request:
+    vec: np.ndarray
+    k: int
+    filters: SearchFilters | None
+    future: Future = field(default_factory=Future)
+
+
+class BatchScheduler:
+    def __init__(
+        self,
+        engine: SearchEngine,
+        max_batch: int = 256,
+        max_wait_ms: float = 2.0,
+    ):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._q: "queue.Queue[_Request | None]" = queue.Queue()
+        self._stats = {"batches": 0, "queries": 0}
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------- client API -------------
+
+    def submit(
+        self, query_vec: np.ndarray, k: int = 10, filters: SearchFilters | None = None
+    ) -> Future:
+        """Returns a Future resolving to (scores (k,), doc_ids (k,))."""
+        req = _Request(np.asarray(query_vec, np.float32), k, filters)
+        self._q.put(req)
+        return req.future
+
+    def search(self, query_vec, k: int = 10, filters=None, timeout: float = 30.0):
+        return self.submit(query_vec, k, filters).result(timeout)
+
+    def stats(self) -> dict[str, Any]:
+        s = dict(self._stats)
+        s["avg_batch"] = s["queries"] / s["batches"] if s["batches"] else 0.0
+        return s
+
+    def shutdown(self) -> None:
+        self._q.put(None)
+        self._thread.join(timeout=10)
+
+    # ------------- dispatch loop -------------
+
+    def _loop(self) -> None:
+        while True:
+            first = self._q.get()
+            if first is None:
+                return
+            batch = [first]
+            # drain for up to max_wait or until max_batch
+            import time
+
+            deadline = time.time() + self.max_wait_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._run_groups(batch)
+                    return
+                batch.append(nxt)
+            self._run_groups(batch)
+
+    def _run_groups(self, batch: list[_Request]) -> None:
+        groups: dict[tuple, list[_Request]] = {}
+        for r in batch:
+            groups.setdefault(_filter_key(r.filters), []).append(r)
+        for reqs in groups.values():
+            try:
+                k_max = max(r.k for r in reqs)
+                vecs = np.stack([r.vec for r in reqs])
+                scores, ids = self.engine.search_vectors(
+                    vecs, k=k_max, filters=reqs[0].filters
+                )
+                for i, r in enumerate(reqs):
+                    r.future.set_result((scores[i, : r.k], ids[i, : r.k]))
+            except Exception as e:  # noqa: BLE001
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+        self._stats["batches"] += len(groups)
+        self._stats["queries"] += len(batch)
