@@ -150,3 +150,22 @@ def test_sharded_forward_matches_unsharded():
     b = np.asarray(encode_pooled(sharded, ids, mask, cfg))
     np.testing.assert_allclose(a, b, atol=2e-2)
     assert float(a[0] @ b[0]) > 0.999
+
+
+def test_encode_long_chunk_and_pool(enc):
+    be = BatchedEncoder(enc.params, enc.cfg, batch_size=4, buckets=(16, 32))
+    short = "a theorem about primes"
+    long = " ".join(f"word{i}" for i in range(400))  # far beyond the 32-token bucket
+    out = be.encode_long([short, long])
+    assert out.shape == (2, enc.cfg.embedding_dim)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-4)
+    # short text matches plain encode exactly
+    plain = be.encode([short])
+    assert float(out[0] @ plain[0]) > 0.999
+    # pooling a doc made of one repeated phrase stays close to the phrase's
+    # embedding (word-proportional splitting need not align with the
+    # repetition boundary, so require similarity, not equality)
+    chunk = " ".join(f"tok{i}" for i in range(10))
+    rep = be.encode_long([" ".join([chunk] * 8)], chunk_tokens=20)
+    single = be.encode([chunk])
+    assert float(rep[0] @ single[0]) > 0.9

@@ -56,6 +56,42 @@ class BatchedEncoder:
                 return b
         return self.buckets[-1]
 
+    def encode_long(self, texts: Sequence[str], chunk_tokens: int | None = None) -> np.ndarray:
+        """Long-document encoding: blockwise encode + mean-pool.
+
+        The reference avoids long inputs entirely (theorems are compressed
+        to <=4-sentence slogans; SURVEY.md §5 notes blockwise
+        encode+mean-pool as the idiomatic extension). Documents longer
+        than the max bucket are split into token chunks, each chunk
+        encoded normally, and the normalized chunk embeddings mean-pooled
+        and re-normalized."""
+        chunk_tokens = chunk_tokens or (self.buckets[-1] - 2)
+        pieces: list[str] = []
+        owners: list[int] = []
+        for i, t in enumerate(texts):
+            toks = self.tokenizer.tokenize(t)
+            if len(toks) <= chunk_tokens:
+                pieces.append(t)
+                owners.append(i)
+                continue
+            words = t.split()
+            # split by words proportionally to the token count
+            n_chunks = (len(toks) + chunk_tokens - 1) // chunk_tokens
+            per = max(1, len(words) // n_chunks)
+            for s in range(0, len(words), per):
+                pieces.append(" ".join(words[s : s + per]))
+                owners.append(i)
+        emb = self.encode(pieces)
+        out = np.zeros((len(texts), self.cfg.embedding_dim), np.float32)
+        counts = np.zeros(len(texts))
+        for j, owner in enumerate(owners):
+            out[owner] += emb[j]
+            counts[owner] += 1
+        out /= np.maximum(counts[:, None], 1)
+        if self.cfg.normalize:
+            out /= np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
+        return out
+
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         """(len(texts), embedding_dim) fp32, normalized per config."""
         if not len(texts):
