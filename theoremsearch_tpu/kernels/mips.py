@@ -99,18 +99,12 @@ def _mips_kernel(
     nvalid_ref,  # SMEM (1, 1) int32: number of real (non-padding) corpus rows
     q_ref,       # VMEM (B, D) queries (corpus dtype; int8 when corpus is int8)
     qscale_ref,  # VMEM (B, 1) f32 per-query dequant scales (ones unless int8 q)
-    c_ref,       # VMEM (row_block, D) corpus tile
-    scale_ref,   # VMEM (1, row_block) f32 per-row scales (all-ones for bf16)
-    bias_ref,    # VMEM (1, row_block) f32 additive bias (0 keep / -inf filtered)
-    out_s_ref,   # VMEM (B, k) f32
-    out_i_ref,   # VMEM (B, k) i32
-    top_s,       # scratch VMEM (B, k) f32, sorted desc across grid steps
-    top_i,       # scratch VMEM (B, k) i32
-    s_buf,       # scratch VMEM (B, row_block) f32 — the tile's score matrix
-    *,
+    *refs,       # [scale_ref], [bias_ref], out_s, out_i, top_s, top_i, s_buf
     k: int,
     row_block: int,
     int8_corpus: bool = False,
+    has_scales: bool = False,
+    has_bias: bool = False,
 ):
     """Fused matmul + exact running top-k.
 
@@ -121,8 +115,18 @@ def _mips_kernel(
     argmax + clear over the tile plus a k-wide sorted insert, so the
     expected merge cost per tile is ~1-2 rounds instead of k.
 
+    The per-row scale multiply and filter-bias add are statically elided
+    when absent — each would otherwise cost an extra VPU pass + a streamed
+    (1, row_block) input per tile.
+
     Per-query dequant scales (int8 queries) multiply only at emission:
     a positive per-query factor never changes that query's ranking."""
+    it = iter(refs)
+    c_ref = next(it)
+    scale_ref = next(it) if has_scales else None
+    bias_ref = next(it) if has_bias else None
+    out_s_ref, out_i_ref, top_s, top_i, s_buf = it
+
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
 
@@ -148,7 +152,10 @@ def _mips_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    s = s * scale_ref[0, :][None, :] + bias_ref[0, :][None, :]
+    if scale_ref is not None:
+        s = s * scale_ref[0, :][None, :]
+    if bias_ref is not None:
+        s = s + bias_ref[0, :][None, :]
 
     # mask padding rows (only possible in the final tiles)
     col = jax.lax.broadcasted_iota(jnp.int32, (b, row_block), 1)
@@ -237,27 +244,26 @@ def fused_mips_topk(
     else:
         qk = queries.astype(corpus.dtype)
         qscales = jnp.ones((b, 1), dtype=jnp.float32)
-    if scales is None:
-        scales2d = jnp.ones((1, n_pad), dtype=jnp.float32)
-    else:
-        scales2d = scales.reshape(1, n_pad).astype(jnp.float32)
-    if bias is None:
-        bias2d = jnp.zeros((1, n_pad), dtype=jnp.float32)
-    else:
-        bias2d = bias.reshape(1, n_pad).astype(jnp.float32)
 
     n_tiles = n_pad // row_block
+
+    in_specs = [
+        pl.BlockSpec((b, d), lambda i, *_: (0, 0)),            # queries, resident
+        pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),            # query scales
+        pl.BlockSpec((row_block, d), lambda i, *_: (i, 0)),    # corpus tile, streamed
+    ]
+    inputs = [qk, qscales, corpus]
+    if scales is not None:
+        in_specs.append(pl.BlockSpec((1, row_block), lambda i, *_: (0, i)))
+        inputs.append(scales.reshape(1, n_pad).astype(jnp.float32))
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, row_block), lambda i, *_: (0, i)))
+        inputs.append(bias.reshape(1, n_pad).astype(jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((b, d), lambda i, *_: (0, 0)),            # queries, resident
-            pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),            # query scales
-            pl.BlockSpec((row_block, d), lambda i, *_: (i, 0)),    # corpus tile, streamed
-            pl.BlockSpec((1, row_block), lambda i, *_: (0, i)),    # scales tile
-            pl.BlockSpec((1, row_block), lambda i, *_: (0, i)),    # bias tile
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((b, k), lambda i, *_: (0, 0)),
             pl.BlockSpec((b, k), lambda i, *_: (0, 0)),
@@ -270,7 +276,12 @@ def fused_mips_topk(
     )
 
     kernel = functools.partial(
-        _mips_kernel, k=k, row_block=row_block, int8_corpus=int8_corpus
+        _mips_kernel,
+        k=k,
+        row_block=row_block,
+        int8_corpus=int8_corpus,
+        has_scales=scales is not None,
+        has_bias=bias is not None,
     )
 
     out_s, out_i = pl.pallas_call(
@@ -286,7 +297,7 @@ def fused_mips_topk(
             bytes_accessed=n_pad * d * corpus.dtype.itemsize + b * d * 4,
             transcendentals=0,
         ),
-    )(nvalid_arr, qk, qscales, corpus, scales2d, bias2d)
+    )(nvalid_arr, *inputs)
     return out_s, out_i
 
 
