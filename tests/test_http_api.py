@@ -1,0 +1,107 @@
+"""HTTP API tests: drive a live server over a real socket."""
+
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from theoremsearch_tpu.core import IndexConfig
+from theoremsearch_tpu.eval.oracle import l2_normalize
+from theoremsearch_tpu.index import FlatIndex
+from theoremsearch_tpu.search import CorpusMetadata, SearchEngine
+from theoremsearch_tpu.serve.app import SearchService
+from theoremsearch_tpu.serve.http_api import SearchServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    n, d = 300, 128
+
+    def encode(texts):
+        out = np.zeros((len(texts), d), np.float32)
+        for i, t in enumerate(texts):
+            for tok in t.lower().split():
+                out[i, hash(tok) % d] += 1.0
+        return np.asarray(l2_normalize(out))
+
+    bodies = [f"statement about subject {i % 30}" for i in range(n)]
+    rows = [
+        {"paper_id": f"p{i}", "paper_title": f"Title {i}", "authors": [f"A{i % 5}"],
+         "link": "https://arxiv.org/abs/x", "year": 2020, "primary_category": "math.NT",
+         "journal_ref": None, "citations": i, "theorem_name": "Theorem 1.",
+         "theorem_body": bodies[i], "slogan": f"slogan {i}"}
+        for i in range(n)
+    ]
+    idx = FlatIndex.build(encode(bodies), config=IndexConfig(pad_multiple=128), normalize=True)
+    eng = SearchEngine(idx, meta=CorpusMetadata.from_rows(rows), use_pallas=False, row_block=128)
+    srv = SearchServer(SearchService(eng, encode)).start()
+    yield srv
+    srv.stop()
+
+
+def _get(server, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}{path}", timeout=10) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(server, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_and_facets(server):
+    code, health = _get(server, "/health")
+    assert code == 200 and health["status"] == "ok" and health["corpus"] == 300
+    code, facets = _get(server, "/facets")
+    assert code == 200 and len(facets["authors"]) == 5
+
+
+def test_search_endpoint(server):
+    code, res = _post(server, "/search", {"query": "subject 7", "top_k": 4})
+    assert code == 200
+    assert len(res["results"]) == 4
+    top = res["results"][0]
+    assert "subject 7" in top["theorem_body"]
+    assert "display_markdown" in top and "similarity" in top
+
+
+def test_search_with_filters(server):
+    code, res = _post(
+        server, "/search",
+        {"query": "subject 3", "top_k": 5,
+         "filters": {"authors": ["A2"], "citation_weight": 0.1}},
+    )
+    assert code == 200
+    assert res["results"] and all("A2" in r["authors"] for r in res["results"])
+
+
+def test_bad_requests(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/search", data=b"{not json",
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            code = r.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
+
+
+def test_unknown_path_404(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server, "/nope")
+    assert ei.value.code == 404

@@ -1,0 +1,106 @@
+"""HTTP JSON API for the search service.
+
+The reference serves only through Streamlit widgets; a production
+deployment needs a programmatic surface. Stdlib-only (no extra deps):
+
+    POST /search   {"query": str, "top_k": int, "citation_weight": float,
+                    "filters": {...same keys as the UI dict...}}
+    GET  /facets   -> {"authors": [...], "tags_per_source": {...},
+                       "theorem_count": N}
+    GET  /health   -> {"status": "ok", "corpus": N}
+
+Concurrent requests share the TPU through SearchService; batching across
+connections comes from the ThreadingHTTPServer handing vectors to the
+engine in whatever concurrency arrives (pair with serve.scheduler for
+explicit micro-batching).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .app import SearchService, _filters_from_ui
+
+
+def make_handler(service: SearchService):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload, default=str).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, {"status": "ok", "corpus": service.load_theorem_count()})
+            elif self.path == "/facets":
+                self._send(
+                    200,
+                    {
+                        "authors": service.load_authors(),
+                        "tags_per_source": service.load_tags_per_source(),
+                        "theorem_count": service.load_theorem_count(),
+                    },
+                )
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/search":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                query = req.get("query", "")
+                ui = dict(req.get("filters") or {})
+                if "top_k" in req:
+                    ui["top_k"] = req["top_k"]
+                if "citation_weight" in req:
+                    ui["citation_weight"] = req["citation_weight"]
+                filters = _filters_from_ui(ui)
+                rows = service.search_and_display(query, filters)
+                self._send(200, {"query": query, "results": rows})
+            except json.JSONDecodeError:
+                self._send(400, {"error": "invalid JSON body"})
+            except Exception as e:  # noqa: BLE001
+                self._send(500, {"error": str(e)[:300]})
+
+    return Handler
+
+
+class SearchServer:
+    """Threaded HTTP server wrapper with clean start/stop."""
+
+    def __init__(self, service: SearchService, host: str = "127.0.0.1", port: int = 0):
+        self.httpd = ThreadingHTTPServer((host, port), make_handler(service))
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self) -> "SearchServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def serve(service: SearchService, host: str = "0.0.0.0", port: int = 8080) -> None:
+    """Blocking entrypoint."""
+    server = SearchServer(service, host, port)
+    print(f"serving on {host}:{server.port}")
+    server.httpd.serve_forever()
