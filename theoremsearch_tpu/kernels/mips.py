@@ -156,22 +156,29 @@ def _mips_kernel(
         s = s * scale_ref[0, :][None, :]
     if bias_ref is not None:
         s = s + bias_ref[0, :][None, :]
-
-    # mask padding rows (only possible in the final tiles)
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, row_block), 1)
-    remaining = nvalid_ref[0, 0] - i * row_block
-    s = jnp.where(col < remaining, s, NEG_INF)
     s_buf[:] = s
 
+    # mask padding rows — they exist only in the final tile(s), so the
+    # (B, row_block) iota+compare+select pass is predicated out of the
+    # steady-state tile loop
+    remaining = nvalid_ref[0, 0] - i * row_block
+
+    @pl.when(remaining < row_block)
+    def _mask_padding():
+        colm = jax.lax.broadcasted_iota(jnp.int32, (b, row_block), 1)
+        s_buf[:] = jnp.where(colm < remaining, s_buf[:], NEG_INF)
+
     # count per-query threshold crossings; bound the extraction rounds
+    sv0 = s_buf[:]
     thresh = top_s[:, k - 1]
-    cnt = jnp.sum((s > thresh[:, None]).astype(jnp.int32), axis=1)
+    cnt = jnp.sum((sv0 > thresh[:, None]).astype(jnp.int32), axis=1)
     rounds = jnp.minimum(jnp.max(cnt), k)
 
     kcol = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
 
     def _round(_, carry):
         sv = s_buf[:]
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, row_block), 1)
         m = jnp.max(sv, axis=1)
         is_max = sv == m[:, None]
         c = jnp.min(jnp.where(is_max, col, row_block), axis=1)
