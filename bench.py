@@ -113,6 +113,13 @@ def main():
     recall = float(hit.mean())
     _log(f"recall@10 (int8, {k_retrieve}-retrieve) = {recall:.4f}")
 
+    # free the 4GB fp32 oracle corpus before timing — residual HBM pressure
+    # measurably slows the scan kernels
+    del corpus_f32, s8
+    import gc
+
+    gc.collect()
+
     # ---- throughput candidates ----
     rb = 2048 if on_tpu else 1024
     results = {}
