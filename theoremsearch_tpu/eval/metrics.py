@@ -17,7 +17,7 @@ qrels format matches the reference: {query_idx: {doc_idx: grade}}.
 
 from __future__ import annotations
 
-from typing import Mapping, Sequence
+from typing import Mapping
 
 import numpy as np
 

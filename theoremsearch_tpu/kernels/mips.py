@@ -53,30 +53,8 @@ def _quantize_queries(queries: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 # ---------------------------------------------------------------------------
-# Exact top-k merge (shared by kernel and XLA paths)
+# Exact top-k merge (shared by engine and XLA paths)
 # ---------------------------------------------------------------------------
-
-
-def _fold_topk(scores: jax.Array, ids: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
-    """Exact top-k of (B, C) candidates via k rounds of argmax+mask.
-
-    Returns sorted-descending (B, k) scores and their ids. Used inside the
-    Pallas kernel where lax.top_k is unavailable/slow; C is small
-    (k + row_block)."""
-    B, C = scores.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
-    out_s = []
-    out_i = []
-    s = scores
-    for _ in range(k):
-        m = jnp.max(s, axis=1)
-        a = jnp.argmax(s, axis=1).astype(jnp.int32)
-        sel = col == a[:, None]
-        chosen_id = jnp.sum(jnp.where(sel, ids, 0), axis=1)
-        out_s.append(m)
-        out_i.append(chosen_id)
-        s = jnp.where(sel, NEG_INF, s)
-    return jnp.stack(out_s, axis=1), jnp.stack(out_i, axis=1)
 
 
 def merge_topk(

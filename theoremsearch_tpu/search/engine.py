@@ -15,10 +15,8 @@ passing a real mesh.
 
 from __future__ import annotations
 
-import functools
 import math
-from dataclasses import dataclass
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -34,13 +32,6 @@ from .metadata import CorpusMetadata
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
-
-
-@dataclass
-class SearchResult:
-    doc_id: int
-    score: float
-    similarity: float
 
 
 class SearchEngine:

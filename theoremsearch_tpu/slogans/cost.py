@@ -3,7 +3,7 @@ the running-cost tqdm postfix of __main__.py:155-161)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 def format_usd(usd: float) -> str:

@@ -14,7 +14,7 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from .contrastive import TrainState, make_optimizer
+from .contrastive import TrainState
 from ..core.config import EncoderConfig, TrainConfig
 
 

@@ -14,7 +14,7 @@ supplies the training step the reference lacks, built mesh-first:
 
 from __future__ import annotations
 
-import functools
+
 from typing import Any, NamedTuple
 
 import jax
