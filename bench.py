@@ -38,7 +38,21 @@ def _log(msg: str) -> None:
     print(f"# [{time.time()-_T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def _build_corpus(key, n, d):
+def _gen_f32(key, n, d):
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n", "d"))
+    def gen(key, *, n, d):
+        x = jax.random.normal(key, (n, d), jnp.float32)
+        return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+    return gen(key, n=n, d=d)
+
+
+def _gen_int8(key, n, d):
+    """Regenerate the same corpus deterministically and quantize, without
+    keeping the fp32 buffer alive (HBM layout matters for the timed scan)."""
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +63,7 @@ def _build_corpus(key, n, d):
         absmax = jnp.max(jnp.abs(x), axis=1)
         scales = jnp.where(absmax > 0, absmax / 127.0, 1.0)
         codes = jnp.clip(jnp.round(x / scales[:, None]), -127, 127).astype(jnp.int8)
-        return x, codes, scales
+        return codes, scales
 
     return gen(key, n=n, d=d)
 
@@ -82,9 +96,9 @@ def main():
 
     key = jax.random.PRNGKey(0)
     kq, kc = jax.random.split(key)
-    _log(f"building corpus N={N} D={D} on device")
-    corpus_f32, codes, scales = _build_corpus(kc, N, D)
-    jax.block_until_ready(scales)
+    _log(f"building fp32 corpus N={N} D={D} on device (oracle phase)")
+    corpus_f32 = _gen_f32(kc, N, D)
+    jax.block_until_ready(corpus_f32)
     _log("corpus built")
     q = jax.random.normal(kq, (B, D), jnp.float32)
     q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
@@ -107,18 +121,21 @@ def main():
     exact_ids = np.concatenate(exact_ids)
     _log("exact oracle done")
 
+    # free the 4GB fp32 oracle corpus BEFORE allocating the index — HBM
+    # layout/pressure measurably slows the timed scan otherwise
+    del corpus_f32
+    import gc
+
+    gc.collect()
+    codes, scales = _gen_int8(kc, N, D)
+    jax.block_until_ready(scales)
+    _log("int8 index built")
+
     s8, i8 = xla_mips_topk_scan(q, codes, scales, k=k_retrieve, chunk=min(65536, N))
     i8 = np.asarray(i8)
     hit = (i8[:, :, None] == exact_ids[:, None, :]).any(axis=1)
     recall = float(hit.mean())
     _log(f"recall@10 (int8, {k_retrieve}-retrieve) = {recall:.4f}")
-
-    # free the 4GB fp32 oracle corpus before timing — residual HBM pressure
-    # measurably slows the scan kernels
-    del corpus_f32, s8
-    import gc
-
-    gc.collect()
 
     # ---- throughput candidates ----
     rb = 2048 if on_tpu else 1024
