@@ -90,7 +90,7 @@ def main():
 
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu:
-        N, D, B, K, ITERS = 1_048_576, 1024, 512, 10, 10
+        N, D, B, K, ITERS = 1_048_576, 1024, 512, 10, 30
     else:  # smoke-scale on CPU
         N, D, B, K, ITERS = 32_768, 256, 64, 10, 3
 
