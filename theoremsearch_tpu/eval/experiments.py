@@ -118,7 +118,7 @@ def plot_category_clusters(
 
     fig, ax = plt.subplots(figsize=(10, 8))
     uniq = sorted(set(labels))
-    cmap = plt.cm.get_cmap("tab20", len(uniq))
+    cmap = matplotlib.colormaps["tab20"].resampled(max(len(uniq), 1))
     for ci, cat in enumerate(uniq):
         sel = np.array([l == cat for l in labels])
         ax.scatter(proj[sel, 0], proj[sel, 1], s=4, color=cmap(ci), label=cat, alpha=0.6)
