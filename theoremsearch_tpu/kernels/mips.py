@@ -134,7 +134,10 @@ def _mips_kernel(
         s = s * scale_ref[0, :][None, :]
     if bias_ref is not None:
         s = s + bias_ref[0, :][None, :]
-    s_buf[:] = s
+    # bf16 score buffers halve the merge's VMEM traffic at the cost of
+    # 8-bit-mantissa score rounding (pair with candidate oversampling);
+    # Mosaic can't compare bf16 directly, so all math upcasts on load
+    s_buf[:] = s.astype(s_buf.dtype)
 
     # mask padding rows — they exist only in the final tile(s), so the
     # (B, row_block) iota+compare+select pass is predicated out of the
@@ -144,10 +147,12 @@ def _mips_kernel(
     @pl.when(remaining < row_block)
     def _mask_padding():
         colm = jax.lax.broadcasted_iota(jnp.int32, (b, row_block), 1)
-        s_buf[:] = jnp.where(colm < remaining, s_buf[:], NEG_INF)
+        s_buf[:] = jnp.where(
+            colm < remaining, s_buf[:], jnp.asarray(NEG_INF, s_buf.dtype)
+        )
 
     # count per-query threshold crossings; bound the extraction rounds
-    sv0 = s_buf[:]
+    sv0 = s_buf[:].astype(jnp.float32)
     thresh = top_s[:, k - 1]
     cnt = jnp.sum((sv0 > thresh[:, None]).astype(jnp.int32), axis=1)
     rounds = jnp.minimum(jnp.max(cnt), k)
@@ -155,14 +160,16 @@ def _mips_kernel(
     kcol = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
 
     def _round(_, carry):
-        sv = s_buf[:]
+        sv = s_buf[:].astype(jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, (b, row_block), 1)
         m = jnp.max(sv, axis=1)
         is_max = sv == m[:, None]
         c = jnp.min(jnp.where(is_max, col, row_block), axis=1)
         gid = c + i * row_block
         # clear the extracted element
-        s_buf[:] = jnp.where(col == c[:, None], NEG_INF, sv)
+        s_buf[:] = jnp.where(
+            col == c[:, None], jnp.asarray(NEG_INF, s_buf.dtype), s_buf[:]
+        )
         # sorted insert into (top_s, top_i); pos == k -> no-op
         ts = top_s[:]
         ti = top_i[:]
@@ -186,7 +193,7 @@ def _mips_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "row_block", "interpret")
+    jax.jit, static_argnames=("k", "row_block", "interpret", "score_dtype")
 )
 def fused_mips_topk(
     queries: jax.Array,
@@ -198,6 +205,7 @@ def fused_mips_topk(
     k: int = 10,
     row_block: int = 512,
     interpret: bool = False,
+    score_dtype: str = "float32",
 ) -> tuple[jax.Array, jax.Array]:
     """Single-chip fused scan: top-k inner products of each query row
     against the corpus.
@@ -256,7 +264,7 @@ def fused_mips_topk(
         scratch_shapes=[
             pltpu.VMEM((b, k), jnp.float32),
             pltpu.VMEM((b, k), jnp.int32),
-            pltpu.VMEM((b, row_block), jnp.float32),
+            pltpu.VMEM((b, row_block), jnp.dtype(score_dtype)),
         ],
     )
 
