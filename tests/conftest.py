@@ -22,14 +22,19 @@ jax.config.update("jax_num_cpu_devices", 8)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-REFERENCE_VALIDATION = "/root/reference/validation_set.csv"
+# vendored eval data (data/README.md for provenance)
+VENDORED_VALIDATION = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "validation_set.csv",
+)
 
 
 @pytest.fixture(scope="session")
 def validation_csv():
-    if not os.path.exists(REFERENCE_VALIDATION):
-        pytest.skip("reference validation_set.csv not available")
-    return REFERENCE_VALIDATION
+    if not os.path.exists(VENDORED_VALIDATION):
+        pytest.skip("vendored validation_set.csv not available")
+    return VENDORED_VALIDATION
 
 
 @pytest.fixture

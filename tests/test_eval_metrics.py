@@ -141,3 +141,16 @@ def test_metrics_random_consistency(rng):
     assert 0.0 <= ndcg_at_k(sim, qrels, k=10) <= 1.0
     assert 0.0 <= err_at_k(sim, qrels, k=10) <= 1.0
     assert 0.0 <= q_measure_at_k(sim, qrels, k=10) <= 1.0
+
+
+def test_recall_vs_exact_ignores_padding():
+    """PAD_ID (-1) slots must not count as matches (regression: the
+    >=0.99 gate inflated on filtered/tiny corpora)."""
+    from theoremsearch_tpu.eval.metrics import recall_vs_exact
+
+    approx = np.array([[3, 7, -1, -1]])
+    exact = np.array([[3, 9, -1, -1]])
+    # 2 valid exact ids, 1 retrieved -> 0.5 (was 0.75 with pad-match bug)
+    assert recall_vs_exact(approx, exact, k=4) == 0.5
+    # all-padding query counts as perfect recall (nothing to retrieve)
+    assert recall_vs_exact(np.array([[-1, -1]]), np.array([[-1, -1]]), k=2) == 1.0

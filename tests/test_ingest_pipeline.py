@@ -231,3 +231,32 @@ def test_upsert_arxiv_with_fake_source():
     assert n == 6
     assert cat.count("paper", ["citations = 5"]) == 6
     assert len(MATH_CATEGORIES) == 32
+
+
+def test_hard_timeout_drains_large_payload(tmp_path):
+    """A >64KB result must come back intact, not be misclassified as a
+    timeout (the OS pipe buffer blocks the child's queue feeder thread
+    until the parent drains it)."""
+    from theoremsearch_tpu.ingest.parse_driver import parse_with_hard_timeout
+
+    body = "x = y + z " * 400  # ~4KB per theorem body
+    thms = "\n".join(
+        f"\\begin{{theorem}}\\label{{t{i}}} {body}\\end{{theorem}}" for i in range(64)
+    )
+    (tmp_path / "main.tex").write_text(
+        "\\documentclass{article}\\usepackage{amsthm}"
+        "\\newtheorem{theorem}{Theorem}"
+        f"\\begin{{document}}\n{thms}\n\\end{{document}}\n"
+    )
+    status, rows = parse_with_hard_timeout(tmp_path, timeout_s=30.0)
+    assert status == "ok"
+    assert len(rows) == 64
+    assert sum(len(r["body"]) for r in rows) > 64 * 1024
+
+
+def test_normalize_arxiv_id_trailing_version_only():
+    from theoremsearch_tpu.ingest.sources import normalize_arxiv_id
+
+    assert normalize_arxiv_id("solv-int/9701001v2") == "solv-int/9701001"
+    assert normalize_arxiv_id("2401.12345v11") == "2401.12345"
+    assert normalize_arxiv_id("math/0309136") == "math/0309136"

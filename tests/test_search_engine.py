@@ -232,3 +232,34 @@ def test_engine_rescore_improves_int8_recall(corpus):
     s_re, i_re2 = rescored.search_vectors(q[:2], k=5)
     expected = np.take_along_axis(q[:2] @ emb.T, i_re2, axis=1)
     np.testing.assert_allclose(s_re, expected, rtol=1e-5)
+
+
+def test_engine_rescore_with_custom_ids(corpus):
+    """Non-arange doc ids must rescore against the RIGHT original rows
+    (regression: rescore used to index rescore_vectors by doc id)."""
+    emb, q = corpus
+    rng = np.random.default_rng(3)
+    custom_ids = rng.permutation(np.arange(10_000, 10_000 + emb.shape[0]))
+    idx = FlatIndex.build(
+        emb, ids=custom_ids, config=IndexConfig(pad_multiple=256, dtype="int8"),
+        normalize=False,
+    )
+    eng = SearchEngine(
+        idx, use_pallas=False, row_block=128, rescore_vectors=emb, rescore_factor=8
+    )
+    s, i = eng.search_vectors(q[:4], k=5)
+    # map doc ids back to rows and check scores are the exact fp32 products
+    row_of = {int(d): r for r, d in enumerate(custom_ids)}
+    rows = np.vectorize(row_of.get)(i)
+    expected = np.take_along_axis(q[:4] @ emb.T, rows, axis=1)
+    np.testing.assert_allclose(s, expected, rtol=1e-5)
+    # and the ranking matches the exact oracle through the id mapping
+    _, ref_rows = exact_topk(q[:4], emb, k=5)
+    assert (rows == np.asarray(ref_rows)).mean() >= 0.95
+
+
+def test_engine_rescore_rejects_mismatched_rows(corpus):
+    emb, _ = corpus
+    idx = FlatIndex.build(emb, config=IndexConfig(pad_multiple=256, dtype="int8"), normalize=False)
+    with pytest.raises(ValueError):
+        SearchEngine(idx, use_pallas=False, rescore_vectors=emb[:-5])

@@ -138,3 +138,15 @@ def test_cost_tracker():
     assert c.avg_usd == pytest.approx(0.02)
     assert format_usd(0.5) == "$0.500000"
     assert c.summary()["calls"] == 2
+
+
+def test_shipped_prompt_configs_load():
+    """The three versioned .prompt files ship with the package and resolve
+    by id (reference parity: ec2/slogan_prompts/)."""
+    from theoremsearch_tpu.slogans.prompts import load_prompt
+
+    for pid in ("body-only-v1", "body-and-abstract-v1", "body-and-introduction-v1"):
+        cfg = load_prompt(pid)
+        assert cfg.prompt_id == pid
+        assert cfg.instructions
+        assert all("." in c for c in cfg.context)

@@ -12,7 +12,7 @@ quality probes and a search REPL):
     python -m theoremsearch_tpu slogans --model offline-stub --prompt-id body-only-v1
     python -m theoremsearch_tpu embed --embedder qwen --spool ./spool
     python -m theoremsearch_tpu search "chromatic number bound" --top-k 5
-    python -m theoremsearch_tpu eval --validation /root/reference/validation_set.csv
+    python -m theoremsearch_tpu eval            # vendored data/validation_set.csv
     python -m theoremsearch_tpu quality --sample 20
 """
 
@@ -20,6 +20,12 @@ from __future__ import annotations
 
 import argparse
 import json
+from pathlib import Path
+
+
+def _pkg_root() -> Path:
+    """Repo root (parent of the package dir) — locates vendored data/."""
+    return Path(__file__).resolve().parent.parent
 
 
 def _catalog(args):
@@ -245,7 +251,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_search)
 
     s = sub.add_parser("eval")
-    s.add_argument("--validation", default="/root/reference/validation_set.csv")
+    s.add_argument(
+        "--validation",
+        default=str(_pkg_root() / "data" / "validation_set.csv"),
+        help="labeled eval CSV (default: the vendored copy in data/)",
+    )
     s.add_argument("--context-window", default="body-and-summary-v1")
     s.add_argument("--model-dir")
     s.set_defaults(fn=cmd_eval)

@@ -163,9 +163,15 @@ def recall_vs_exact(approx_ids: np.ndarray, exact_ids: np.ndarray, k: int = 10) 
     """
     a = approx_ids[:, :k]
     e = exact_ids[:, :k]
-    # fraction of exact top-k retrieved by approx top-k, per query
-    matches = (a[:, :, None] == e[:, None, :]).any(axis=1)
-    return float(matches.mean())
+    # fraction of VALID exact top-k retrieved by approx top-k, per query.
+    # PAD_ID (-1) slots (fewer than k docs pass a filter / tiny corpora)
+    # must not count as matches or the >=0.99 gate inflates.
+    valid = e >= 0
+    matches = ((a[:, :, None] == e[:, None, :]) & valid[:, None, :]).any(axis=1)
+    n_valid = valid.sum(axis=1)
+    per_q = matches.sum(axis=1) / np.maximum(n_valid, 1)
+    per_q = np.where(n_valid > 0, per_q, 1.0)
+    return float(per_q.mean())
 
 
 def evaluate_retrieval(

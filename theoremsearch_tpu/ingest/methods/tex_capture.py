@@ -98,9 +98,11 @@ def run_pdflatex_with_stubs(
 
     runner = runner or default_runner
     cwd = main_tex.parent
+    # -no-shell-escape: arXiv sources are untrusted; restricted \write18
+    # is on by default and is an avoidable execution surface
     cmd = [
         "pdflatex", "-draftmode", "-interaction=nonstopmode",
-        "-halt-on-error", main_tex.name,
+        "-halt-on-error", "-no-shell-escape", main_tex.name,
     ]
     for _ in range(MAX_STUB_RETRIES):
         proc = runner(cmd, cwd)

@@ -15,9 +15,11 @@ __main__.py:128-288):
 from __future__ import annotations
 
 import multiprocessing as mp
+import queue as queue_mod
 import shutil
 import sys
 import tempfile
+import time
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable
@@ -81,18 +83,40 @@ def parse_with_hard_timeout(src_dir: str | Path, timeout_s: float = 30.0, method
     queue: mp.Queue = ctx.Queue()
     proc = ctx.Process(target=_worker_entry, args=(str(src_dir), method, queue))
     proc.start()
-    proc.join(timeout_s)
-    if proc.is_alive():
+    # Drain the queue BEFORE joining: when the serialized payload exceeds
+    # the OS pipe buffer (~64KB — common for theorem-dense papers), the
+    # child's queue feeder thread blocks until a reader drains it, so a
+    # join-first driver misclassifies the paper as a timeout and silently
+    # drops all its theorems.
+    deadline = time.monotonic() + timeout_s
+    result = None
+    while result is None:
+        remaining = deadline - time.monotonic()
+        try:
+            result = queue.get(timeout=max(0.02, min(0.25, remaining)))
+        except queue_mod.Empty:
+            if remaining <= 0:
+                break
+            if not proc.is_alive():
+                # child exited between polls; one final non-blocking read
+                try:
+                    result = queue.get_nowait()
+                except queue_mod.Empty:
+                    pass
+                break
+    if result is None:
+        timed_out = proc.is_alive()
         proc.terminate()
         proc.join(2.0)
         if proc.is_alive():
             proc.kill()
             proc.join()
-        return "timeout", []
-    try:
-        status, payload = queue.get_nowait()
-    except Exception:  # noqa: BLE001
-        return "err", []
+        return ("timeout" if timed_out else "err"), []
+    proc.join(5.0)
+    if proc.is_alive():
+        proc.terminate()
+        proc.join()
+    status, payload = result
     return (status, payload if status == "ok" else [])
 
 

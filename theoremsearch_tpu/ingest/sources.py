@@ -35,8 +35,9 @@ _OLD_STYLE_RE = re.compile(r"^([a-z\-]+)(\d{7})$")
 
 def normalize_arxiv_id(raw: str) -> str:
     """Drop version suffix and normalize old-style ids (math/0123456)."""
-    base = raw.split("v")[0] if re.search(r"v\d+$", raw) else raw
-    return base.strip()
+    # strip only a TRAILING version suffix — archives like 'solv-int'
+    # contain 'v', so split-at-first-'v' would corrupt the id
+    return re.sub(r"v\d+$", "", raw).strip()
 
 
 def member_name_to_arxiv_id(member_name: str) -> str:

@@ -67,6 +67,22 @@ class SearchEngine:
             np.asarray(rescore_vectors) if rescore_vectors is not None else None
         )
         self.rescore_factor = rescore_factor
+        # rescore_vectors row r holds the original embedding of index row r,
+        # whose DOC id is index.ids[r]; search returns doc ids, so non-arange
+        # ids need an id->row map or rescoring would gather wrong rows
+        self._rescore_sorted_ids = None
+        self._rescore_order = None
+        if self.rescore_vectors is not None:
+            n = self.rescore_vectors.shape[0]
+            if n != index.num_rows:
+                raise ValueError(
+                    f"rescore_vectors has {n} rows, index has {index.num_rows}"
+                )
+            doc_ids = np.asarray(index.ids[:n])
+            if not np.array_equal(doc_ids, np.arange(n, dtype=doc_ids.dtype)):
+                order = np.argsort(doc_ids)
+                self._rescore_sorted_ids = doc_ids[order]
+                self._rescore_order = order
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
@@ -256,7 +272,13 @@ class SearchEngine:
         original rows for each (query, candidate) and re-rank. Host-side —
         the gather is (B, C, D), tiny next to the device scan."""
         b, c = ids.shape
-        safe = np.clip(ids, 0, self.rescore_vectors.shape[0] - 1)
+        if self._rescore_sorted_ids is not None:
+            # doc id -> index row via the sorted-id map (custom ids)
+            pos = np.searchsorted(self._rescore_sorted_ids, np.maximum(ids, 0))
+            pos = np.clip(pos, 0, self._rescore_order.shape[0] - 1)
+            safe = self._rescore_order[pos]
+        else:
+            safe = np.clip(ids, 0, self.rescore_vectors.shape[0] - 1)
         cand = self.rescore_vectors[safe].astype(np.float32)        # (B, C, D)
         re_s = np.einsum("bcd,bd->bc", cand, q.astype(np.float32))
         re_s = np.where((ids >= 0) & np.isfinite(s), re_s, -np.inf)

@@ -65,13 +65,22 @@ class PromptConfig:
         return f"{table}_{col}"
 
 
+# Shipped config library: the three versioned .prompt files (vendored
+# reference data — see prompt_configs/README.md for provenance)
+SHIPPED_PROMPTS_DIR = Path(__file__).parent / "prompt_configs"
+
+
 def load_prompt(name_or_path: str, prompts_dir: str | Path | None = None) -> PromptConfig:
-    """Resolve a prompt id: explicit path > prompts_dir/{id}.prompt > builtin."""
+    """Resolve a prompt id: explicit path > prompts_dir/{id}.prompt >
+    shipped prompt_configs/ > builtin."""
     p = Path(name_or_path)
+    shipped = SHIPPED_PROMPTS_DIR / f"{name_or_path}.prompt"
     if p.suffix == ".prompt" and p.exists():
         data = json.loads(p.read_text())
     elif prompts_dir and (Path(prompts_dir) / f"{name_or_path}.prompt").exists():
         data = json.loads((Path(prompts_dir) / f"{name_or_path}.prompt").read_text())
+    elif shipped.exists():
+        data = json.loads(shipped.read_text())
     elif name_or_path in BUILTIN_PROMPTS:
         data = BUILTIN_PROMPTS[name_or_path]
     else:
