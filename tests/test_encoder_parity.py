@@ -102,3 +102,88 @@ def test_bf16_forward_close_to_fp32():
     e32 = np.asarray(encode_pooled(params, enc.input_ids, enc.attention_mask, cfg32))
     e16 = np.asarray(encode_pooled(params, enc.input_ids, enc.attention_mask, cfg16))
     assert float((e32 * e16).sum(-1)[0]) > 0.99
+
+
+def test_jax_forward_matches_hf_torch_qwen3(tmp_path):
+    """Cross-implementation parity: our JAX encoder vs HuggingFace
+    transformers' own torch Qwen3 — same (random) weights round-tripped
+    through encoder/loader.py's safetensors path. This proves the
+    architecture + loader match the implementation that serves
+    Qwen/Qwen3-Embedding-0.6B in the reference (streamlit_app.py:52-59);
+    only the published weight VALUES are unavailable in this environment
+    (see README 'Encoder parity' note)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    import jax
+
+    hf_cfg = Qwen3Config(
+        vocab_size=257,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        rope_theta=1_000_000.0,
+        rms_norm_eps=1e-6,
+        max_position_embeddings=128,
+        tie_word_embeddings=False,
+        attention_dropout=0.0,
+        use_sliding_window=False,
+    )
+    torch.manual_seed(0)
+    hf = Qwen3ForCausalLM(hf_cfg).eval().to(torch.float32)
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+
+    from theoremsearch_tpu.encoder.loader import load_hf_checkpoint
+
+    params, cfg = load_hf_checkpoint(tmp_path, dtype="float32")
+    cfg = cfg.replace(dtype="float32", param_dtype="float32", pooling="last_token")
+
+    rng = np.random.default_rng(0)
+    b, s = 3, 24
+    ids = rng.integers(0, hf_cfg.vocab_size, size=(b, s))
+    lengths = np.array([24, 17, 5])
+    mask = (np.arange(s)[None, :] < lengths[:, None]).astype(np.int32)
+    ids = ids * mask  # right padding with 0s
+
+    with torch.no_grad():
+        out = hf.model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        ).last_hidden_state.numpy()
+    hf_pooled = out[np.arange(b), lengths - 1]
+    hf_pooled = hf_pooled / np.linalg.norm(hf_pooled, axis=-1, keepdims=True)
+
+    from theoremsearch_tpu.encoder.model import encode_pooled
+
+    ours = np.asarray(
+        encode_pooled(params, jax.numpy.asarray(ids), jax.numpy.asarray(mask), cfg)
+    )
+    cos = (ours * hf_pooled).sum(-1)
+    assert (cos > 0.999).all(), cos
+    np.testing.assert_allclose(ours, hf_pooled, atol=5e-3)
+
+
+def test_loader_accepts_bare_qwen3model_keys(tmp_path):
+    """Checkpoints saved from a bare Qwen3Model (no 'model.' key prefix)
+    load identically."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from transformers import Qwen3Config, Qwen3Model
+
+    hf_cfg = Qwen3Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=64,
+    )
+    torch.manual_seed(1)
+    hf = Qwen3Model(hf_cfg).eval()
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+    from theoremsearch_tpu.encoder.loader import load_hf_checkpoint
+
+    params, cfg = load_hf_checkpoint(tmp_path, dtype="float32")
+    assert params["embed"].shape == (64, 32)
+    assert len(params["layers"]) == 1 and len(params["layers"][0]) == 11

@@ -3,6 +3,7 @@ extraction, main-tex selection, hard-timeout parse driver end-to-end into
 the catalog, Stacks ingest, citations fallback chain, date partitioning."""
 
 import gzip
+import os
 import io
 import json
 import tarfile
@@ -260,3 +261,24 @@ def test_normalize_arxiv_id_trailing_version_only():
     assert normalize_arxiv_id("solv-int/9701001v2") == "solv-int/9701001"
     assert normalize_arxiv_id("2401.12345v11") == "2401.12345"
     assert normalize_arxiv_id("math/0309136") == "math/0309136"
+
+
+REAL_PAPER = "/root/reference/downloaded_sources/2509.19389v1_source/2509.19389v1.tar.gz"
+
+
+@pytest.mark.skipif(not os.path.exists(REAL_PAPER), reason="real-paper fixture not mounted")
+def test_real_arxiv_payload_pdf_only(tmp_path):
+    """Real arXiv payload (2509.19389v1): despite the .tar.gz name the
+    bytes are a PDF — arXiv serves PDF when a paper has no TeX source.
+    The sniffer must not masquerade it as main.tex, and the parse path
+    must yield zero theorems cleanly instead of crashing."""
+    from theoremsearch_tpu.ingest.parse_driver import parse_with_hard_timeout
+    from theoremsearch_tpu.ingest.sources import extract_source_tree
+
+    data = open(REAL_PAPER, "rb").read()
+    src = extract_source_tree(data, tmp_path / "src")
+    assert (src / "paper.pdf").exists()
+    assert not list(src.rglob("*.tex"))
+    status, rows = parse_with_hard_timeout(src, timeout_s=20)
+    assert status == "ok"
+    assert rows == []

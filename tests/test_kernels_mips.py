@@ -149,3 +149,116 @@ def test_fused_kernel_bf16_score_buffer(rng):
     assert overlap >= 0.9
     np.testing.assert_array_equal(np.asarray(i16)[:, 0], np.asarray(i32)[:, 0])
     np.testing.assert_allclose(np.asarray(s16), np.asarray(s32), rtol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# Global-scale speed path (fused_mips_topk_g + device_rescore)
+# ---------------------------------------------------------------------------
+
+
+def _make_global(rng, n=8192, d=256, b=16):
+    from theoremsearch_tpu.index.quant import quantize_global_int8
+
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    codes, scale = quantize_global_int8(x)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return x, q, jnp.asarray(codes), scale
+
+
+def _quantized_oracle(q, codes, scale, k, n_valid=None):
+    """Exact int32 ranking of the quantized scores (what the speed kernel
+    approximates), with the per-query/global scales applied."""
+    from theoremsearch_tpu.kernels.mips import _quantize_queries
+
+    q8, qs = _quantize_queries(jnp.asarray(q))
+    s = np.asarray(q8, np.int64) @ np.asarray(codes, np.int64).T
+    if n_valid is not None:
+        s[:, n_valid:] = -(10**12)
+    ids = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    return s, ids, np.asarray(qs)
+
+
+def test_fused_g_returns_true_scores_and_valid_ids(rng):
+    from theoremsearch_tpu.kernels import fused_mips_topk_g
+
+    x, q, codes, scale = _make_global(rng)
+    n_valid = x.shape[0] - 100
+    s_all, ref_ids, qs = _quantized_oracle(q, codes, scale, 10, n_valid)
+    s, i = fused_mips_topk_g(
+        jnp.asarray(q), codes, scale, n_valid, k=10, row_block=512, interpret=True
+    )
+    s, i = np.asarray(s), np.asarray(i)
+    valid = i >= 0
+    assert (i[valid] < n_valid).all()
+    # every returned score is the TRUE quantized score of the returned id
+    picked = np.take_along_axis(s_all, np.maximum(i, 0), 1).astype(np.float32)
+    picked = picked * scale * qs
+    np.testing.assert_allclose(picked[valid], s[valid], rtol=1e-5)
+    # descending
+    assert (np.diff(s, axis=1) <= 1e-5).all()
+    # overlap with the quantized-exact oracle (quasi-exact: lane-cell
+    # collisions only; tiny config still >= 0.95)
+    overlap = (i[:, :, None] == ref_ids[:, None, :]).any(1).mean()
+    assert overlap >= 0.95, overlap
+
+
+def test_fused_g_unpadded_static_path(rng):
+    from theoremsearch_tpu.kernels import fused_mips_topk_g
+
+    x, q, codes, scale = _make_global(rng)
+    _, ref_ids, _ = _quantized_oracle(q, codes, scale, 10)
+    s, i = fused_mips_topk_g(
+        jnp.asarray(q), codes, scale, None, k=10, row_block=512, interpret=True
+    )
+    overlap = (np.asarray(i)[:, :, None] == ref_ids[:, None, :]).any(1).mean()
+    assert overlap >= 0.95, overlap
+
+
+def test_fused_g_rescored_pipeline_recall(rng):
+    """The honest serving pipeline: retrieve-40 -> exact rescore -> top-10
+    must hit the >=0.99 gate vs the fp32 exact oracle even at toy scale."""
+    from theoremsearch_tpu.kernels import device_rescore, fused_mips_topk_g
+
+    x, q, codes, scale = _make_global(rng)
+    n_valid = x.shape[0] - 64
+    _, i40 = fused_mips_topk_g(
+        jnp.asarray(q), codes, scale, n_valid, k=40, row_block=512, interpret=True
+    )
+    rs, ri = device_rescore(jnp.asarray(q), i40, jnp.asarray(x), n_valid, k=10)
+    _, ref = _exact(q, x, 10, n_valid)
+    rec = (np.asarray(ri)[:, :, None] == ref[:, None, :]).any(1).mean()
+    assert rec >= 0.99, rec
+    # rescored scores are exact fp32 inner products of the returned rows
+    expected = np.take_along_axis(
+        np.asarray(q, np.float32) @ np.asarray(x).T, np.asarray(ri), 1
+    )
+    np.testing.assert_allclose(np.asarray(rs), expected, rtol=1e-4)
+
+
+def test_fused_g_validation():
+    from theoremsearch_tpu.kernels import fused_mips_topk_g
+
+    q = jnp.zeros((4, 128), jnp.float32)
+    with pytest.raises(ValueError, match="int8"):
+        fused_mips_topk_g(q, jnp.zeros((512, 128), jnp.bfloat16), 1.0, interpret=True)
+    with pytest.raises(ValueError, match="multiple"):
+        fused_mips_topk_g(q, jnp.zeros((500, 128), jnp.int8), 1.0, row_block=256, interpret=True)
+    with pytest.raises(ValueError, match="overflow"):
+        fused_mips_topk_g(
+            jnp.zeros((4, 8192), jnp.float32),
+            jnp.zeros((16384, 8192), jnp.int8), 1.0, row_block=4096, interpret=True,
+        )
+
+
+def test_device_rescore_masks_invalid(rng):
+    from theoremsearch_tpu.kernels import device_rescore
+
+    x = rng.standard_normal((64, 32)).astype(np.float32)
+    q = rng.standard_normal((2, 32)).astype(np.float32)
+    ids = jnp.asarray([[3, 5, -1, 63], [0, -1, -1, 10]], jnp.int32)
+    s, i = device_rescore(jnp.asarray(q), ids, jnp.asarray(x), 60, k=2)
+    i = np.asarray(i)
+    assert (i >= 0).all()
+    assert (i < 60).all()  # 63 >= n_valid must not be returned

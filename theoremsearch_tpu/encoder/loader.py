@@ -89,6 +89,17 @@ def load_hf_checkpoint(model_dir: str | Path, dtype: str = "bfloat16") -> tuple[
     }
 
     for name, tensor in _iter_safetensors(model_dir):
+        # bare Qwen3Model checkpoints store keys without the 'model.'
+        # prefix; ForCausalLM-style (and the published embedding
+        # checkpoints) include it. Accept both; skip lm_head.
+        if name.startswith("lm_head."):
+            continue
+        if not name.startswith("model.") and (
+            name == "embed_tokens.weight"
+            or name == "norm.weight"
+            or name.startswith("layers.")
+        ):
+            name = "model." + name
         if name == "model.embed_tokens.weight":
             params["embed"] = to_param(tensor, False, False)
         elif name == "model.norm.weight":

@@ -31,6 +31,33 @@ def dequantize_int8(codes: np.ndarray, scales: np.ndarray) -> np.ndarray:
     return codes.astype(np.float32) * scales[:, None]
 
 
+def quantize_global_int8(
+    x: np.ndarray | jax.Array, clip_pct: float = 100.0
+) -> tuple[np.ndarray, float]:
+    """Global-scale symmetric int8: ONE scale for the whole corpus.
+
+    Ranking of the int32 accumulator q8 . codes_r across rows r is then
+    the ranking of the quantized scores directly — no per-row dequant
+    multiply in the scan kernel's hot loop (kernels/mips.py
+    fused_mips_topk_g exploits this: scores stay int32 end-to-end).
+    Rows with small max|x| use fewer of the 255 levels than per-row
+    scaling would give them; pair with candidate oversampling + exact
+    rescoring (the engine's honest serving config).
+
+    clip_pct: percentile of |x| used as the clip point (100 = exact max;
+    99.9 trades outlier rows for resolution everywhere else).
+    """
+    xf = np.asarray(x, dtype=np.float32)
+    amax = (
+        float(np.max(np.abs(xf)))
+        if clip_pct >= 100.0
+        else float(np.percentile(np.abs(xf), clip_pct))
+    )
+    scale = amax / 127.0 if amax > 0 else 1.0
+    codes = np.clip(np.round(xf / scale), -127, 127).astype(np.int8)
+    return codes, scale
+
+
 def int8_scores(queries: jax.Array, codes: jax.Array, scales: jax.Array) -> jax.Array:
     """Reference (non-Pallas) int8 scoring path: fp32 accumulate of
     q @ codes.T, then per-row rescale. XLA lowers the int8 matmul onto the

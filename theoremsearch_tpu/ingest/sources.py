@@ -175,11 +175,20 @@ def extract_source_tree(data: bytes, out_dir: str | Path) -> Path:
         return out
     if try_tar(data):
         return out
+    def write_payload(payload: bytes) -> None:
+        # arXiv serves a PDF for papers with no TeX source (observed in
+        # the wild: downloaded_sources/2509.19389v1 is %PDF despite its
+        # .tar.gz name); don't masquerade binary payloads as main.tex
+        if payload[:5] == b"%PDF-":
+            (out / "paper.pdf").write_bytes(payload)
+        else:
+            (out / "main.tex").write_bytes(payload)
+
     if data[:2] == b"\x1f\x8b":
         payload = gzip.decompress(data)
         if try_tar(payload):
             return out
-        (out / "main.tex").write_bytes(payload)
+        write_payload(payload)
         return out
-    (out / "main.tex").write_bytes(data)
+    write_payload(data)
     return out

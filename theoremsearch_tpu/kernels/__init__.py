@@ -1,13 +1,17 @@
 from .mips import (
+    device_rescore,
     fused_mips_topk,
+    fused_mips_topk_g,
+    merge_topk,
     xla_mips_topk,
     xla_mips_topk_scan,
-    merge_topk,
 )
 
 __all__ = [
+    "device_rescore",
     "fused_mips_topk",
+    "fused_mips_topk_g",
+    "merge_topk",
     "xla_mips_topk",
     "xla_mips_topk_scan",
-    "merge_topk",
 ]

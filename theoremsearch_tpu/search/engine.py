@@ -53,6 +53,7 @@ class SearchEngine:
         row_block: int = 1024,
         rescore_vectors: np.ndarray | None = None,
         rescore_factor: int = 4,
+        pallas_interpret: bool = False,
     ):
         """rescore_vectors: optional host-resident (num_rows, D) bf16/f32
         copy of the original embeddings; when present, int8/bf16 scans
@@ -86,6 +87,10 @@ class SearchEngine:
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
+        # interpret=True runs the PRODUCTION Pallas kernel (not the XLA
+        # fallback) on CPU meshes — how CI exercises the kernel's
+        # multi-chip composition (axis_index, local n_valid, all_gather)
+        self.pallas_interpret = pallas_interpret
 
         n_shards = mesh.shape["shard"] if mesh is not None else 1
         self.n_shards = n_shards
@@ -129,7 +134,8 @@ class SearchEngine:
     def _local_topk(self, q, corpus, scales, bias, n_valid, k):
         if self.use_pallas:
             return fused_mips_topk(
-                q, corpus, scales, n_valid, bias, k=k, row_block=self.row_block
+                q, corpus, scales, n_valid, bias, k=k,
+                row_block=self.row_block, interpret=self.pallas_interpret,
             )
         chunk = min(self.row_block * 8, corpus.shape[0])
         # chunk must divide the shard rows; rows_per_shard is a multiple of row_block
