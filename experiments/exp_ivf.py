@@ -1,0 +1,160 @@
+"""IVF 1M benchmark on TPU: probe-major Pallas path vs brute force at B=8.
+
+Clustered corpus (the realistic embedding case): 4096 centers, 1M points.
+Measures recall@10 vs fp32 exact + latency for nprobe sweep, against the
+fused brute-force scan (+rescore) at the same batch size.
+
+Run: bash tools/tpu_run.sh experiments/exp_ivf.py > /tmp/ivf.log 2>&1
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from theoremsearch_tpu.core import IndexConfig
+from theoremsearch_tpu.index.ivf import IVFIndex
+from theoremsearch_tpu.kernels.mips import device_rescore, fused_mips_topk_g
+
+N, D, B, K = 1_048_576, 1024, 8, 10
+NCENT = 4096
+
+
+def timed(fn, iters=30, rounds=3):
+    out = fn()
+    _ = np.asarray(jax.tree.leaves(out)[0][:1, :1])
+    best = 1e9
+    for _ in range(rounds):
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn()
+        _ = np.asarray(jax.tree.leaves(out)[0][:1, :1])
+        best = min(best, (time.time() - t0) / iters)
+    return best
+
+
+def main():
+    print("devices:", jax.devices())
+    key = jax.random.PRNGKey(0)
+    kc, kn, kq = jax.random.split(key, 3)
+
+    @jax.jit
+    def gen_centers(k):
+        c = jax.random.normal(k, (NCENT, D), jnp.float32)
+        return c / jnp.linalg.norm(c, axis=1, keepdims=True)
+
+    cents = gen_centers(kc)
+
+    # clustered points: center + 0.35*noise, normalized (device, chunked)
+    @jax.jit
+    def gen_chunk(k, cent_rows):
+        noise = jax.random.normal(k, cent_rows.shape, jnp.float32) * 0.35
+        x = cent_rows + noise
+        return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+    rngnp = np.random.default_rng(0)
+    assign = rngnp.integers(0, NCENT, N)
+    emb = np.empty((N, D), np.float32)
+    keys = jax.random.split(kn, 16)
+    step = N // 16
+    for j in range(16):
+        rows = jnp.asarray(np.asarray(cents)[assign[j * step : (j + 1) * step]])
+        emb[j * step : (j + 1) * step] = np.asarray(gen_chunk(keys[j], rows))
+    print("corpus built")
+
+    # queries near random centers
+    qrows = jnp.asarray(np.asarray(cents)[rngnp.integers(0, NCENT, B)])
+    q = np.asarray(gen_chunk(kq, qrows))
+    qd = jnp.asarray(q)
+
+    # fp32 exact oracle
+    embd = jnp.asarray(emb)
+
+    @jax.jit
+    def exact10(qc, corpus):
+        s = jax.lax.dot_general(qc, corpus, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return jax.lax.top_k(s, K)[1]
+
+    ref = np.asarray(exact10(qd, embd))
+    print("oracle done")
+
+    # brute-force baseline at B=8: global-int8 fused scan + bf16 rescore
+    gscale = float(jnp.max(jnp.abs(embd)) / 127.0)
+    codes = jnp.clip(jnp.round(embd / gscale), -127, 127).astype(jnp.int8)
+    bf16 = embd.astype(jnp.bfloat16)
+    jax.block_until_ready((codes, bf16))
+    del embd
+
+    def brute():
+        _, i40 = fused_mips_topk_g(qd, codes, gscale, N, k=40, row_block=4096,
+                                   recall_target=0.97)
+        return device_rescore(qd, i40, bf16, N, k=K)
+
+    dt_b = timed(brute)
+    _, ib = brute()
+    rec_b = float((np.asarray(ib)[:, :, None] == ref[:, None, :]).any(1).mean())
+    print(f"brute speed-path B=8: {dt_b*1e3:6.2f} ms  recall={rec_b:.4f}")
+
+    # per-row exact kernel baseline (round-1 reference: 2.97 ms at B=8)
+    from theoremsearch_tpu.kernels.mips import fused_mips_topk
+
+    @jax.jit
+    def perrow_quant(x):
+        am = jnp.max(jnp.abs(x), axis=1)
+        sc = jnp.where(am > 0, am / 127.0, 1.0)
+        return jnp.clip(jnp.round(x / sc[:, None]), -127, 127).astype(jnp.int8), sc
+
+    codes_r, scales_r = perrow_quant(jnp.asarray(emb))
+    jax.block_until_ready(scales_r)
+
+    def brute_exact():
+        _, i40 = fused_mips_topk(qd, codes_r, scales_r, N, k=40, row_block=2048)
+        return device_rescore(qd, i40, bf16, N, k=K)
+
+    dt_e = timed(brute_exact)
+    _, ie = brute_exact()
+    rec_e = float((np.asarray(ie)[:, :, None] == ref[:, None, :]).any(1).mean())
+    print(f"brute exact-kernel B=8: {dt_e*1e3:6.2f} ms  recall={rec_e:.4f}")
+    del codes_r, scales_r
+
+    for margin in (0.0, 0.02):
+        t0 = time.time()
+        idx = IVFIndex.build(
+            emb,
+            config=IndexConfig(
+                ivf_nlist=NCENT, dtype="int8", kmeans_iters=25,
+                ivf_assign2_margin=margin,
+            ),
+            slab_rows=256,
+            normalize=False,
+        )
+        t_build = time.time() - t0
+        all_ids = np.concatenate([idx.slab_ids.ravel(), idx.spill_ids])
+        dup = (np.bincount(all_ids[all_ids >= 0], minlength=N) >= 2).sum()
+        print(f"margin={margin}: build {t_build:.0f}s  slabs {idx.slabs.shape} "
+              f"spill {(idx.spill_ids>=0).sum()}  dup_rows {dup}  "
+              f"mem {idx.memory_bytes()/2**30:.2f} GiB")
+        pa = idx._pallas_arrays()  # warm the device arrays
+        jax.block_until_ready(pa["slabs"])
+        for nprobe in (16, 32, 64, 128):
+            try:
+                fn = lambda: idx.search(q, k=K, nprobe=nprobe, rescore_factor=8)
+                # idx.search returns numpy; time it directly
+                _ = fn()
+                best = 1e9
+                for _ in range(3):
+                    t0 = time.time()
+                    for _ in range(10):
+                        out = fn()
+                    best = min(best, (time.time() - t0) / 10)
+                _, ii = fn()
+                rec = float((ii[:, :, None] == ref[:, None, :]).any(1).mean())
+                print(f"  nprobe={nprobe:4d}: {best*1e3:7.2f} ms  recall={rec:.4f}")
+            except Exception as e:
+                print(f"  nprobe={nprobe}: FAIL {str(e)[:150]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -112,3 +112,54 @@ def test_ivf_save_load_roundtrip(clustered_corpus, tmp_path):
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, rtol=1e-6)
     assert idx2.memory_bytes() > 0
+
+
+def test_ivf_pallas_probe_major_path(clustered_corpus):
+    """The probe-major Pallas path (interpret=True on CPU): unique-chunk
+    streaming + approx selection + bf16 rescore must match the XLA
+    gather path's quality bar and return duplicate-free ids."""
+    emb, q = clustered_corpus
+    idx = IVFIndex.build(emb, config=IndexConfig(ivf_nlist=50, dtype="int8"), normalize=False)
+    _, ref = exact_topk(q, emb, k=10)
+    s, i = idx.search(q, k=10, nprobe=50, rescore_factor=8, use_pallas=True, interpret=True)
+    assert recall_vs_exact(i, ref, k=10) >= 0.95
+    for row in np.asarray(i):
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
+    # rescored scores are exact-grade inner products of the returned rows
+    exp = np.take_along_axis(q @ emb.T, np.asarray(i), 1)
+    np.testing.assert_allclose(np.asarray(s), exp, atol=5e-3)
+
+
+def test_ivf_dual_assignment_layout(clustered_corpus):
+    """ivf_assign2_margin stores boundary rows twice (slab slack only);
+    searches must still return each doc at most once."""
+    emb, q = clustered_corpus
+    idx = IVFIndex.build(
+        emb,
+        config=IndexConfig(ivf_nlist=50, dtype="int8", ivf_assign2_margin=0.05),
+        normalize=False,
+    )
+    all_ids = np.concatenate([idx.slab_ids.ravel(), idx.spill_ids])
+    real = all_ids[all_ids >= 0]
+    # every doc present at least once; SOME stored twice; none three times
+    counts = np.bincount(real, minlength=4000)
+    assert (counts >= 1).all()
+    assert (counts >= 2).any()
+    assert counts.max() <= 2
+    _, i = idx.search(q, k=10, nprobe=16, rescore_factor=8, use_pallas=True, interpret=True)
+    for row in np.asarray(i):
+        r = row[row >= 0]
+        assert len(set(r.tolist())) == len(r)
+
+
+def test_ivf_global_scale_int8(clustered_corpus):
+    emb, _ = clustered_corpus
+    idx = IVFIndex.build(emb, config=IndexConfig(ivf_nlist=32, dtype="int8"), normalize=False)
+    assert idx.global_scale > 0
+    # slab_scales carry the single corpus-wide scale for the XLA path
+    real = idx.slab_ids >= 0
+    np.testing.assert_allclose(idx.slab_scales[real], idx.global_scale, rtol=1e-6)
+    # int8 slab rows are a power-of-two multiple of 128 (Pallas path)
+    R = idx.slabs.shape[1]
+    assert R % 128 == 0 and (R // 128) & (R // 128 - 1) == 0

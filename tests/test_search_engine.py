@@ -295,3 +295,28 @@ def test_sharded_pallas_interpret_int8_with_filter(corpus, meta):
     s_p, i_p = eng_p.search_vectors(q[:4], k=10, filters=filters)
     s_x, i_x = eng_x.search_vectors(q[:4], k=10, filters=filters)
     np.testing.assert_array_equal(i_p, i_x)
+
+
+def test_engine_speed_path_global_int8(corpus):
+    """Single-chip speed path: global-scale int8 index + device rescore
+    (fused_mips_topk_g) must be active and match the exact oracle."""
+    emb, q = corpus
+    idx = FlatIndex.build(
+        emb,
+        config=IndexConfig(pad_multiple=256, dtype="int8", int8_scale="global"),
+        normalize=False,
+    )
+    assert idx.global_scale > 0
+    eng = SearchEngine(
+        idx, use_pallas=True, pallas_interpret=True, row_block=128,
+        rescore_vectors=emb, rescore_factor=8,
+    )
+    assert eng._speed_ok
+    s, i = eng.search_vectors(q, k=10)
+    _, ref = exact_topk(q, emb, k=10)
+    from theoremsearch_tpu.eval.metrics import recall_vs_exact
+
+    assert recall_vs_exact(i, np.asarray(ref), k=10) >= 0.99
+    # rescored scores are bf16-grade exact inner products
+    exp = np.take_along_axis(q @ emb.T, i, axis=1)
+    np.testing.assert_allclose(s, exp, atol=5e-3)

@@ -63,11 +63,16 @@ def service(tmp_path_factory):
 
     def encode(texts):
         # deterministic bag-of-words hash encoder: query-time vectors must
-        # equal index-time vectors for retrieval assertions to hold
+        # equal index-time vectors for retrieval assertions to hold.
+        # (md5, NOT builtin hash() — that one is salted per process and
+        # made this test collide-or-not at random)
+        import hashlib
+
         out = np.zeros((len(texts), d), dtype=np.float32)
         for i, t in enumerate(texts):
             for tok in t.lower().split():
-                out[i, hash(tok) % d] += 1.0
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+                out[i, h % d] += 1.0
         return np.asarray(l2_normalize(out))
 
     bodies = [f"Theorem body about topic {i % 40} with $x_{i}$" for i in range(n)]

@@ -68,12 +68,20 @@ class IndexConfig(_JsonConfig):
 
     dim: int = 1024                 # qwen 1024 (reference rds_schema.sql:51)
     dtype: str = "bfloat16"         # bf16 | int8 (equal-memory knob)
+    int8_scale: str = "perrow"      # perrow | global (global unlocks the
+                                    # fused int32 speed path; pair with
+                                    # rescoring)
     row_block: int = 1024           # corpus rows per kernel tile; multiple of 8
     pad_multiple: int = 1024        # shard row counts padded to this
     # IVF coarse quantizer (0 = flat exact index)
     ivf_nlist: int = 0
     ivf_nprobe: int = 8
     kmeans_iters: int = 25
+    # dual assignment: rows whose 2nd-best centroid scores within this
+    # margin of the best are ALSO stored in that cluster (when its slab
+    # has room) — boundary rows then survive a missed primary probe.
+    # 0 disables. Copies are dropped, never spilled (the primary exists).
+    ivf_assign2_margin: float = 0.0
     seed: int = 0
 
 

@@ -44,6 +44,11 @@ class FlatIndex:
     scales: np.ndarray | None    # (padded_rows,) fp32 for int8, else None
     num_rows: int                # real (unpadded) rows
     config: IndexConfig
+    # int8 with ONE corpus-wide scale (config.int8_scale == "global"):
+    # scores rank as raw int32 accumulators, unlocking the engine's
+    # fused speed path (kernels/mips.py fused_mips_topk_g). scales then
+    # hold the single value redundantly so per-row paths stay correct.
+    global_scale: float = 0.0
 
     # ---------------- construction ----------------
 
@@ -69,10 +74,17 @@ class FlatIndex:
         pad_rows = padded - n
 
         scales = None
+        global_scale = 0.0
         if cfg.dtype == "int8":
-            from .quant import quantize_int8
+            if cfg.int8_scale == "global":
+                from .quant import quantize_global_int8
 
-            codes, sc = quantize_int8(emb)
+                codes, global_scale = quantize_global_int8(emb)
+                sc = np.full(n, global_scale, np.float32)
+            else:
+                from .quant import quantize_int8
+
+                codes, sc = quantize_int8(emb)
             vecs = np.concatenate([codes, np.zeros((pad_rows, d), np.int8)])
             scales = np.concatenate([sc, np.zeros(pad_rows, np.float32)])
         elif cfg.dtype == "bfloat16":
@@ -85,7 +97,10 @@ class FlatIndex:
             raise ValueError(f"unsupported index dtype {cfg.dtype}")
 
         all_ids = np.concatenate([ids, np.full(pad_rows, PAD_ID, np.int64)])
-        return cls(vectors=vecs, ids=all_ids, scales=scales, num_rows=n, config=cfg)
+        return cls(
+            vectors=vecs, ids=all_ids, scales=scales, num_rows=n, config=cfg,
+            global_scale=global_scale,
+        )
 
     # ---------------- persistence ----------------
 
@@ -106,6 +121,7 @@ class FlatIndex:
             "padded_rows": int(self.vectors.shape[0]),
             "dim": int(self.vectors.shape[1]),
             "config": self.config.to_dict(),
+            "global_scale": self.global_scale,
         }
         (path / "manifest.json").write_text(json.dumps(manifest, indent=2))
 
@@ -121,7 +137,8 @@ class FlatIndex:
         scales_path = path / "shard_0000.scales.npy"
         scales = np.load(scales_path) if scales_path.exists() else None
         return cls(
-            vectors=vecs, ids=ids, scales=scales, num_rows=manifest["num_rows"], config=cfg
+            vectors=vecs, ids=ids, scales=scales, num_rows=manifest["num_rows"], config=cfg,
+            global_scale=float(manifest.get("global_scale", 0.0)),
         )
 
     # ---------------- device views ----------------

@@ -37,7 +37,7 @@ import numpy as np
 
 from ..core.config import IndexConfig
 from .flat import PAD_ID
-from .quant import quantize_int8
+from .quant import quantize_global_int8, quantize_int8
 
 
 # ---------------------------------------------------------------------------
@@ -103,6 +103,10 @@ class IVFIndex:
     # rescoring restores exact-grade ranking. int8 + bf16 = 3 bytes/dim,
     # still under the reference's 4-byte fp32 pgvector rows
     raw_flat: np.ndarray | None = None   # (L*slab_rows + S, D) bf16
+    # int8 slabs use ONE corpus-wide scale (stored redundantly in
+    # slab_scales for the XLA path); the Pallas probe-major path relies
+    # on it so int32 scores rank directly (kernels/mips.py design notes)
+    global_scale: float = 0.0
 
     # ---------------- build ----------------
 
@@ -130,25 +134,43 @@ class IVFIndex:
         nlist = min(cfg.ivf_nlist, n)
         cents = train_kmeans(emb, nlist, iters=cfg.kmeans_iters, seed=cfg.seed)
 
-        # assign on device in chunks
+        # assign on device in chunks (top-2 for dual assignment)
         assign = np.empty(n, np.int32)
+        assign2 = np.full(n, -1, np.int32)
+        margin = float(cfg.ivf_assign2_margin)
         cents_d = jnp.asarray(cents)
         step = 262_144
         for i in range(0, n, step):
             sc = jnp.dot(jnp.asarray(emb[i : i + step]), cents_d.T)
-            assign[i : i + step] = np.asarray(jnp.argmax(sc, axis=1))
+            if margin > 0 and nlist > 1:
+                v, idx = jax.lax.top_k(sc, 2)
+                v, idx = np.asarray(v), np.asarray(idx)
+                assign[i : i + step] = idx[:, 0]
+                ok = v[:, 1] >= v[:, 0] - margin
+                assign2[i : i + step] = np.where(ok, idx[:, 1], -1)
+            else:
+                assign[i : i + step] = np.asarray(jnp.argmax(sc, axis=1))
 
         sizes = np.bincount(assign, minlength=nlist)
-        if slab_rows is None:
-            # p99 cluster size rounded up to the int8 sublane multiple
-            slab_rows = int(np.percentile(sizes, 99))
-            slab_rows = max(32, ((slab_rows + 31) // 32) * 32)
-
         int8 = cfg.dtype == "int8"
+        if slab_rows is None:
+            # p99 cluster size; int8 slabs round UP to a power-of-two
+            # multiple of 128 so the Pallas probe path can bit-pack
+            slab_rows = int(np.percentile(sizes, 99))
+            if int8:
+                r = 128
+                while r < slab_rows:
+                    r *= 2
+                slab_rows = r
+            else:
+                slab_rows = max(32, ((slab_rows + 31) // 32) * 32)
+
         if rescore is None:
             rescore = int8
+        global_scale = 0.0
         if int8:
-            codes, scales = quantize_int8(emb)
+            codes, global_scale = quantize_global_int8(emb)
+            scales = np.full(n, global_scale, np.float32)
         else:
             codes, scales = emb.astype(np.float32), np.ones(n, np.float32)
 
@@ -164,19 +186,33 @@ class IVFIndex:
         order = np.argsort(assign, kind="stable")
         row_of_cluster = np.searchsorted(assign[order], np.arange(nlist))
         bounds = np.append(row_of_cluster, n)
+        # secondary (dual-assignment) membership, grouped by cluster
+        has2 = np.nonzero(assign2 >= 0)[0]
+        order2 = has2[np.argsort(assign2[has2], kind="stable")]
+        row2 = np.searchsorted(assign2[order2], np.arange(nlist))
+        bounds2 = np.append(row2, len(order2))
         for c in range(nlist):
             members = order[bounds[c] : bounds[c + 1]]
             keep = members[:slab_rows]
+            spill_rows.extend(members[slab_rows:].tolist())
+            space = slab_rows - len(keep)
+            if space > 0 and margin > 0:
+                # boundary rows from neighboring clusters fill the slack;
+                # copies are dropped when full (primary copy exists)
+                sec = order2[bounds2[c] : bounds2[c + 1]][:space]
+                keep = np.concatenate([keep, sec]).astype(np.int64)
             slabs[c, : len(keep)] = codes[keep]
             slab_scales[c, : len(keep)] = scales[keep]
             slab_ids[c, : len(keep)] = ids[keep]
             if slab_raw is not None:
                 slab_raw[c, : len(keep)] = emb[keep].astype(ml_dtypes.bfloat16)
-            spill_rows.extend(members[slab_rows:].tolist())
 
         sp = np.asarray(spill_rows, np.int64)
-        # pad spill to a multiple of 8 for clean tiling
-        s_pad = max((-len(sp)) % 8, 8 if len(sp) == 0 else 0)
+        # pad spill to a multiple of slab_rows so the Pallas probe path
+        # can treat the spill as always-probed chunks
+        s_pad = (-len(sp)) % slab_rows
+        if len(sp) == 0:
+            s_pad = slab_rows  # keep one (empty) spill chunk for static shapes
         spill = np.concatenate([codes[sp], np.zeros((s_pad, d), codes.dtype)])
         spill_scales = np.concatenate([scales[sp], np.zeros(s_pad, np.float32)])
         spill_ids = np.concatenate([ids[sp], np.full(s_pad, PAD_ID, np.int32)])
@@ -198,9 +234,37 @@ class IVFIndex:
             num_rows=n,
             config=cfg.replace(ivf_nlist=nlist),
             raw_flat=raw_flat,
+            global_scale=global_scale,
         )
 
     # ---------------- search ----------------
+
+    # lazily-built device arrays for the Pallas probe-major path
+    _pallas_cache: dict | None = None
+
+    def _pallas_arrays(self) -> dict:
+        """Chunk view for the probe-major kernel: slabs + spill-as-chunks
+        + one empty fill chunk, plus the flat id table and raw copies."""
+        if self._pallas_cache is None:
+            L, R, D = self.slabs.shape
+            spill_chunks = self.spill.reshape(-1, R, D)
+            empty = np.zeros((1, R, D), self.slabs.dtype)
+            slabs_all = np.concatenate([self.slabs, spill_chunks, empty])
+            ids_flat = np.concatenate(
+                [self.slab_ids.ravel(), self.spill_ids, np.full(R, PAD_ID, np.int32)]
+            )
+            object.__setattr__(
+                self,
+                "_pallas_cache",
+                {
+                    "slabs": jnp.asarray(slabs_all),
+                    "ids_flat": jnp.asarray(ids_flat, jnp.int32),
+                    "raw": jnp.asarray(self.raw_flat) if self.raw_flat is not None else None,
+                    "cents": jnp.asarray(self.centroids),
+                    "n_spill_chunks": spill_chunks.shape[0],
+                },
+            )
+        return self._pallas_cache
 
     def search(
         self,
@@ -209,15 +273,52 @@ class IVFIndex:
         nprobe: int | None = None,
         query_chunk: int = 64,
         rescore_factor: int = 4,
+        use_pallas: bool | None = None,
+        interpret: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """(scores, doc_ids) each (B, k). nprobe trades recall for speed.
         With rescore copies present, the int8 scan selects
-        rescore_factor*k candidates and bf16/fp32 rescoring ranks them."""
+        rescore_factor*k candidates and bf16/fp32 rescoring ranks them.
+
+        use_pallas: probe-major kernel path — every UNIQUE probed chunk
+        is streamed from HBM once for the whole batch (the XLA fallback
+        materializes a (B, nprobe, R, D) gather). Auto-enabled on TPU
+        for int8+rescore indexes with power-of-two slab rows."""
         nprobe = int(nprobe or self.config.ivf_nprobe)
         nprobe = min(nprobe, self.centroids.shape[0])
         q = jnp.asarray(np.asarray(queries, np.float32))
         if q.ndim == 1:
             q = q[None]
+        R = self.slabs.shape[1]
+        pallas_ok = (
+            self.config.dtype == "int8"
+            and self.raw_flat is not None
+            and R % 128 == 0
+        )
+        if use_pallas is None:
+            use_pallas = pallas_ok and (interpret or jax.default_backend() not in ("cpu",))
+        if use_pallas:
+            if not pallas_ok:
+                raise ValueError(
+                    "Pallas IVF path needs int8 + rescore copies + "
+                    "slab_rows a multiple of 128"
+                )
+            pa = self._pallas_arrays()
+            out_s, out_i = [], []
+            for i in range(0, q.shape[0], query_chunk):
+                chunk = q[i : i + query_chunk]
+                s, d_ = _ivf_search_pallas(
+                    chunk, pa["cents"], pa["slabs"], pa["ids_flat"], pa["raw"],
+                    self.global_scale,
+                    k=k, nprobe=nprobe,
+                    c_rescore=max(k, min(rescore_factor * k, nprobe * R)),
+                    n_lists=self.slabs.shape[0],
+                    n_spill_chunks=pa["n_spill_chunks"],
+                    interpret=interpret,
+                )
+                out_s.append(np.asarray(s))
+                out_i.append(np.asarray(d_))
+            return np.concatenate(out_s), np.concatenate(out_i)
         out_s, out_i = [], []
         fn = _ivf_search_jit
         args = (
@@ -258,7 +359,12 @@ class IVFIndex:
         if self.raw_flat is not None:
             arrays["raw_flat"] = self.raw_flat.view(np.uint16)
         np.savez_compressed(path / "ivf.npz", **arrays)
-        manifest = {"format": "ivf", "num_rows": self.num_rows, "config": self.config.to_dict()}
+        manifest = {
+            "format": "ivf",
+            "num_rows": self.num_rows,
+            "config": self.config.to_dict(),
+            "global_scale": self.global_scale,
+        }
         (path / "manifest.json").write_text(json.dumps(manifest, indent=2))
 
     @classmethod
@@ -280,6 +386,7 @@ class IVFIndex:
             num_rows=manifest["num_rows"],
             config=IndexConfig.from_dict(manifest["config"]),
             raw_flat=raw,
+            global_scale=float(manifest.get("global_scale", 0.0)),
         )
 
     def memory_bytes(self) -> int:
@@ -345,4 +452,70 @@ def _ivf_search_jit(
     re_s = jnp.where(jnp.isfinite(cand_s), re_s, -jnp.inf)
     top_s, sel2 = jax.lax.top_k(re_s, k)
     top_i = jnp.take_along_axis(cand_i, sel2, axis=1)
+    return top_s, jnp.where(jnp.isfinite(top_s), top_i, PAD_ID)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "c_rescore", "n_lists", "n_spill_chunks", "interpret"),
+)
+def _ivf_search_pallas(
+    q, centroids, slabs_all, ids_flat, raw_flat, global_scale,
+    *, k, nprobe, c_rescore, n_lists, n_spill_chunks, interpret
+):
+    """Probe-major IVF search: coarse -> batch-deduped unique chunks ->
+    streaming maxima kernel -> approx selection -> exact bf16 rescore.
+
+    Scoring a deduped chunk benefits every query in the batch (a query
+    can receive candidates from chunks it did not itself probe — recall
+    can only improve vs per-query nprobe semantics)."""
+    from ..kernels.mips import ivf_probe_scores
+
+    b, d = q.shape
+    c_total, r, _ = slabs_all.shape
+    empty_idx = c_total - 1
+
+    # 1. coarse quantizer + always-probed spill chunks
+    coarse = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(coarse, nprobe)                       # (B, P)
+    always = jnp.arange(n_lists, n_lists + n_spill_chunks, dtype=jnp.int32)
+    flat = jnp.concatenate([probe.reshape(-1).astype(jnp.int32), always])
+
+    # 2. batch dedupe to a static-size unique set (fills -> empty chunk)
+    p_max = min(b * nprobe, n_lists) + n_spill_chunks
+    uids = jnp.unique(flat, size=p_max, fill_value=empty_idx)
+
+    # 3. stream each unique chunk once; raw int32 scores (lossless)
+    cand, qscales = ivf_probe_scores(q, slabs_all, uids, interpret=interpret)
+
+    # 4. approximate selection + decode to slots
+    kr = min(c_rescore, cand.shape[1])
+    _, pos = jax.lax.approx_max_k(cand.astype(jnp.float32), kr, recall_target=0.97)
+    pos = pos.astype(jnp.int32)
+    vi = jnp.take_along_axis(cand, pos, axis=1)
+    step = pos // r
+    within = pos % r
+    chunk = uids[step]                                             # (B, kr)
+    slot = chunk * r + within
+    doc = ids_flat[jnp.clip(slot, 0, ids_flat.shape[0] - 1)]
+    # padding slots hold zero codes (score 0) and PAD ids; mask by id
+    valid = doc >= 0
+
+    # 5. drop dual-assignment duplicates (same doc id twice in the set)
+    first_dup = (doc[:, None, :] == doc[:, :, None]) & jnp.tril(
+        jnp.ones((kr, kr), bool), k=-1
+    )[None]
+    valid &= ~first_dup.any(axis=2)
+
+    # 6. exact bf16 rescore of the surviving candidates
+    raw_n = raw_flat.shape[0]
+    rows = jnp.clip(slot, 0, raw_n - 1)
+    cvec = jnp.take(raw_flat, rows, axis=0)                        # (B, kr, D)
+    re_s = jax.lax.dot_general(
+        cvec, q.astype(cvec.dtype), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    re_s = jnp.where(valid, re_s, -jnp.inf)
+    top_s, sel = jax.lax.top_k(re_s, k)
+    top_i = jnp.take_along_axis(doc, sel, axis=1)
     return top_s, jnp.where(jnp.isfinite(top_s), top_i, PAD_ID)

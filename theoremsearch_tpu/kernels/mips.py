@@ -547,6 +547,83 @@ def _fused_mips_topk_g_impl(
     return scores, ids
 
 
+def _ivf_scores_kernel(
+    uids_ref,   # scalar prefetch (P,) int32: unique probed chunk indices
+    q_ref,      # VMEM (B, D) int8 queries
+    slab_ref,   # VMEM (1, R, D) int8 — chunk uids[i], DMA'd via index_map
+    out_ref,    # (B, R) int32 raw scores for this chunk
+):
+    """Probe-major IVF scan step: score the whole batch against ONE chunk.
+
+    The scalar-prefetched chunk index drives the slab DMA through the
+    BlockSpec index_map, so each UNIQUE probed chunk is fetched from HBM
+    exactly once for the whole query batch — the gather the XLA path
+    materializes as (B, nprobe, R, D) (which LOSES to brute force, 21ms
+    vs 3ms at B=8) becomes (P_unique, R, D) streaming reads.
+
+    Unlike the flat scan's lane-maxima reduction, IVF emits RAW int32
+    scores: the candidate matrix is only (B, P*R) at small serving
+    batches, and clustered corpora concentrate the true top-k inside one
+    hot chunk where any per-lane reduction measurably loses recall."""
+    del uids_ref  # consumed by the index_map
+    out_ref[...] = jax.lax.dot_general(
+        q_ref[:],
+        slab_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ivf_probe_scores(
+    queries: jax.Array,
+    slabs: jax.Array,
+    uids: jax.Array,
+    *,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Scan the unique probed chunks: (B, P*R) raw int32 scores + qscales.
+
+    queries: (B, D) f32; slabs: (C, R, D) int8 GLOBAL-scale codes;
+    uids: (P,) int32 chunk indices (duplicates/fills should point at an
+    empty all-padding chunk). R must be a multiple of 128.
+    """
+    b, d = queries.shape
+    c_total, r, d2 = slabs.shape
+    assert d == d2
+    if r % 128:
+        raise ValueError("slab_rows must be a multiple of 128")
+    qk, qscales = _quantize_queries(queries)
+    p = uids.shape[0]
+    need = 2 * b * r * 4 + 2 * r * d + b * d
+    params = {}
+    if need > 14 * 2**20:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(need * 1.75), 110 * 2**20)
+        )
+    cand = pl.pallas_call(
+        _ivf_scores_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(p,),
+            in_specs=[
+                pl.BlockSpec((b, d), lambda i, uids: (0, 0)),
+                pl.BlockSpec((1, r, d), lambda i, uids: (uids[i], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((b, r), lambda i, uids: (0, i)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, p * r), jnp.int32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * p * r * d,
+            bytes_accessed=p * r * d + b * d,
+            transcendentals=0,
+        ),
+        **params,
+    )(jnp.asarray(uids, jnp.int32), qk, slabs)
+    return cand, qscales
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def device_rescore(
     queries: jax.Array,

@@ -25,7 +25,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import SearchConfig
 from ..index.flat import PAD_ID, FlatIndex
-from ..kernels.mips import NEG_INF, fused_mips_topk, merge_topk, xla_mips_topk_scan
+from ..kernels.mips import (
+    NEG_INF,
+    device_rescore,
+    fused_mips_topk,
+    fused_mips_topk_g,
+    merge_topk,
+    xla_mips_topk_scan,
+)
 from .filters import SearchFilters, compile_filter_mask, infer_type
 from .metadata import CorpusMetadata
 
@@ -87,6 +94,7 @@ class SearchEngine:
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
+        self._global_scale = float(getattr(index, "global_scale", 0.0) or 0.0)
         # interpret=True runs the PRODUCTION Pallas kernel (not the XLA
         # fallback) on CPU meshes — how CI exercises the kernel's
         # multi-chip composition (axis_index, local n_valid, all_gather)
@@ -127,6 +135,25 @@ class SearchEngine:
 
         self._search_fn_cache: dict[tuple, Callable] = {}
 
+        # speed path (single chip, unfiltered, global-scale int8 index +
+        # rescore copies): fused maxima scan -> on-device exact rescore.
+        # The device bf16 copy replaces the host-side numpy rescore that
+        # would otherwise bottleneck serving batches.
+        self._speed_ok = (
+            mesh is None
+            and self.use_pallas
+            and self._global_scale > 0
+            and self.rescore_vectors is not None
+            and self._rescore_sorted_ids is None  # rows == arange(num_rows)
+            and self.padded_rows % max(self.row_block, 128) == 0
+        )
+        rb = self.row_block
+        if self._speed_ok and (rb % 128 or (rb // 128) & (rb // 128 - 1)):
+            self._speed_ok = False
+        self._rescore_device = (
+            jnp.asarray(self.rescore_vectors, jnp.bfloat16) if self._speed_ok else None
+        )
+
     # ------------------------------------------------------------------
     # device search
     # ------------------------------------------------------------------
@@ -149,6 +176,26 @@ class SearchEngine:
         rows_per_shard = self.rows_per_shard
 
         if self.mesh is None:
+            if self._speed_ok and not with_bias:
+                gscale = self._global_scale
+                kr = min(max(k, self.rescore_factor * k), self.padded_rows)
+                ids_dev = self.ids
+                rescore_dev = self._rescore_device
+                row_block = self.row_block
+                interpret = self.pallas_interpret
+
+                def speed(q):
+                    # retrieve kr candidates (quasi-exact int32 scan),
+                    # exact bf16 rescore, then map local rows -> doc ids
+                    _, li = fused_mips_topk_g(
+                        q, self.vectors, gscale, n_valid,
+                        k=kr, row_block=row_block, interpret=interpret,
+                    )
+                    s, li = device_rescore(q, li, rescore_dev, n_valid, k=k)
+                    gids = jnp.where(li >= 0, ids_dev[li.clip(0)], PAD_ID)
+                    return s, gids
+
+                return speed, True
 
             def single(q, bias):
                 s, li = self._local_topk(
@@ -158,8 +205,8 @@ class SearchEngine:
                 return s, gids
 
             if with_bias:
-                return jax.jit(single)
-            return jax.jit(lambda q: single(q, None))
+                return jax.jit(single), False
+            return jax.jit(lambda q: single(q, None)), False
 
         mesh = self.mesh
         scales = self.scales
@@ -215,10 +262,12 @@ class SearchEngine:
             return f(*args)
 
         if with_bias:
-            return jax.jit(sharded)
-        return jax.jit(lambda q: sharded(q, None))
+            return jax.jit(sharded), False
+        return jax.jit(lambda q: sharded(q, None)), False
 
-    def _get_search_fn(self, k: int, with_bias: bool) -> Callable:
+    def _get_search_fn(self, k: int, with_bias: bool) -> tuple[Callable, bool]:
+        """(search fn, already_rescored). The speed path rescores on
+        device inside the fn; other paths leave rescoring to the host."""
         key = (k, with_bias)
         if key not in self._search_fn_cache:
             self._search_fn_cache[key] = self._build_search_fn(k, with_bias)
@@ -250,8 +299,11 @@ class SearchEngine:
                 raise ValueError("filters require CorpusMetadata")
             mask = compile_filter_mask(filters, self.meta)
 
+        rescored_on_device = False
         if mask is None:
-            fn = self._get_search_fn(k_dev, with_bias=False)
+            # speed path builds for the FINAL k (it oversamples inside)
+            fn_k = k if self._speed_ok else k_dev
+            fn, rescored_on_device = self._get_search_fn(fn_k, with_bias=False)
             s, i = fn(q)
         else:
             bias_host = np.where(mask, 0.0, NEG_INF).astype(np.float32)
@@ -261,12 +313,12 @@ class SearchEngine:
             bias = jnp.asarray(bias_host)
             if self._bias_sharding is not None:
                 bias = jax.device_put(bias, self._bias_sharding)
-            fn = self._get_search_fn(k_dev, with_bias=True)
+            fn, rescored_on_device = self._get_search_fn(k_dev, with_bias=True)
             s, i = fn(q, bias)
 
         s = np.asarray(s)[:b]
         i = np.asarray(i)[:b]
-        if do_rescore:
+        if do_rescore and not rescored_on_device:
             s, i = self._rescore(np.asarray(q)[:b], s, i, k)
         s, i = s[:, :k], i[:, :k]
         # -inf scores mean "fewer than k docs pass the filter": blank them
