@@ -99,3 +99,52 @@ def test_error_propagation(engine):
     s, ids = sched.search(good, k=2)
     assert ids.shape == (2,)
     sched.shutdown()
+
+
+def test_submit_text_encodes_in_batch(engine):
+    """Text requests are encoded in ONE batched encode_fn call per
+    dispatch and produce the same results as pre-encoded vectors."""
+    eng, emb = engine
+    rng = np.random.default_rng(4)
+    vocab = np.asarray(l2_normalize(rng.standard_normal((16, 64)).astype(np.float32)))
+    calls = []
+
+    def encode_fn(texts):
+        calls.append(len(texts))
+        return np.stack([vocab[hash(t) % 16] for t in texts])
+
+    sched = BatchScheduler(eng, max_batch=32, max_wait_ms=60, encode_fn=encode_fn)
+    texts = [f"query number {i}" for i in range(12)]
+    futs = [sched.submit_text(t, k=5) for t in texts]
+    got = [f.result(10) for f in futs]
+    ref_s, ref_i = exact_topk(encode_fn(texts[:12]), emb, k=5)
+    calls_during = calls[:-1]  # drop the reference call above
+    for j in range(12):
+        np.testing.assert_allclose(np.sort(got[j][0]), np.sort(ref_s[j]), atol=1e-5)
+    # batched: far fewer encode calls than requests
+    assert sum(calls_during) == 12 and len(calls_during) <= 3
+    sched.shutdown()
+
+
+def test_submit_text_requires_encode_fn(engine):
+    eng, _ = engine
+    sched = BatchScheduler(eng, max_batch=4, max_wait_ms=10)
+    with pytest.raises(ValueError):
+        sched.submit_text("hello", k=3)
+    sched.shutdown()
+
+
+def test_submit_text_encode_error_propagates(engine):
+    eng, _ = engine
+
+    def boom(texts):
+        raise RuntimeError("tokenizer exploded")
+
+    sched = BatchScheduler(eng, max_batch=4, max_wait_ms=10, encode_fn=boom)
+    fut = sched.submit_text("q", k=3)
+    with pytest.raises(RuntimeError):
+        fut.result(10)
+    # vector requests in the same batch still succeed
+    good = sched.submit(np.zeros(64, np.float32), k=2)
+    assert good.result(10)[1].shape == (2,)
+    sched.shutdown()

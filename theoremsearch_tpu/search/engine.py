@@ -289,7 +289,13 @@ class SearchEngine:
         if q.ndim == 1:
             q = q[None, :]
         b = q.shape[0]
-        b_pad = _round_up(b, 8)
+        # bucket the batch to the next power of two (min 8): dynamic
+        # serving batches then hit at most log2(max_batch) compiled
+        # programs instead of one per size (remote kernel compiles cost
+        # 30-120s each on a TPU pod)
+        b_pad = 8
+        while b_pad < b:
+            b_pad *= 2
         if b_pad != b:
             q = jnp.concatenate([q, jnp.zeros((b_pad - b, q.shape[1]), q.dtype)])
 

@@ -46,9 +46,10 @@ def _filter_key(f: SearchFilters | None) -> tuple:
 
 @dataclass
 class _Request:
-    vec: np.ndarray
+    vec: np.ndarray | None
     k: int
     filters: SearchFilters | None
+    text: str | None = None
     future: Future = field(default_factory=Future)
 
 
@@ -58,8 +59,14 @@ class BatchScheduler:
         engine: SearchEngine,
         max_batch: int = 256,
         max_wait_ms: float = 2.0,
+        encode_fn=None,
     ):
+        """encode_fn: optional ``list[str] -> (B, D) np.ndarray``; enables
+        submit_text(), which micro-batches the ENCODER as well as the scan
+        (one encoder forward + one corpus scan per dispatched batch — the
+        full text->top-k serving path)."""
         self.engine = engine
+        self.encode_fn = encode_fn
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
         self._q: "queue.Queue[_Request | None]" = queue.Queue()
@@ -74,6 +81,17 @@ class BatchScheduler:
     ) -> Future:
         """Returns a Future resolving to (scores (k,), doc_ids (k,))."""
         req = _Request(np.asarray(query_vec, np.float32), k, filters)
+        self._q.put(req)
+        return req.future
+
+    def submit_text(
+        self, query: str, k: int = 10, filters: SearchFilters | None = None
+    ) -> Future:
+        """Text-in variant: the dispatch thread encodes every queued text
+        in one batched encoder call before the batched scan."""
+        if self.encode_fn is None:
+            raise ValueError("submit_text requires an encode_fn")
+        req = _Request(None, k, filters, text=query)
         self._q.put(req)
         return req.future
 
@@ -116,6 +134,18 @@ class BatchScheduler:
             self._run_groups(batch)
 
     def _run_groups(self, batch: list[_Request]) -> None:
+        # encode all text requests in ONE batched forward first
+        texts = [r for r in batch if r.vec is None]
+        if texts:
+            try:
+                vecs = np.asarray(self.encode_fn([r.text for r in texts]))
+                for r, v in zip(texts, vecs):
+                    r.vec = v
+            except Exception as e:  # noqa: BLE001
+                for r in texts:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+                batch = [r for r in batch if r.vec is not None]
         groups: dict[tuple, list[_Request]] = {}
         for r in batch:
             groups.setdefault(_filter_key(r.filters), []).append(r)

@@ -1,0 +1,217 @@
+"""End-to-end serving benchmark on TPU: text -> encoder -> scheduler ->
+fused corpus scan -> doc ids (VERDICT r1 item 6).
+
+The headline kernel QPS (bench.py) times the scan alone; this measures
+the SYSTEM a user sees — concurrent clients submitting text queries
+through the micro-batching BatchScheduler, with the full-size
+Qwen3-Embedding-0.6B-class encoder (random-init weights: identical FLOPs
+and memory traffic to the real checkpoint, so throughput/latency transfer;
+quality numbers obviously don't) in front of the 1M x 1024 int8 speed-path
+index (global-scale fused scan + on-device bf16 rescore).
+
+Reports, per concurrency level: sustained QPS, p50/p95/p99 latency, and
+the scheduler's realized batch sizes — plus encoder-only and scan-only
+stage rates so the system bottleneck is explicit (SURVEY.md §7.4
+throughput accounting).
+
+Run: bash tools/tpu_run.sh tools/serve_bench.py | tee /tmp/serve_bench.log
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_T0 = time.time()
+
+
+def _log(msg: str) -> None:
+    print(f"# [{time.time()-_T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+QUERY_WORDS = (
+    "bound chromatic number planar graph spectral gap expander random "
+    "matrix eigenvalue distribution prime counting zeta zero free region "
+    "elliptic curve rank torsion modular form hecke operator sheaf "
+    "cohomology vanishing ample divisor ricci flow curvature pinching "
+    "sobolev embedding compact operator trace class entropy ergodic "
+    "mixing martingale concentration isoperimetric inequality convex body"
+).split()
+
+
+def make_queries(n: int, seed: int = 0) -> list[str]:
+    rng = np.random.default_rng(seed)
+    return [
+        " ".join(rng.choice(QUERY_WORDS, size=rng.integers(6, 13)))
+        for _ in range(n)
+    ]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("FORCE_CPU"):  # JAX_PLATFORMS env is overridden by
+        jax.config.update("jax_platforms", "cpu")  # the ambient TPU plugin
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    from theoremsearch_tpu.core.config import EncoderConfig, IndexConfig
+    from theoremsearch_tpu.encoder.batching import BatchedEncoder
+    from theoremsearch_tpu.encoder.model import init_params
+    from theoremsearch_tpu.index.flat import FlatIndex
+    from theoremsearch_tpu.search.engine import SearchEngine
+    from theoremsearch_tpu.serve.scheduler import BatchScheduler
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu:
+        N, D, ROW_BLOCK, MAX_BATCH = 1_048_576, 1024, 4096, 512
+        enc_cfg = EncoderConfig(max_seq_len=64)
+        LEVELS = (8, 32, 128, 512)
+        RUN_S = 10.0
+    else:  # CPU smoke
+        enc_cfg = EncoderConfig.tiny()
+        N, D, ROW_BLOCK, MAX_BATCH = 32_768, enc_cfg.embedding_dim, 1024, 64
+        LEVELS = (4, 16)
+        RUN_S = 3.0
+
+    key = jax.random.PRNGKey(0)
+    kq, kc, kp = jax.random.split(key, 3)
+
+    # ---- corpus + index (generated and quantized on device) ----
+    _log(f"building corpus N={N} D={D}")
+
+    @jax.jit
+    def gen(key):
+        x = jax.random.normal(key, (N, D), jnp.float32)
+        return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+    corpus = gen(kc)
+    gscale = float(jnp.max(jnp.abs(corpus)) / 127.0)
+    codes = np.asarray(jnp.clip(jnp.round(corpus / gscale), -127, 127).astype(jnp.int8))
+    import ml_dtypes
+
+    rescore = np.asarray(corpus.astype(jnp.bfloat16)).view(np.uint16).view(ml_dtypes.bfloat16)
+    del corpus
+
+    idx = FlatIndex(
+        vectors=codes,
+        ids=np.arange(N, dtype=np.int64),
+        scales=np.full(N, gscale, np.float32),
+        num_rows=N,
+        config=IndexConfig(dim=D, dtype="int8", int8_scale="global", row_block=ROW_BLOCK),
+        global_scale=gscale,
+    )
+    engine = SearchEngine(
+        idx, row_block=ROW_BLOCK, rescore_vectors=rescore, rescore_factor=4,
+        use_pallas=on_tpu,
+    )
+    assert not on_tpu or engine._speed_ok, "speed path must be active on TPU"
+    _log("index on device; speed path active" if engine._speed_ok else "index on device")
+
+    # ---- encoder: full 0.6B-class config, random init ----
+    _log(f"initializing encoder ({enc_cfg.num_layers} layers, d={enc_cfg.hidden_size})")
+    params = init_params(enc_cfg, kp)
+    encoder = BatchedEncoder(
+        params, enc_cfg, batch_size=MAX_BATCH,
+        buckets=(32, 64) if on_tpu else (16,),
+    )
+
+    queries = make_queries(4096)
+
+    # ---- stage rates ----
+    warm = encoder.encode(queries[:MAX_BATCH])
+    t0 = time.time()
+    for i in range(3):
+        emb = encoder.encode(queries[i * MAX_BATCH : (i + 1) * MAX_BATCH])
+    enc_qps = 3 * MAX_BATCH / (time.time() - t0)
+    _log(f"encoder-only: {enc_qps:,.0f} QPS at batch {MAX_BATCH}")
+
+    s, i = engine.search_vectors(warm, k=10)  # warm the scan at MAX_BATCH
+    t0 = time.time()
+    for _ in range(5):
+        s, i = engine.search_vectors(emb, k=10)
+    scan_qps = 5 * MAX_BATCH / (time.time() - t0)
+    _log(f"scan-only (incl host roundtrip): {scan_qps:,.0f} QPS at batch {MAX_BATCH}")
+
+    # pre-warm the scan's power-of-two batch buckets the scheduler will hit
+    if on_tpu:
+        for b in (8, 16, 32, 64, 128, 256, 512):
+            engine.search_vectors(warm[:b], k=10)
+        for b in (32, 64):  # encoder width buckets
+            encoder.encode(queries[:b])
+    _log("batch buckets warmed")
+
+    # ---- end-to-end under concurrency ----
+    sched = BatchScheduler(
+        engine, max_batch=MAX_BATCH, max_wait_ms=2.0, encode_fn=encoder.encode
+    )
+    results = {}
+    for level in LEVELS:
+        lat: list[float] = []
+        lock = threading.Lock()
+        stop = time.time() + RUN_S
+        b0 = dict(sched.stats())
+
+        def client(cid: int):
+            rng = np.random.default_rng(cid)
+            mine = []
+            while time.time() < stop:
+                qtext = queries[rng.integers(0, len(queries))]
+                t0 = time.time()
+                sched.submit_text(qtext, k=10).result(timeout=120)
+                mine.append(time.time() - t0)
+            with lock:
+                lat.extend(mine)
+
+        threads = [threading.Thread(target=client, args=(c,)) for c in range(level)]
+        t_start = time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        elapsed = time.time() - t_start
+        b1 = sched.stats()
+        arr = np.asarray(lat)
+        row = {
+            "concurrency": level,
+            "qps": round(len(arr) / elapsed, 1),
+            "p50_ms": round(float(np.percentile(arr, 50)) * 1e3, 1),
+            "p95_ms": round(float(np.percentile(arr, 95)) * 1e3, 1),
+            "p99_ms": round(float(np.percentile(arr, 99)) * 1e3, 1),
+            "avg_batch": round(
+                (b1["queries"] - b0["queries"])
+                / max(1, b1["batches"] - b0["batches"]),
+                1,
+            ),
+        }
+        results[f"c{level}"] = row
+        _log(
+            f"e2e c={level:4d}: {row['qps']:>8,.0f} QPS  "
+            f"p50={row['p50_ms']:.0f}ms p95={row['p95_ms']:.0f}ms "
+            f"p99={row['p99_ms']:.0f}ms  avg_batch={row['avg_batch']}"
+        )
+    sched.shutdown()
+
+    print(json.dumps({
+        "metric": "serving_e2e_1M" if on_tpu else "serving_e2e_cpu_smoke",
+        "corpus": N, "dim": D,
+        "encoder": f"{enc_cfg.num_layers}L-d{enc_cfg.hidden_size} (0.6B-class, random init)",
+        "encoder_only_qps": round(enc_qps, 1),
+        "scan_only_qps": round(scan_qps, 1),
+        "levels": results,
+        "bottleneck": "encoder" if enc_qps < scan_qps else "scan",
+    }))
+
+
+if __name__ == "__main__":
+    main()
