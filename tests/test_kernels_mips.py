@@ -135,22 +135,6 @@ def test_fused_kernel_k_larger_than_block_count_edge(rng):
     np.testing.assert_array_equal(np.asarray(i), ri)
 
 
-def test_fused_kernel_bf16_score_buffer(rng):
-    # bf16 score buffer: rounded scores, but top-k overlap with the exact
-    # kernel stays high and the top-1 id matches on well-separated data
-    q, c = _make(rng, n=1024, d=128, b=8)
-    s32, i32 = fused_mips_topk(q, c, k=10, row_block=256, interpret=True)
-    s16, i16 = fused_mips_topk(
-        q, c, k=10, row_block=256, interpret=True, score_dtype="bfloat16"
-    )
-    overlap = np.mean([
-        len(set(i16[r].tolist()) & set(i32[r].tolist())) / 10 for r in range(8)
-    ])
-    assert overlap >= 0.9
-    np.testing.assert_array_equal(np.asarray(i16)[:, 0], np.asarray(i32)[:, 0])
-    np.testing.assert_allclose(np.asarray(s16), np.asarray(s32), rtol=2e-2)
-
-
 # ---------------------------------------------------------------------------
 # Global-scale speed path (fused_mips_topk_g + device_rescore)
 # ---------------------------------------------------------------------------

@@ -53,9 +53,9 @@ def meta(corpus):
     return CorpusMetadata.from_rows(rows)
 
 
-def _engine(emb, meta=None, mesh=None, dtype="float32"):
+def _engine(emb, meta=None, mesh=None, dtype="float32", **kw):
     idx = FlatIndex.build(emb, config=IndexConfig(pad_multiple=256, dtype=dtype), normalize=False)
-    return SearchEngine(idx, meta=meta, mesh=mesh, use_pallas=False, row_block=128)
+    return SearchEngine(idx, meta=meta, mesh=mesh, use_pallas=False, row_block=128, **kw)
 
 
 def test_single_device_matches_oracle(corpus):
@@ -79,6 +79,9 @@ def test_sharded_matches_single(corpus):
 
 
 def test_sharded_int8_recall(corpus):
+    """Raw (un-rescored) sharded int8: the filtered-search kernel config.
+    Its documented bound is 0.95 top-10-in-top-20; the SUPPORTED 0.99-gated
+    config is the rescored path asserted below."""
     emb, q = corpus
     mesh = make_mesh(MeshConfig(data=1, shard=4))
     eng = _engine(emb, mesh=mesh, dtype="int8")
@@ -88,6 +91,20 @@ def test_sharded_int8_recall(corpus):
         len(set(i[r].tolist()) & set(ref_i[r].tolist())) / 10 for r in range(len(q))
     ])
     assert overlap >= 0.95
+
+
+def test_sharded_int8_rescored_hits_gate(corpus):
+    """Sharded int8 + fp32 rescoring of oversampled candidates must meet
+    the SAME 0.99 recall gate the driver applies (BASELINE.md)."""
+    emb, q = corpus
+    mesh = make_mesh(MeshConfig(data=1, shard=4))
+    eng = _engine(emb, mesh=mesh, dtype="int8", rescore_vectors=emb, rescore_factor=8)
+    _, i = eng.search_vectors(q, k=10)
+    _, ref_i = exact_topk(q, emb, k=10)
+    overlap = np.mean([
+        len(set(i[r].tolist()) & set(ref_i[r].tolist())) / 10 for r in range(len(q))
+    ])
+    assert overlap >= 0.99
 
 
 def test_filter_mask_sources(meta):

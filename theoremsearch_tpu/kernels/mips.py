@@ -135,10 +135,7 @@ def _mips_kernel(
         s = s * scale_ref[0, :][None, :]
     if bias_ref is not None:
         s = s + bias_ref[0, :][None, :]
-    # bf16 score buffers halve the merge's VMEM traffic at the cost of
-    # 8-bit-mantissa score rounding (pair with candidate oversampling);
-    # Mosaic can't compare bf16 directly, so all math upcasts on load
-    s_buf[:] = s.astype(s_buf.dtype)
+    s_buf[:] = s
 
     # mask padding rows — they exist only in the final tile(s), so the
     # (B, row_block) iota+compare+select pass is predicated out of the
@@ -149,11 +146,11 @@ def _mips_kernel(
     def _mask_padding():
         colm = jax.lax.broadcasted_iota(jnp.int32, (b, row_block), 1)
         s_buf[:] = jnp.where(
-            colm < remaining, s_buf[:], jnp.asarray(NEG_INF, s_buf.dtype)
+            colm < remaining, s_buf[:], NEG_INF
         )
 
     # count per-query threshold crossings; bound the extraction rounds
-    sv0 = s_buf[:].astype(jnp.float32)
+    sv0 = s_buf[:]
     thresh = top_s[:, k - 1]
     cnt = jnp.sum((sv0 > thresh[:, None]).astype(jnp.int32), axis=1)
     rounds = jnp.minimum(jnp.max(cnt), k)
@@ -161,7 +158,7 @@ def _mips_kernel(
     kcol = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
 
     def _round(_, carry):
-        sv = s_buf[:].astype(jnp.float32)
+        sv = s_buf[:]
         col = jax.lax.broadcasted_iota(jnp.int32, (b, row_block), 1)
         m = jnp.max(sv, axis=1)
         is_max = sv == m[:, None]
@@ -169,7 +166,7 @@ def _mips_kernel(
         gid = c + i * row_block
         # clear the extracted element
         s_buf[:] = jnp.where(
-            col == c[:, None], jnp.asarray(NEG_INF, s_buf.dtype), s_buf[:]
+            col == c[:, None], NEG_INF, s_buf[:]
         )
         # sorted insert into (top_s, top_i); pos == k -> no-op
         ts = top_s[:]
@@ -193,9 +190,7 @@ def _mips_kernel(
         out_i_ref[:] = top_i[:]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "row_block", "interpret", "score_dtype")
-)
+@functools.partial(jax.jit, static_argnames=("k", "row_block", "interpret"))
 def fused_mips_topk(
     queries: jax.Array,
     corpus: jax.Array,
@@ -206,7 +201,6 @@ def fused_mips_topk(
     k: int = 10,
     row_block: int = 512,
     interpret: bool = False,
-    score_dtype: str = "float32",
 ) -> tuple[jax.Array, jax.Array]:
     """Single-chip fused scan: top-k inner products of each query row
     against the corpus.
@@ -265,7 +259,7 @@ def fused_mips_topk(
         scratch_shapes=[
             pltpu.VMEM((b, k), jnp.float32),
             pltpu.VMEM((b, k), jnp.int32),
-            pltpu.VMEM((b, row_block), jnp.dtype(score_dtype)),
+            pltpu.VMEM((b, row_block), jnp.float32),
         ],
     )
 
