@@ -78,6 +78,11 @@ class HFTokenizer:
         self.tk = AutoTokenizer.from_pretrained(path, trust_remote_code=False)
         self.pad_id = self.tk.pad_token_id or 0
 
+    def tokenize(self, text: str) -> list[int]:
+        """Token ids without padding/specials — used by the batching
+        layer's length-bucketing (BatchedEncoder.encode)."""
+        return self.tk(text, add_special_tokens=False)["input_ids"]
+
     def __call__(self, texts, max_length: int = 512, pad_to: int | None = None) -> Encoding:
         out = self.tk(
             texts,
