@@ -77,6 +77,8 @@ class IndexConfig(_JsonConfig):
     ivf_nlist: int = 0
     ivf_nprobe: int = 8
     kmeans_iters: int = 25
+    kmeans_init: str = "kmeans++"   # or "random"; ++ avoids merged
+                                    # clusters on well-separated corpora
     # dual assignment: rows whose 2nd-best centroid scores within this
     # margin of the best are ALSO stored in that cluster (when its slab
     # has room) — boundary rows then survive a missed primary probe.

@@ -45,6 +45,30 @@ from .quant import quantize_global_int8, quantize_int8
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("nlist",))
+def _kmeanspp_init(x: jax.Array, key: jax.Array, *, nlist: int) -> jax.Array:
+    """k-means++ (D^2-weighted) seeding on device.
+
+    Random seeding leaves ~1/e of true clusters unseeded
+    (coupon-collector); on well-separated corpora Lloyd's then converges
+    with merged clusters whose members are all "well served" — the
+    empty-cluster re-seed never fires and the overflow spills (measured
+    13% spill at 131k x 512 lists). D^2 seeding places each next seed far
+    from all current ones: one (N,) matvec + categorical draw per seed."""
+    n, _ = x.shape
+    key, k0 = jax.random.split(key)
+    i0 = jax.random.randint(k0, (), 0, n)
+    mind0 = 1.0 - x @ x[i0]  # cosine distance to the first seed
+
+    def step(mind, k):
+        idx = jax.random.categorical(k, 2.0 * jnp.log(jnp.maximum(mind, 1e-12)))
+        mind = jnp.minimum(mind, 1.0 - x @ x[idx])
+        return mind, idx
+
+    _, idxs = jax.lax.scan(step, mind0, jax.random.split(key, nlist - 1))
+    return jnp.concatenate([i0[None], idxs])
+
+
 @functools.partial(jax.jit, static_argnames=("nlist", "iters"))
 def _kmeans_device(x: jax.Array, init_idx: jax.Array, *, nlist: int, iters: int):
     """x: (N, D) L2-normalized fp32. Returns centroids (nlist, D) normalized."""
@@ -71,15 +95,27 @@ def _kmeans_device(x: jax.Array, init_idx: jax.Array, *, nlist: int, iters: int)
 
 
 def train_kmeans(
-    embeddings: np.ndarray, nlist: int, iters: int = 25, seed: int = 0, sample: int | None = 262_144
+    embeddings: np.ndarray,
+    nlist: int,
+    iters: int = 25,
+    seed: int = 0,
+    sample: int | None = 262_144,
+    init: str = "kmeans++",
 ) -> np.ndarray:
-    """Train on a sample (k-means quality saturates well below full N)."""
+    """Train on a sample (k-means quality saturates well below full N).
+
+    init: "kmeans++" (default; D^2 seeding, see _kmeanspp_init) or
+    "random" (uniform rows)."""
     x = np.asarray(embeddings, np.float32)
     rng = np.random.default_rng(seed)
     if sample is not None and x.shape[0] > sample:
         x = x[rng.choice(x.shape[0], sample, replace=False)]
-    init = rng.choice(x.shape[0], nlist, replace=False)
-    cents = _kmeans_device(jnp.asarray(x), jnp.asarray(init), nlist=nlist, iters=iters)
+    xd = jnp.asarray(x)
+    if init == "kmeans++":
+        init_idx = _kmeanspp_init(xd, jax.random.PRNGKey(seed), nlist=nlist)
+    else:
+        init_idx = jnp.asarray(rng.choice(x.shape[0], nlist, replace=False))
+    cents = _kmeans_device(xd, init_idx, nlist=nlist, iters=iters)
     return np.asarray(cents)
 
 
@@ -132,22 +168,29 @@ class IVFIndex:
             emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
 
         nlist = min(cfg.ivf_nlist, n)
-        cents = train_kmeans(emb, nlist, iters=cfg.kmeans_iters, seed=cfg.seed)
+        cents = train_kmeans(
+            emb, nlist, iters=cfg.kmeans_iters, seed=cfg.seed, init=cfg.kmeans_init
+        )
 
-        # assign on device in chunks (top-2 for dual assignment)
+        # assign on device in chunks. Top-2 is kept unconditionally:
+        # the 2nd-best cluster is the overflow-relocation target; the
+        # margin additionally gates dual-assignment COPIES.
         assign = np.empty(n, np.int32)
         assign2 = np.full(n, -1, np.int32)
+        v1 = np.zeros(n, np.float32)
+        margin_ok = np.zeros(n, bool)
         margin = float(cfg.ivf_assign2_margin)
         cents_d = jnp.asarray(cents)
         step = 262_144
         for i in range(0, n, step):
             sc = jnp.dot(jnp.asarray(emb[i : i + step]), cents_d.T)
-            if margin > 0 and nlist > 1:
+            if nlist > 1:
                 v, idx = jax.lax.top_k(sc, 2)
                 v, idx = np.asarray(v), np.asarray(idx)
                 assign[i : i + step] = idx[:, 0]
-                ok = v[:, 1] >= v[:, 0] - margin
-                assign2[i : i + step] = np.where(ok, idx[:, 1], -1)
+                v1[i : i + step] = v[:, 0]
+                assign2[i : i + step] = idx[:, 1]
+                margin_ok[i : i + step] = v[:, 1] >= v[:, 0] - margin
             else:
                 assign[i : i + step] = np.asarray(jnp.argmax(sc, axis=1))
 
@@ -182,25 +225,52 @@ class IVFIndex:
         slab_raw = (
             np.zeros((nlist, slab_rows, d), ml_dtypes.bfloat16) if rescore else None
         )
-        spill_rows: list[int] = []
-        order = np.argsort(assign, kind="stable")
+        # pack cluster-major, best-affinity-first: when a cluster
+        # overflows its slab, the rows cut are its most MARGINAL members
+        # — exactly the ones likeliest to be findable from their 2nd-best
+        # cluster instead
+        order = np.lexsort((-v1, assign))
         row_of_cluster = np.searchsorted(assign[order], np.arange(nlist))
         bounds = np.append(row_of_cluster, n)
-        # secondary (dual-assignment) membership, grouped by cluster
-        has2 = np.nonzero(assign2 >= 0)[0]
-        order2 = has2[np.argsort(assign2[has2], kind="stable")]
-        row2 = np.searchsorted(assign2[order2], np.arange(nlist))
-        bounds2 = np.append(row2, len(order2))
+        slab_lists: list[list[int]] = []
+        overflow: list[int] = []
         for c in range(nlist):
             members = order[bounds[c] : bounds[c + 1]]
-            keep = members[:slab_rows]
-            spill_rows.extend(members[slab_rows:].tolist())
-            space = slab_rows - len(keep)
-            if space > 0 and margin > 0:
-                # boundary rows from neighboring clusters fill the slack;
-                # copies are dropped when full (primary copy exists)
-                sec = order2[bounds2[c] : bounds2[c + 1]][:space]
-                keep = np.concatenate([keep, sec]).astype(np.int64)
+            slab_lists.append(members[:slab_rows].tolist())
+            overflow.extend(members[slab_rows:].tolist())
+        # overflow relocation: a cut row moves into its 2nd-best
+        # cluster's slack (a probeable home — queries that rank the row
+        # highly rank that cluster highly too) instead of the spill
+        # segment every query must scan; spill only when that's full too
+        spill_rows: list[int] = []
+        for r in overflow:
+            c2 = int(assign2[r])
+            if 0 <= c2 < nlist and len(slab_lists[c2]) < slab_rows:
+                slab_lists[c2].append(r)
+            else:
+                spill_rows.append(r)
+        if margin > 0:
+            # dual-assignment COPIES of boundary rows fill remaining
+            # slack (primary copy exists; copies dropped when full)
+            sec_rows = np.nonzero(margin_ok & (assign2 >= 0))[0]
+            order2 = sec_rows[np.argsort(assign2[sec_rows], kind="stable")]
+            row2 = np.searchsorted(assign2[order2], np.arange(nlist))
+            bounds2 = np.append(row2, len(order2))
+            for c in range(nlist):
+                space = slab_rows - len(slab_lists[c])
+                if space <= 0:
+                    continue
+                present = set(slab_lists[c])
+                for r in order2[bounds2[c] : bounds2[c + 1]]:
+                    if space <= 0:
+                        break
+                    if int(r) not in present:
+                        slab_lists[c].append(int(r))
+                        space -= 1
+        for c in range(nlist):
+            keep = np.asarray(slab_lists[c], np.int64)
+            if not len(keep):
+                continue
             slabs[c, : len(keep)] = codes[keep]
             slab_scales[c, : len(keep)] = scales[keep]
             slab_ids[c, : len(keep)] = ids[keep]
@@ -298,24 +368,13 @@ class IVFIndex:
         if use_pallas is None:
             use_pallas = pallas_ok and (interpret or jax.default_backend() not in ("cpu",))
         if use_pallas:
-            if not pallas_ok:
-                raise ValueError(
-                    "Pallas IVF path needs int8 + rescore copies + "
-                    "slab_rows a multiple of 128"
-                )
-            pa = self._pallas_arrays()
+            fn = self.device_searcher(
+                k=k, nprobe=nprobe, rescore_factor=rescore_factor,
+                interpret=interpret,
+            )
             out_s, out_i = [], []
             for i in range(0, q.shape[0], query_chunk):
-                chunk = q[i : i + query_chunk]
-                s, d_ = _ivf_search_pallas(
-                    chunk, pa["cents"], pa["slabs"], pa["ids_flat"], pa["raw"],
-                    self.global_scale,
-                    k=k, nprobe=nprobe,
-                    c_rescore=max(k, min(rescore_factor * k, nprobe * R)),
-                    n_lists=self.slabs.shape[0],
-                    n_spill_chunks=pa["n_spill_chunks"],
-                    interpret=interpret,
-                )
+                s, d_ = fn(q[i : i + query_chunk])
                 out_s.append(np.asarray(s))
                 out_i.append(np.asarray(d_))
             return np.concatenate(out_s), np.concatenate(out_i)
@@ -341,6 +400,38 @@ class IVFIndex:
             out_s.append(np.asarray(s)[: query_chunk - pad])
             out_i.append(np.asarray(d)[: query_chunk - pad])
         return np.concatenate(out_s), np.concatenate(out_i)
+
+    def device_searcher(
+        self,
+        k: int = 10,
+        nprobe: int | None = None,
+        rescore_factor: int = 4,
+        interpret: bool = False,
+    ):
+        """Device-level search closure over the cached device arrays:
+        ``(B, D) f32 -> (scores (B, k), doc_ids (B, k))`` jax arrays, no
+        host round-trips — what serving loops and benches should call
+        (search() wraps this with numpy in/out)."""
+        R = self.slabs.shape[1]
+        if not (self.config.dtype == "int8" and self.raw_flat is not None and R % 128 == 0):
+            raise ValueError(
+                "Pallas IVF path needs int8 + rescore copies + "
+                "slab_rows a multiple of 128"
+            )
+        nprobe = min(int(nprobe or self.config.ivf_nprobe), self.centroids.shape[0])
+        pa = self._pallas_arrays()
+        gscale = self.global_scale
+        n_lists = self.slabs.shape[0]
+        c_rescore = max(k, min(rescore_factor * k, nprobe * R))
+
+        def fn(q):
+            return _ivf_search_pallas(
+                q, pa["cents"], pa["slabs"], pa["ids_flat"], pa["raw"], gscale,
+                k=k, nprobe=nprobe, c_rescore=c_rescore, n_lists=n_lists,
+                n_spill_chunks=pa["n_spill_chunks"], interpret=interpret,
+            )
+
+        return fn
 
     # ---------------- persistence ----------------
 
@@ -488,11 +579,15 @@ def _ivf_search_pallas(
     # 3. stream each unique chunk once; raw int32 scores (lossless)
     cand, qscales = ivf_probe_scores(q, slabs_all, uids, interpret=interpret)
 
-    # 4. approximate selection + decode to slots
+    # 4. exact selection + decode to slots. NOT approx_max_k: its TPU
+    # implementation bin-reduces ADJACENT columns, and IVF concentrates
+    # the true top-k in adjacent columns of one hot chunk — measured
+    # recall collapse to ~1/k on chip (one survivor per bin). The
+    # candidate row is only (P*R) wide at serving batch sizes, so exact
+    # top_k costs nothing here (unlike the flat scan's (B, n_tiles*128)).
     kr = min(c_rescore, cand.shape[1])
-    _, pos = jax.lax.approx_max_k(cand.astype(jnp.float32), kr, recall_target=0.97)
+    vi, pos = jax.lax.top_k(cand, kr)
     pos = pos.astype(jnp.int32)
-    vi = jnp.take_along_axis(cand, pos, axis=1)
     step = pos // r
     within = pos % r
     chunk = uids[step]                                             # (B, kr)
