@@ -53,23 +53,24 @@ def main():
         x = cent_rows + noise
         return x / jnp.linalg.norm(x, axis=1, keepdims=True)
 
-    rngnp = np.random.default_rng(0)
-    assign = rngnp.integers(0, NCENT, N)
-    emb = np.empty((N, D), np.float32)
-    keys = jax.random.split(kn, 16)
-    step = N // 16
-    for j in range(16):
-        rows = jnp.asarray(np.asarray(cents)[assign[j * step : (j + 1) * step]])
-        emb[j * step : (j + 1) * step] = np.asarray(gen_chunk(keys[j], rows))
-    print("corpus built")
+    # generate fully on device (host<->device ping-pong measured ~16 min
+    # for this corpus over the tunnel); ONE 4GB pull for the host build
+    @jax.jit
+    def gen_corpus(k):
+        ka, kb = jax.random.split(k)
+        assign = jax.random.randint(ka, (N,), 0, NCENT)
+        return gen_chunk(kb, cents[assign])
+
+    embd = gen_corpus(kn)
+    jax.block_until_ready(embd)
+    emb = np.asarray(embd)
+    print("corpus built", flush=True)
 
     # queries near random centers
-    qrows = jnp.asarray(np.asarray(cents)[rngnp.integers(0, NCENT, B)])
-    q = np.asarray(gen_chunk(kq, qrows))
-    qd = jnp.asarray(q)
-
-    # fp32 exact oracle
-    embd = jnp.asarray(emb)
+    rngnp = np.random.default_rng(0)
+    qrows = cents[jnp.asarray(rngnp.integers(0, NCENT, B))]
+    qd = gen_chunk(kq, qrows)
+    q = np.asarray(qd)
 
     @jax.jit
     def exact10(qc, corpus):
