@@ -108,9 +108,16 @@ class BatchedEncoder:
             width = self._bucket_for(longest)
             enc = self.tokenizer(chunk, max_length=width, pad_to=width)
             ids, mask = enc.input_ids, enc.attention_mask
-            # pad batch to full size so shapes stay static per bucket
-            if len(idx) < bs:
-                pad = bs - len(idx)
+            # pad the batch to its power-of-two bucket (not all the way
+            # to bs): small serving batches then pay a small forward,
+            # and dynamic batch sizes hit at most log2(bs) programs per
+            # width instead of one full-bs forward for 1 query
+            b_pad = 8
+            while b_pad < len(idx):
+                b_pad *= 2
+            b_pad = min(b_pad, bs)
+            if len(idx) < b_pad:
+                pad = b_pad - len(idx)
                 ids = np.concatenate([ids, np.zeros((pad, width), np.int32)])
                 mask = np.concatenate([mask, np.zeros((pad, width), np.int32)])
                 mask[len(idx):, 0] = 1  # avoid fully-empty rows

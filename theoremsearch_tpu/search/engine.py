@@ -195,7 +195,12 @@ class SearchEngine:
                     gids = jnp.where(li >= 0, ids_dev[li.clip(0)], PAD_ID)
                     return s, gids
 
-                return speed, True
+                # jit the WHOLE pipeline: the glue between the jitted
+                # kernels otherwise dispatches eagerly — each op pays a
+                # host round-trip (measured 146ms/batch vs 5ms jitted on
+                # the tunnel). n_valid is a python int here, so
+                # fused_mips_topk_g's padded-ness check stays static.
+                return jax.jit(speed), True
 
             def single(q, bias):
                 s, li = self._local_topk(

@@ -143,11 +143,11 @@ def main():
     scan_qps = 5 * MAX_BATCH / (time.time() - t0)
     _log(f"scan-only (incl host roundtrip): {scan_qps:,.0f} QPS at batch {MAX_BATCH}")
 
-    # pre-warm the scan's power-of-two batch buckets the scheduler will hit
+    # pre-warm the power-of-two batch buckets the scheduler will hit
+    # (compiles are cached on disk, so this is cheap on reruns)
     if on_tpu:
         for b in (8, 16, 32, 64, 128, 256, 512):
             engine.search_vectors(warm[:b], k=10)
-        for b in (32, 64):  # encoder width buckets
             encoder.encode(queries[:b])
     _log("batch buckets warmed")
 
