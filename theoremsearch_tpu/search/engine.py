@@ -184,23 +184,31 @@ class SearchEngine:
                 row_block = self.row_block
                 interpret = self.pallas_interpret
 
-                def speed(q):
+                def speed_impl(q, vectors, rescore, ids):
                     # retrieve kr candidates (quasi-exact int32 scan),
                     # exact bf16 rescore, then map local rows -> doc ids
                     _, li = fused_mips_topk_g(
-                        q, self.vectors, gscale, n_valid,
+                        q, vectors, gscale, n_valid,
                         k=kr, row_block=row_block, interpret=interpret,
                     )
-                    s, li = device_rescore(q, li, rescore_dev, n_valid, k=k)
-                    gids = jnp.where(li >= 0, ids_dev[li.clip(0)], PAD_ID)
+                    s, li = device_rescore(q, li, rescore, n_valid, k=k)
+                    gids = jnp.where(li >= 0, ids[li.clip(0)], PAD_ID)
                     return s, gids
 
                 # jit the WHOLE pipeline: the glue between the jitted
                 # kernels otherwise dispatches eagerly — each op pays a
                 # host round-trip (measured 146ms/batch vs 5ms jitted on
-                # the tunnel). n_valid is a python int here, so
+                # the tunnel). The corpus/rescore/id arrays are jit
+                # ARGUMENTS — closing over them bakes 3GB of constants
+                # into the lowered program. n_valid is a python int, so
                 # fused_mips_topk_g's padded-ness check stays static.
-                return jax.jit(speed), True
+                jspeed = jax.jit(speed_impl)
+                vectors = self.vectors
+
+                def speed(q):
+                    return jspeed(q, vectors, rescore_dev, ids_dev)
+
+                return speed, True
 
             def single(q, bias):
                 s, li = self._local_topk(
