@@ -148,3 +148,29 @@ def test_submit_text_encode_error_propagates(engine):
     good = sched.submit(np.zeros(64, np.float32), k=2)
     assert good.result(10)[1].shape == (2,)
     sched.shutdown()
+
+
+def test_pipelined_device_encode_and_mixed_batch(engine):
+    """encode_fn returning a DEVICE array (encode_device) flows through
+    the async fast path; text and vector requests in one batch are
+    concatenated on device and all resolve correctly."""
+    import jax.numpy as jnp
+
+    eng, emb = engine
+    rng = np.random.default_rng(5)
+    vocab = np.asarray(l2_normalize(rng.standard_normal((8, 64)).astype(np.float32)))
+
+    def encode_dev(texts):
+        return jnp.asarray(np.stack([vocab[len(t) % 8] for t in texts]))
+
+    sched = BatchScheduler(eng, max_batch=16, max_wait_ms=60, encode_fn=encode_dev)
+    qv = np.asarray(l2_normalize(rng.standard_normal((2, 64)).astype(np.float32)))
+    futs = [sched.submit_text(f"q{i}", k=4) for i in range(3)]
+    futs += [sched.submit(qv[i], k=4) for i in range(2)]
+    got = [f.result(10) for f in futs]
+    texts = [f"q{i}" for i in range(3)]
+    ref_q = np.concatenate([np.asarray(encode_dev(texts)), qv])
+    ref_s, ref_i = exact_topk(ref_q, emb, k=4)
+    for j in range(5):
+        np.testing.assert_allclose(np.sort(got[j][0]), np.sort(np.asarray(ref_s[j])), atol=1e-5)
+    sched.shutdown()

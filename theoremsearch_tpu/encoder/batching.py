@@ -92,6 +92,51 @@ class BatchedEncoder:
             out /= np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
         return out
 
+    def encode_device(self, texts: Sequence[str]) -> "jax.Array":
+        """Like encode(), but the result STAYS ON DEVICE (no host sync):
+        feeds SearchEngine.search_vectors_async directly so the serving
+        pipeline syncs once per batch, at the results. Sub-batch outputs
+        are scattered into input order on device (.at[].set)."""
+        if not len(texts):
+            return jnp.zeros((0, self.cfg.embedding_dim), jnp.float32)
+        tokenized = [self.tokenizer.tokenize(t) for t in texts]
+        order = sorted(range(len(texts)), key=lambda i: len(tokenized[i]))
+        pieces = []
+        bs = self.batch_size
+        for start in range(0, len(order), bs):
+            idx = order[start : start + bs]
+            ids_d, mask_d, n_real = self._prep_batch(texts, tokenized, idx)
+            pieces.append((idx, self._fn(self.params, ids_d, mask_d)[:n_real]))
+        if len(pieces) == 1 and pieces[0][0] == list(range(len(texts))):
+            return pieces[0][1].astype(jnp.float32)
+        out = jnp.zeros((len(texts), self.cfg.embedding_dim), jnp.float32)
+        for idx, emb in pieces:
+            out = out.at[jnp.asarray(idx, jnp.int32)].set(emb.astype(jnp.float32))
+        return out
+
+    def _prep_batch(self, texts, tokenized, idx):
+        """Tokenize+pad one sub-batch to its (batch-bucket, width-bucket)
+        static shape; returns (ids, mask, n_real) device arrays."""
+        chunk = [texts[i] for i in idx]
+        longest = max(len(tokenized[i]) for i in idx) + 2  # BOS/EOS
+        width = self._bucket_for(longest)
+        enc = self.tokenizer(chunk, max_length=width, pad_to=width)
+        ids, mask = enc.input_ids, enc.attention_mask
+        b_pad = 8
+        while b_pad < len(idx):
+            b_pad *= 2
+        b_pad = min(b_pad, self.batch_size)
+        if len(idx) < b_pad:
+            pad = b_pad - len(idx)
+            ids = np.concatenate([ids, np.zeros((pad, width), np.int32)])
+            mask = np.concatenate([mask, np.zeros((pad, width), np.int32)])
+            mask[len(idx):, 0] = 1  # avoid fully-empty rows
+        ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
+        if self._data_sharding is not None:
+            ids_d = jax.device_put(ids_d, self._data_sharding)
+            mask_d = jax.device_put(mask_d, self._data_sharding)
+        return ids_d, mask_d, len(idx)
+
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         """(len(texts), embedding_dim) fp32, normalized per config."""
         if not len(texts):
@@ -103,28 +148,10 @@ class BatchedEncoder:
         bs = self.batch_size
         for start in range(0, len(order), bs):
             idx = order[start : start + bs]
-            chunk = [texts[i] for i in idx]
-            longest = max(len(tokenized[i]) for i in idx) + 2  # BOS/EOS
-            width = self._bucket_for(longest)
-            enc = self.tokenizer(chunk, max_length=width, pad_to=width)
-            ids, mask = enc.input_ids, enc.attention_mask
-            # pad the batch to its power-of-two bucket (not all the way
-            # to bs): small serving batches then pay a small forward,
-            # and dynamic batch sizes hit at most log2(bs) programs per
-            # width instead of one full-bs forward for 1 query
-            b_pad = 8
-            while b_pad < len(idx):
-                b_pad *= 2
-            b_pad = min(b_pad, bs)
-            if len(idx) < b_pad:
-                pad = b_pad - len(idx)
-                ids = np.concatenate([ids, np.zeros((pad, width), np.int32)])
-                mask = np.concatenate([mask, np.zeros((pad, width), np.int32)])
-                mask[len(idx):, 0] = 1  # avoid fully-empty rows
-            ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
-            if self._data_sharding is not None:
-                ids_d = jax.device_put(ids_d, self._data_sharding)
-                mask_d = jax.device_put(mask_d, self._data_sharding)
+            # sub-batches pad to their power-of-two bucket (_prep_batch):
+            # small serving batches get small forwards, and dynamic sizes
+            # compile at most log2(bs) programs per width bucket
+            ids_d, mask_d, n_real = self._prep_batch(texts, tokenized, idx)
             emb = np.asarray(self._fn(self.params, ids_d, mask_d))
-            out[idx] = emb[: len(idx)]
+            out[idx] = emb[:n_real]
         return out

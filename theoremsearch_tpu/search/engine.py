@@ -286,6 +286,47 @@ class SearchEngine:
             self._search_fn_cache[key] = self._build_search_fn(k, with_bias)
         return self._search_fn_cache[key]
 
+    def search_vectors_async(
+        self,
+        query_vecs: np.ndarray | jax.Array,
+        k: int | None = None,
+    ):
+        """Dispatch an UNFILTERED batched search without waiting: the
+        device work is enqueued and a zero-arg ``finalize() -> (scores,
+        ids)`` closure is returned. Callers (serve/scheduler.py) overlap
+        batch k's host sync with batch k+1's compute — one device-host
+        round-trip per batch, pipelined. Accepts a device array from
+        encode_device() directly (no host hop between encode and scan)."""
+        k = k or self.config.top_k
+        do_rescore = self.rescore_vectors is not None
+        k_fetch = k * self.rescore_factor if do_rescore else k
+        k_dev = min(max(k_fetch, 1), self.rows_per_shard)
+        if isinstance(query_vecs, jax.Array):
+            q = query_vecs.astype(jnp.float32)
+        else:
+            q = jnp.asarray(np.asarray(query_vecs, dtype=np.float32))
+        if q.ndim == 1:
+            q = q[None, :]
+        b = q.shape[0]
+        b_pad = 8
+        while b_pad < b:
+            b_pad *= 2
+        if b_pad != b:
+            q = jnp.concatenate([q, jnp.zeros((b_pad - b, q.shape[1]), q.dtype)])
+        fn_k = k if self._speed_ok else k_dev
+        fn, rescored_on_device = self._get_search_fn(fn_k, with_bias=False)
+        s, i = fn(q)  # dispatched; not synced
+
+        def finalize() -> tuple[np.ndarray, np.ndarray]:
+            s_h = np.asarray(s)[:b]
+            i_h = np.asarray(i)[:b]
+            if do_rescore and not rescored_on_device:
+                s_h, i_h = self._rescore(np.asarray(q)[:b], s_h, i_h, k)
+            s2, i2 = s_h[:, :k], i_h[:, :k]
+            return s2, np.where(np.isfinite(s2), i2, PAD_ID)
+
+        return finalize
+
     def search_vectors(
         self,
         query_vecs: np.ndarray | jax.Array,

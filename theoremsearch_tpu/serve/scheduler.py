@@ -60,17 +60,28 @@ class BatchScheduler:
         max_batch: int = 256,
         max_wait_ms: float = 2.0,
         encode_fn=None,
+        pipeline_depth: int = 4,
     ):
-        """encode_fn: optional ``list[str] -> (B, D) np.ndarray``; enables
+        """encode_fn: optional ``list[str] -> (B, D) array``; enables
         submit_text(), which micro-batches the ENCODER as well as the scan
         (one encoder forward + one corpus scan per dispatched batch — the
-        full text->top-k serving path)."""
+        full text->top-k serving path). Pass BatchedEncoder.encode_device
+        to keep embeddings on device: the whole encode->scan->top-k batch
+        then syncs to the host exactly once, in the resolver thread."""
         self.engine = engine
         self.encode_fn = encode_fn
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
         self._q: "queue.Queue[_Request | None]" = queue.Queue()
         self._stats = {"batches": 0, "queries": 0}
+        # pipelined resolution: the dispatch thread enqueues device work
+        # and a finalizer; this thread performs the (only) host sync per
+        # batch — batch k's sync overlaps batch k+1's encode+scan. The
+        # bounded queue applies backpressure if the device outruns the
+        # host side.
+        self._rq: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
+        self._resolver = threading.Thread(target=self._resolve_loop, daemon=True)
+        self._resolver.start()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -106,6 +117,8 @@ class BatchScheduler:
     def shutdown(self) -> None:
         self._q.put(None)
         self._thread.join(timeout=10)
+        self._rq.put(None)
+        self._resolver.join(timeout=10)
 
     # ------------- dispatch loop -------------
 
@@ -134,33 +147,92 @@ class BatchScheduler:
             self._run_groups(batch)
 
     def _run_groups(self, batch: list[_Request]) -> None:
-        # encode all text requests in ONE batched forward first
-        texts = [r for r in batch if r.vec is None]
-        if texts:
+        import numpy as _np
+
+        # encode all text requests in ONE batched forward. The result may
+        # be a DEVICE array (encode_device): it is consumed without a
+        # host sync on the unfiltered fast path below.
+        text_reqs = [r for r in batch if r.vec is None]
+        enc = None
+        if text_reqs:
             try:
-                vecs = np.asarray(self.encode_fn([r.text for r in texts]))
-                for r, v in zip(texts, vecs):
-                    r.vec = v
+                enc = self.encode_fn([r.text for r in text_reqs])
             except Exception as e:  # noqa: BLE001
-                for r in texts:
+                for r in text_reqs:
                     if not r.future.done():
                         r.future.set_exception(e)
                 batch = [r for r in batch if r.vec is not None]
-        groups: dict[tuple, list[_Request]] = {}
-        for r in batch:
-            groups.setdefault(_filter_key(r.filters), []).append(r)
-        for reqs in groups.values():
+                text_reqs = []
+
+        any_filters = any(
+            r.filters is not None and not _filter_key(r.filters) == ()
+            for r in batch
+        )
+        n_groups = 0
+        if not any_filters and batch:
+            # fast path: one matrix, one async dispatch, resolver syncs
+            vec_reqs = [r for r in batch if r.vec is not None]
+            parts = []
+            if text_reqs:
+                parts.append(enc)
+            if vec_reqs:
+                parts.append(_np.stack([r.vec for r in vec_reqs]))
+            reqs = text_reqs + vec_reqs
             try:
+                if len(parts) == 1:
+                    q = parts[0]
+                else:
+                    import jax.numpy as jnp
+
+                    q = jnp.concatenate([jnp.asarray(p, jnp.float32) for p in parts])
                 k_max = max(r.k for r in reqs)
-                vecs = np.stack([r.vec for r in reqs])
-                scores, ids = self.engine.search_vectors(
-                    vecs, k=k_max, filters=reqs[0].filters
-                )
+                fin = self.engine.search_vectors_async(q, k=k_max)
+                self._rq.put((reqs, fin))
+            except Exception as e:  # noqa: BLE001
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+            n_groups = 1
+        elif batch:
+            # filtered requests: synchronous per-group scans (the filter
+            # mask is a per-scan input)
+            if text_reqs:
+                enc_np = _np.asarray(enc)
+                for r, v in zip(text_reqs, enc_np):
+                    r.vec = v
+            groups: dict[tuple, list[_Request]] = {}
+            for r in batch:
+                groups.setdefault(_filter_key(r.filters), []).append(r)
+            n_groups = len(groups)
+            for reqs in groups.values():
+                try:
+                    k_max = max(r.k for r in reqs)
+                    vecs = _np.stack([r.vec for r in reqs])
+                    scores, ids = self.engine.search_vectors(
+                        vecs, k=k_max, filters=reqs[0].filters
+                    )
+                    for i, r in enumerate(reqs):
+                        r.future.set_result((scores[i, : r.k], ids[i, : r.k]))
+                except Exception as e:  # noqa: BLE001
+                    for r in reqs:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+        self._stats["batches"] += n_groups
+        self._stats["queries"] += len(batch)
+
+    # ------------- resolver -------------
+
+    def _resolve_loop(self) -> None:
+        while True:
+            item = self._rq.get()
+            if item is None:
+                return
+            reqs, fin = item
+            try:
+                scores, ids = fin()
                 for i, r in enumerate(reqs):
                     r.future.set_result((scores[i, : r.k], ids[i, : r.k]))
             except Exception as e:  # noqa: BLE001
                 for r in reqs:
                     if not r.future.done():
                         r.future.set_exception(e)
-        self._stats["batches"] += len(groups)
-        self._stats["queries"] += len(batch)
