@@ -95,21 +95,33 @@ class BatchedEncoder:
     def encode_device(self, texts: Sequence[str]) -> "jax.Array":
         """Like encode(), but the result STAYS ON DEVICE (no host sync):
         feeds SearchEngine.search_vectors_async directly so the serving
-        pipeline syncs once per batch, at the results. Sub-batch outputs
-        are scattered into input order on device (.at[].set)."""
+        pipeline syncs once per batch, at the results.
+
+        Returns (n_pad, D) where n_pad is len(texts) padded UP to a power
+        of two — rows beyond len(texts) are junk (empty-string
+        embeddings). Every device shape here (forward, scatter, output)
+        is bucketed: dynamic serving batch sizes therefore reuse a
+        BOUNDED set of compiled programs. The first un-bucketed version
+        compiled a fresh scatter program per raw batch size — each one a
+        multi-second remote compile that stalled the serving pipeline."""
         if not len(texts):
             return jnp.zeros((0, self.cfg.embedding_dim), jnp.float32)
+        n = len(texts)
+        n_pad = 8
+        while n_pad < n:
+            n_pad *= 2
+        texts = list(texts) + [""] * (n_pad - n)
         tokenized = [self.tokenizer.tokenize(t) for t in texts]
-        order = sorted(range(len(texts)), key=lambda i: len(tokenized[i]))
+        order = sorted(range(n_pad), key=lambda i: len(tokenized[i]))
         pieces = []
         bs = self.batch_size
         for start in range(0, len(order), bs):
             idx = order[start : start + bs]
             ids_d, mask_d, n_real = self._prep_batch(texts, tokenized, idx)
             pieces.append((idx, self._fn(self.params, ids_d, mask_d)[:n_real]))
-        if len(pieces) == 1 and pieces[0][0] == list(range(len(texts))):
+        if len(pieces) == 1 and pieces[0][0] == list(range(n_pad)):
             return pieces[0][1].astype(jnp.float32)
-        out = jnp.zeros((len(texts), self.cfg.embedding_dim), jnp.float32)
+        out = jnp.zeros((n_pad, self.cfg.embedding_dim), jnp.float32)
         for idx, emb in pieces:
             out = out.at[jnp.asarray(idx, jnp.int32)].set(emb.astype(jnp.float32))
         return out

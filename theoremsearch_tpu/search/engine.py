@@ -302,17 +302,31 @@ class SearchEngine:
         k_fetch = k * self.rescore_factor if do_rescore else k
         k_dev = min(max(k_fetch, 1), self.rows_per_shard)
         if isinstance(query_vecs, jax.Array):
+            # device input (encode_device): expected pre-bucketed; a
+            # non-pow2 batch still works but compiles a per-size concat
             q = query_vecs.astype(jnp.float32)
+            if q.ndim == 1:
+                q = q[None, :]
+            b = q.shape[0]
+            b_pad = 8
+            while b_pad < b:
+                b_pad *= 2
+            if b_pad != b:
+                q = jnp.concatenate([q, jnp.zeros((b_pad - b, q.shape[1]), q.dtype)])
         else:
-            q = jnp.asarray(np.asarray(query_vecs, dtype=np.float32))
-        if q.ndim == 1:
-            q = q[None, :]
-        b = q.shape[0]
-        b_pad = 8
-        while b_pad < b:
-            b_pad *= 2
-        if b_pad != b:
-            q = jnp.concatenate([q, jnp.zeros((b_pad - b, q.shape[1]), q.dtype)])
+            # host input: pad in numpy (free; no per-size device program)
+            qh = np.asarray(query_vecs, dtype=np.float32)
+            if qh.ndim == 1:
+                qh = qh[None, :]
+            b = qh.shape[0]
+            b_pad = 8
+            while b_pad < b:
+                b_pad *= 2
+            if b_pad != b:
+                qh = np.concatenate(
+                    [qh, np.zeros((b_pad - b, qh.shape[1]), np.float32)]
+                )
+            q = jnp.asarray(qh)
         fn_k = k if self._speed_ok else k_dev
         fn, rescored_on_device = self._get_search_fn(fn_k, with_bias=False)
         s, i = fn(q)  # dispatched; not synced
@@ -339,19 +353,21 @@ class SearchEngine:
         do_rescore = self.rescore_vectors is not None
         k_fetch = k * self.rescore_factor if do_rescore else k
         k_dev = min(max(k_fetch, 1), self.rows_per_shard)
-        q = jnp.asarray(np.asarray(query_vecs, dtype=np.float32))
-        if q.ndim == 1:
-            q = q[None, :]
-        b = q.shape[0]
+        qh = np.asarray(query_vecs, dtype=np.float32)
+        if qh.ndim == 1:
+            qh = qh[None, :]
+        b = qh.shape[0]
         # bucket the batch to the next power of two (min 8): dynamic
         # serving batches then hit at most log2(max_batch) compiled
         # programs instead of one per size (remote kernel compiles cost
-        # 30-120s each on a TPU pod)
+        # 30-120s each on a TPU pod); pad on the HOST so the padding
+        # itself doesn't compile a per-size device concat
         b_pad = 8
         while b_pad < b:
             b_pad *= 2
         if b_pad != b:
-            q = jnp.concatenate([q, jnp.zeros((b_pad - b, q.shape[1]), q.dtype)])
+            qh = np.concatenate([qh, np.zeros((b_pad - b, qh.shape[1]), np.float32)])
+        q = jnp.asarray(qh)
 
         mask = None
         if filters is not None:
