@@ -156,12 +156,20 @@ def main():
     scan_pipe_qps = 8 * MAX_BATCH / (time.time() - t0)
     _log(f"scan-only (pipelined x2): {scan_pipe_qps:,.0f} QPS at batch {MAX_BATCH}")
 
-    # pre-warm the power-of-two batch buckets the scheduler will hit
-    # (compiles are cached on disk, so this is cheap on reruns)
+    # pre-warm the power-of-two batch buckets the scheduler will hit,
+    # through the EXACT production composition (encode_device's scatter
+    # assembly included — warming encode() alone leaves those to compile
+    # mid-run). Disk-cached, so cheap on reruns.
     if on_tpu:
         for b in (8, 16, 32, 64, 128, 256, 512):
             engine.search_vectors(warm[:b], k=10)
             encoder.encode(queries[:b])
+            engine.search_vectors_async(encoder.encode_device(queries[:b]), k=10)()
+            # ragged sizes exercise the padded-tail scatter path
+            if b > 8:
+                engine.search_vectors_async(
+                    encoder.encode_device(queries[: b - 3]), k=10
+                )()
     _log("batch buckets warmed")
 
     # ---- end-to-end under concurrency ----
