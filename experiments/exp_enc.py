@@ -16,21 +16,23 @@ import jax.numpy as jnp
 
 from theoremsearch_tpu.core.config import EncoderConfig
 from theoremsearch_tpu.encoder.model import (
-    _attention, _mlp, _rms_norm, encode_pooled, init_params,
+    _attention, _mlp, _rms_norm, _rope_tables, encode_pooled, init_params,
 )
 
 B, S = 512, 32
 
 
 def timed(fn, *args, iters=10, rounds=3):
+    """np.asarray sync (NOT block_until_ready — measured as a no-op for
+    remote arrays on this tunnel: 14 TFLOP forwards 'finished' in 0.16ms)."""
     out = fn(*args)
-    jax.block_until_ready(out)
+    _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
     best = 1e9
     for _ in range(rounds):
         t0 = time.time()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
         best = min(best, (time.time() - t0) / iters)
     return best
 
@@ -73,8 +75,9 @@ def main():
     def attn_only(params, ids, mask):
         x = params["embed"][ids].astype(jnp.bfloat16)
         m = mask.astype(bool)
+        rope_cs = _rope_tables(positions, cfg.head_dim, cfg.rope_theta)
         for layer in params["layers"]:
-            x = x + _attention(layer, _rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps), m, positions, cfg)
+            x = x + _attention(layer, _rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps), m, rope_cs, cfg)
         return x[:, 0]
 
     dt = timed(attn_only, params, ids_d, mask_d)

@@ -96,23 +96,29 @@ def _rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return out.astype(x.dtype)
 
 
-def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
-    """x: (B, S, H, Dh). Rotary embedding over the head dim."""
-    dh = x.shape[-1]
+def _rope_tables(positions: jax.Array, dh: int, theta: float) -> tuple[jax.Array, jax.Array]:
+    """cos/sin tables (B, S, 1, half) f32, computed ONCE per forward and
+    shared by every layer's q and k (56 per-layer recomputations
+    otherwise — trivial FLOPs but that many extra kernel launches)."""
     half = dh // 2
     freqs = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
     angles = positions[..., None].astype(jnp.float32) * freqs  # (B, S, half)
-    cos = jnp.cos(angles)[:, :, None, :]
-    sin = jnp.sin(angles)[:, :, None, :]
+    return jnp.cos(angles)[:, :, None, :], jnp.sin(angles)[:, :, None, :]
+
+
+def _rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, S, H, Dh). Rotary embedding over the head dim."""
+    half = x.shape[-1] // 2
     x1, x2 = x[..., :half], x[..., half:]
     xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
     out = jnp.concatenate([xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1)
     return out.astype(x.dtype)
 
 
-def _attention(layer: Params, x: jax.Array, mask: jax.Array, positions: jax.Array, cfg: EncoderConfig) -> jax.Array:
+def _attention(layer: Params, x: jax.Array, mask: jax.Array, rope_cs: tuple, cfg: EncoderConfig) -> jax.Array:
     b, s, _ = x.shape
     h, hk, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    cos, sin = rope_cs
 
     q = (x @ layer["wq"]).reshape(b, s, h, dh)
     k = (x @ layer["wk"]).reshape(b, s, hk, dh)
@@ -121,10 +127,12 @@ def _attention(layer: Params, x: jax.Array, mask: jax.Array, positions: jax.Arra
     # Qwen3: per-head RMSNorm on q and k before RoPE
     q = _rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
     k = _rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
-    q = _rope(q, positions, cfg.rope_theta)
-    k = _rope(k, positions, cfg.rope_theta)
+    q = _rope(q, cos, sin)
+    k = _rope(k, cos, sin)
 
-    # GQA: repeat kv heads
+    # GQA: repeat kv heads. (A 5-D grouped-einsum variant that avoids the
+    # repeat measured SLOWER on v5e — the extra transposes cost more than
+    # the copies XLA emits for repeat; measured 133 vs 124 ms/28 layers.)
     rep = h // hk
     k = jnp.repeat(k, rep, axis=2)
     v = jnp.repeat(v, rep, axis=2)
@@ -154,8 +162,9 @@ def forward(params: Params, input_ids: jax.Array, attention_mask: jax.Array, cfg
     positions = jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1
     positions = jnp.maximum(positions, 0)
     mask = attention_mask.astype(bool)
+    rope_cs = _rope_tables(positions, cfg.head_dim, cfg.rope_theta)
     for layer in params["layers"]:
-        x = x + _attention(layer, _rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps), mask, positions, cfg)
+        x = x + _attention(layer, _rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps), mask, rope_cs, cfg)
         x = x + _mlp(layer, _rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps))
     return _rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
