@@ -20,10 +20,16 @@ def server():
     n, d = 300, 128
 
     def encode(texts):
+        import hashlib
+
         out = np.zeros((len(texts), d), np.float32)
         for i, t in enumerate(texts):
             for tok in t.lower().split():
-                out[i, hash(tok) % d] += 1.0
+                # md5, not builtin hash(): hash() is salted per process,
+                # so collisions (and this test) would depend on
+                # PYTHONHASHSEED (same fix as test_serve)
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:4], "little")
+                out[i, h % d] += 1.0
         return np.asarray(l2_normalize(out))
 
     bodies = [f"statement about subject {i % 30}" for i in range(n)]

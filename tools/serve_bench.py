@@ -175,10 +175,12 @@ def main():
     # ---- end-to-end under concurrency ----
     # encode_device keeps embeddings on device; the scheduler's resolver
     # thread performs the single host sync per batch, pipelined
+    max_wait = float(os.environ.get("SERVE_MAX_WAIT_MS", "2.0"))
     sched = BatchScheduler(
-        engine, max_batch=MAX_BATCH, max_wait_ms=2.0,
+        engine, max_batch=MAX_BATCH, max_wait_ms=max_wait,
         encode_fn=encoder.encode_device,
     )
+    _log(f"scheduler max_wait_ms={max_wait}")
     results = {}
     for level in LEVELS:
         lat: list[float] = []
