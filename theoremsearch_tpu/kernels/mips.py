@@ -637,6 +637,11 @@ def device_rescore(
     rescore_corpus: (N, D) bf16/f32. Returns (scores (B,k) f32, ids (B,k)).
     """
     n = rescore_corpus.shape[0]
+    # ascending ids improve the scattered-row gather's DRAM locality
+    # (measured 2.12 -> 1.85 ms for the 40960x2KB gather on v5e,
+    # experiments/exp_gather.py); rescoring re-ranks, so candidate
+    # order is free
+    cand_ids = jnp.sort(cand_ids, axis=1)
     safe = jnp.clip(cand_ids, 0, n - 1)
     cand = jnp.take(rescore_corpus, safe, axis=0)              # (B, C, D)
     s = jax.lax.dot_general(
