@@ -433,6 +433,167 @@ class IVFIndex:
 
         return fn
 
+    # ---------------- multi-chip ----------------
+
+    def _sharded_arrays(self, n_shards: int) -> dict:
+        """Partition lists + spill chunks across shards (host side, once).
+
+        Shard s owns lists [s*L_per, (s+1)*L_per) and spill chunks
+        s::n_shards, re-indexed into a local chunk space of
+        C_local = L_per + sp_per + 1 (last = empty chunk). Global list id
+        g therefore maps to (owner = g // L_per, local = g % L_per) with
+        no lookup tables."""
+        L, R, D = self.slabs.shape
+        L_per = (L + n_shards - 1) // n_shards
+        spill_chunks = self.spill.reshape(-1, R, D)
+        spill_ids_c = self.spill_ids.reshape(-1, R)
+        n_sp = spill_chunks.shape[0]
+        sp_per = (n_sp + n_shards - 1) // n_shards
+        C_local = L_per + sp_per + 1
+        slabs_sh = np.zeros((n_shards, C_local, R, D), self.slabs.dtype)
+        ids_sh = np.full((n_shards, C_local * R), PAD_ID, np.int32)
+        raw_sh = None
+        if self.raw_flat is not None:
+            raw_sh = np.zeros((n_shards, C_local * R, D), self.raw_flat.dtype)
+        for s in range(n_shards):
+            lists = range(s * L_per, min((s + 1) * L_per, L))
+            for j, g in enumerate(lists):
+                slabs_sh[s, j] = self.slabs[g]
+                ids_sh[s, j * R : (j + 1) * R] = self.slab_ids[g]
+                if raw_sh is not None:
+                    raw_sh[s, j * R : (j + 1) * R] = self.raw_flat[g * R : (g + 1) * R]
+            for j, g in enumerate(range(s, n_sp, n_shards)):
+                lj = L_per + j
+                slabs_sh[s, lj] = spill_chunks[g]
+                ids_sh[s, lj * R : (lj + 1) * R] = spill_ids_c[g]
+                if raw_sh is not None:
+                    raw_sh[s, lj * R : (lj + 1) * R] = (
+                        self.raw_flat[(L + g) * R : (L + g + 1) * R]
+                    )
+        return {
+            "slabs": slabs_sh, "ids": ids_sh, "raw": raw_sh,
+            "L_per": L_per, "sp_per": sp_per, "C_local": C_local,
+        }
+
+    def sharded_searcher(
+        self,
+        mesh,
+        k: int = 10,
+        nprobe: int | None = None,
+        rescore_factor: int = 4,
+        interpret: bool = False,
+        use_pallas: bool = True,
+    ):
+        """Multi-chip IVF search closure over a mesh with a 'shard' axis.
+
+        The corpus's inverted lists live partitioned across chips' HBM
+        (the configuration for corpora beyond one chip); the coarse
+        quantizer is replicated. Per query batch: every chip computes the
+        same global probe set, keeps the lists IT owns (others point at
+        its empty chunk), scans them with the probe-major kernel, rescores
+        from its local bf16 copy, and contributes a per-shard top-k that
+        is all-gathered over ICI and merged with cross-shard
+        dual-assignment de-duplication.
+
+        Returns ``(B, D) f32 -> (scores (B,k), doc_ids (B,k))`` device fn.
+        """
+        import jax
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..kernels.mips import ivf_probe_scores, _quantize_queries, merge_topk
+
+        R = self.slabs.shape[1]
+        if not (self.config.dtype == "int8" and self.raw_flat is not None and R % 128 == 0):
+            raise ValueError(
+                "sharded IVF needs int8 + rescore copies + slab_rows % 128 == 0"
+            )
+        n_shards = mesh.shape["shard"]
+        nprobe = min(int(nprobe or self.config.ivf_nprobe), self.centroids.shape[0])
+        sa = self._sharded_arrays(n_shards)
+        L_per, sp_per, C_local = sa["L_per"], sa["sp_per"], sa["C_local"]
+        empty_local = C_local - 1
+        shard_leading = NamedSharding(mesh, P("shard"))
+        slabs_d = jax.device_put(sa["slabs"], shard_leading)
+        ids_d = jax.device_put(sa["ids"], shard_leading)
+        raw_d = jax.device_put(np.asarray(sa["raw"]), shard_leading)
+        cents_d = jax.device_put(self.centroids, NamedSharding(mesh, P(None, None)))
+        n_lists = self.slabs.shape[0]
+        c_rescore = max(k, min(rescore_factor * k, nprobe * R))
+
+        def body(q, cents, slabs_l, ids_l, raw_l):
+            # leading shard dim of the locals is 1 inside shard_map
+            slabs_l, ids_l, raw_l = slabs_l[0], ids_l[0], raw_l[0]
+            b = q.shape[0]
+            s_idx = jax.lax.axis_index("shard")
+            coarse = jnp.dot(q, cents.T, preferred_element_type=jnp.float32)
+            _, probe = jax.lax.top_k(coarse, nprobe)          # global list ids
+            owner = probe // L_per
+            local = probe % L_per
+            flat = jnp.where(owner == s_idx, local, empty_local).reshape(-1)
+            always = jnp.arange(L_per, L_per + sp_per, dtype=jnp.int32)
+            p_max = min(b * nprobe, L_per) + sp_per + 1        # +1: empty slot
+            uids = jnp.unique(
+                jnp.concatenate([flat.astype(jnp.int32), always]),
+                size=p_max, fill_value=empty_local,
+            )
+            if use_pallas:
+                cand, _ = ivf_probe_scores(q, slabs_l, uids, interpret=interpret)
+            else:
+                qk, _ = _quantize_queries(q)
+                gathered = jnp.take(slabs_l, uids, axis=0)    # (P, R, D)
+                cand = jax.lax.dot_general(
+                    qk, gathered.reshape(-1, gathered.shape[-1]),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )                                              # (B, P*R)
+            kr = min(c_rescore, cand.shape[1])
+            vi, pos = jax.lax.top_k(cand, kr)
+            pos = pos.astype(jnp.int32)
+            slot = uids[pos // R] * R + pos % R
+            doc = ids_l[jnp.clip(slot, 0, ids_l.shape[0] - 1)]
+            valid = doc >= 0
+            first_dup = (doc[:, None, :] == doc[:, :, None]) & jnp.tril(
+                jnp.ones((kr, kr), bool), k=-1
+            )[None]
+            valid &= ~first_dup.any(axis=2)
+            rows = jnp.clip(slot, 0, raw_l.shape[0] - 1)
+            cvec = jnp.take(raw_l, rows, axis=0)
+            re_s = jax.lax.dot_general(
+                cvec, q.astype(cvec.dtype), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            re_s = jnp.where(valid, re_s, -jnp.inf)
+            top_s, sel = jax.lax.top_k(re_s, k)
+            top_i = jnp.where(jnp.isfinite(top_s),
+                              jnp.take_along_axis(doc, sel, axis=1), PAD_ID)
+            # fan-in over ICI + cross-shard dedupe (a dual-assignment
+            # copy and its primary can live on different shards)
+            all_s = jax.lax.all_gather(top_s, "shard", axis=1, tiled=True)
+            all_i = jax.lax.all_gather(top_i, "shard", axis=1, tiled=True)
+            m = all_s.shape[1]
+            s2, sel2 = jax.lax.top_k(all_s, m)
+            i2 = jnp.take_along_axis(all_i, sel2, axis=1)
+            dup = (i2[:, :, None] == i2[:, None, :]) & jnp.tril(
+                jnp.ones((m, m), bool), k=-1
+            )[None]
+            s2 = jnp.where((i2 >= 0) & ~dup.any(axis=2), s2, -jnp.inf)
+            return merge_topk(s2, jnp.where(jnp.isfinite(s2), i2, PAD_ID), k)
+
+        f = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(None, None), P(None, None), P("shard"), P("shard"), P("shard")),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )
+        jf = jax.jit(f)
+
+        def fn(q):
+            return jf(jnp.asarray(q, jnp.float32), cents_d, slabs_d, ids_d, raw_d)
+
+        return fn
+
     # ---------------- persistence ----------------
 
     def save(self, path: str | Path) -> None:
