@@ -227,3 +227,45 @@ def test_sharded_ivf_xla_fallback(pallas_scale_corpus):
                               use_pallas=False)
     _, i = fn(q)
     assert recall_vs_exact(np.asarray(i), np.asarray(ref), k=10) >= 0.95
+
+
+def test_engine_with_ivf_route(pallas_scale_corpus):
+    """SearchEngine(ivf_index=...) routes unfiltered queries through the
+    probe-major IVF path (serving integration); filtered queries keep
+    the flat masked scan."""
+    from theoremsearch_tpu.search import CorpusMetadata, SearchEngine, SearchFilters
+    from theoremsearch_tpu.index import FlatIndex
+
+    emb, q, idx = pallas_scale_corpus
+    n = emb.shape[0]
+    rows = [
+        {"paper_id": f"p{i}", "paper_title": f"T{i}", "authors": [],
+         "link": "https://arxiv.org/abs/x", "year": 2000 + (i % 30),
+         "primary_category": "math.AG", "journal_ref": None, "citations": i,
+         "theorem_name": "Theorem 1.", "theorem_body": "b", "slogan": "s"}
+        for i in range(n)
+    ]
+    flat = FlatIndex.build(emb, config=IndexConfig(pad_multiple=1024, dtype="float32"),
+                           normalize=False)
+    eng = SearchEngine(
+        flat, meta=CorpusMetadata.from_rows(rows), use_pallas=True,
+        pallas_interpret=True, row_block=128, ivf_index=idx, ivf_nprobe=8,
+        rescore_factor=8,
+    )
+    _, ref = exact_topk(q, emb, k=10)
+    s, i = eng.search_vectors(q, k=10)
+    assert recall_vs_exact(i, np.asarray(ref), k=10) >= 0.95
+    # async path too
+    s2, i2 = eng.search_vectors_async(q, k=10)()
+    np.testing.assert_array_equal(i, i2)
+    # filtered query uses the flat masked scan and respects the filter
+    f = SearchFilters(year_range=(2000, 2004))
+    _, fi = eng.search_vectors(q[:2], k=5, filters=f)
+    for d in fi.ravel():
+        if d >= 0:
+            assert 2000 + (int(d) % 30) <= 2004
+    # an all-pass filter routes back to the fast (IVF) path
+    from theoremsearch_tpu.search.filters import compile_filter_mask
+    assert compile_filter_mask(
+        SearchFilters(year_range=(1900, 2100)), eng.meta
+    ) is None

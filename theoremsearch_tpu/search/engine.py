@@ -61,6 +61,8 @@ class SearchEngine:
         rescore_vectors: np.ndarray | None = None,
         rescore_factor: int = 4,
         pallas_interpret: bool = False,
+        ivf_index=None,
+        ivf_nprobe: int | None = None,
     ):
         """rescore_vectors: optional host-resident (num_rows, D) bf16/f32
         copy of the original embeddings; when present, int8/bf16 scans
@@ -153,6 +155,29 @@ class SearchEngine:
         self._rescore_device = (
             jnp.asarray(self.rescore_vectors, jnp.bfloat16) if self._speed_ok else None
         )
+
+        # optional IVF route for UNFILTERED single-chip queries: the
+        # low-latency knob (probe-major Pallas path, IVF_BENCH). Filtered
+        # queries always use the flat masked scan — a filter mask does
+        # not compose with coarse probing without recall loss.
+        self.ivf = ivf_index
+        self.ivf_nprobe = ivf_nprobe
+        self._ivf_fns: dict[int, Callable] = {}
+        if ivf_index is not None and mesh is not None:
+            raise ValueError(
+                "pass ivf_index without a mesh; multi-chip IVF is "
+                "IVFIndex.sharded_searcher"
+            )
+
+    def _ivf_fn(self, k: int) -> Callable:
+        if k not in self._ivf_fns:
+            self._ivf_fns[k] = self.ivf.device_searcher(
+                k=k,
+                nprobe=self.ivf_nprobe,
+                rescore_factor=self.rescore_factor,
+                interpret=self.pallas_interpret,
+            )
+        return self._ivf_fns[k]
 
     # ------------------------------------------------------------------
     # device search
@@ -327,6 +352,16 @@ class SearchEngine:
                     [qh, np.zeros((b_pad - b, qh.shape[1]), np.float32)]
                 )
             q = jnp.asarray(qh)
+        if self.ivf is not None:
+            s, i = self._ivf_fn(k)(q)   # rescores on device internally
+
+            def finalize_ivf() -> tuple[np.ndarray, np.ndarray]:
+                s_h = np.asarray(s)[:b]
+                i_h = np.asarray(i)[:b]
+                return s_h, np.where(np.isfinite(s_h), i_h, PAD_ID)
+
+            return finalize_ivf
+
         fn_k = k if self._speed_ok else k_dev
         fn, rescored_on_device = self._get_search_fn(fn_k, with_bias=False)
         s, i = fn(q)  # dispatched; not synced
@@ -376,7 +411,10 @@ class SearchEngine:
             mask = compile_filter_mask(filters, self.meta)
 
         rescored_on_device = False
-        if mask is None:
+        if mask is None and self.ivf is not None:
+            s, i = self._ivf_fn(k)(q)
+            rescored_on_device = True
+        elif mask is None:
             # speed path builds for the FINAL k (it oversamples inside)
             fn_k = k if self._speed_ok else k_dev
             fn, rescored_on_device = self._get_search_fn(fn_k, with_bias=False)

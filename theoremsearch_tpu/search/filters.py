@@ -173,4 +173,8 @@ def compile_filter_mask(f: SearchFilters, meta: CorpusMetadata) -> np.ndarray | 
         else:
             mask &= known & in_range
 
+    if mask.all():
+        # non-default filters that exclude nothing (e.g. a year range
+        # covering the corpus): take the unfiltered fast path
+        return None
     return mask
