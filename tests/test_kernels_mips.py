@@ -246,3 +246,43 @@ def test_device_rescore_masks_invalid(rng):
     i = np.asarray(i)
     assert (i >= 0).all()
     assert (i < 60).all()  # 63 >= n_valid must not be returned
+
+
+def test_fused_g_with_filter_mask(rng):
+    """Masked speed path: excluded rows never surface; the surviving
+    ranking matches the exact quantized oracle restricted to the mask;
+    queries with < k passing docs pad with -1/-inf."""
+    from theoremsearch_tpu.kernels import device_rescore, fused_mips_topk_g
+
+    x, q, codes, scale = _make_global(rng, n=4096, d=256, b=8)
+    mask = rng.random(4096) < 0.3
+    s, i = fused_mips_topk_g(
+        q, codes, scale, 4096, jnp.asarray(mask), k=40, row_block=512,
+        recall_target=0.99, interpret=True,
+    )
+    i = np.asarray(i)
+    # nothing excluded leaks through
+    sel = i[i >= 0]
+    assert mask[sel].all()
+    # rescored top-10 ~= exact oracle over the masked rows
+    rs, ri = device_rescore(jnp.asarray(q), jnp.asarray(i), jnp.asarray(x), 4096, k=10)
+    ref = np.where(mask[None, :], q @ x.T, -np.inf)
+    ref_ids = np.argsort(-ref, axis=1)[:, :10]
+    overlap = np.mean([
+        len(set(np.asarray(ri)[r].tolist()) & set(ref_ids[r].tolist())) / 10
+        for r in range(8)
+    ])
+    assert overlap >= 0.95, overlap
+
+    # near-empty mask: only 3 docs pass -> 3 valid results, rest padded
+    tiny = np.zeros(4096, bool)
+    tiny[[5, 700, 3000]] = True
+    s2, i2 = fused_mips_topk_g(
+        q, codes, scale, 4096, jnp.asarray(tiny), k=10, row_block=512,
+        recall_target=0.99, interpret=True,
+    )
+    i2 = np.asarray(i2)
+    for r in range(8):
+        real = set(i2[r][i2[r] >= 0].tolist())
+        assert real == {5, 700, 3000}
+    assert (np.asarray(s2)[:, 3:] == -np.inf).all()

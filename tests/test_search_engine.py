@@ -337,3 +337,37 @@ def test_engine_speed_path_global_int8(corpus):
     # rescored scores are bf16-grade exact inner products
     exp = np.take_along_axis(q @ emb.T, i, axis=1)
     np.testing.assert_allclose(s, exp, atol=5e-3)
+
+
+def test_engine_speed_path_filtered(corpus, meta):
+    """FILTERED queries on a speed-path engine ride the masked maxima-scan
+    kernel (not the per-row path) and agree with the XLA bias path."""
+    emb, q = corpus
+    idx = FlatIndex.build(
+        emb,
+        config=IndexConfig(pad_multiple=256, dtype="int8", int8_scale="global"),
+        normalize=False,
+    )
+    eng = SearchEngine(
+        idx, meta=meta, use_pallas=True, pallas_interpret=True, row_block=128,
+        rescore_vectors=emb, rescore_factor=8,
+    )
+    assert eng._speed_ok
+    eng_x = SearchEngine(idx, meta=meta, use_pallas=False, row_block=128,
+                         rescore_vectors=emb, rescore_factor=8)
+    filters = SearchFilters(sources=["arXiv"], year_range=(2010, 2024))
+    s, i = eng.search_vectors(q[:8], k=10, filters=filters)
+    s_x, i_x = eng_x.search_vectors(q[:8], k=10, filters=filters)
+    from theoremsearch_tpu.search.filters import compile_filter_mask
+
+    mask = compile_filter_mask(filters, meta)
+    # only passing docs are returned
+    for row in i:
+        for d in row:
+            if d >= 0:
+                assert mask[d]
+    # both rescored paths rank against the same fp32 products
+    overlap = np.mean([
+        len(set(i[r].tolist()) & set(i_x[r].tolist())) / 10 for r in range(8)
+    ])
+    assert overlap >= 0.9, overlap

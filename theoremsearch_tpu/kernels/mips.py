@@ -300,9 +300,10 @@ INT32_LOW = -(2**26)
 
 
 def _mips_g_kernel(
-    *refs,       # [nvalid_ref if has_padding], q_ref, c_ref, out_ref
+    *refs,       # [nvalid_ref if has_padding], q_ref, c_ref, [mask_ref], out_ref
     row_block: int,
     has_padding: bool,
+    has_mask: bool = False,
 ):
     """Streaming packed-lane-maxima scan on a GLOBAL-scale int8 corpus —
     the speed path of the MIPS engine.
@@ -343,10 +344,12 @@ def _mips_g_kernel(
     elided when the corpus is unpadded — the predicated branches alone
     measured ~15% slower on the unpadded headline scan.
     """
-    if has_padding:
-        nvalid_ref, q_ref, c_ref, out_ref = refs
-    else:
-        q_ref, c_ref, out_ref = refs
+    it = iter(refs)
+    nvalid_ref = next(it) if has_padding else None
+    q_ref = next(it)
+    c_ref = next(it)
+    mask_ref = next(it) if has_mask else None
+    out_ref = next(it)
     i = pl.program_id(0)
     b = q_ref.shape[0]
     g = row_block // 128
@@ -363,6 +366,14 @@ def _mips_g_kernel(
         m1 = None
         for grp in range(g):
             sl = (acc[:, grp * 128 : (grp + 1) * 128] << g_shift) | grp
+            if mask_ref is not None:
+                # filter mask: excluded rows drop below every real score
+                # BEFORE the lane reduction (filtered search at speed-path
+                # rates; streamed (1, row_block) int8, 0 = excluded)
+                sl = jnp.where(
+                    mask_ref[0, grp * 128 : (grp + 1) * 128][None, :] != 0,
+                    sl, INT32_MIN,
+                )
             if masked:
                 sl = jnp.where(lane + grp * 128 < remaining, sl, INT32_MIN)
             m1 = sl if m1 is None else jnp.maximum(m1, sl)
@@ -392,6 +403,7 @@ def fused_mips_topk_g(
     codes: jax.Array,
     global_scale: jax.Array | float,
     n_valid: jax.Array | int | None = None,
+    mask: jax.Array | None = None,
     *,
     k: int = 40,
     row_block: int = 4096,
@@ -408,6 +420,10 @@ def fused_mips_topk_g(
              honest serving pipeline (retrieve-k -> exact rescore).
     recall_target: approx_max_k epilogue target (selection over the
              per-lane maxima; misses are rescued by oversampling).
+    mask:    optional (N_pad,) bool/int8 filter, True/1 = doc passes —
+             excluded rows drop to INT32_MIN before the lane reduction,
+             so FILTERED search runs at speed-path rates (the streamed
+             mask adds 1 byte/row of bandwidth).
 
     Returns (scores (B, k) f32 desc, ids (B, k) i32 corpus rows; -1 ids
     and -inf scores for invalid slots).
@@ -430,9 +446,11 @@ def fused_mips_topk_g(
     if n_valid is None:
         n_valid = n_pad
     has_padding = not (isinstance(n_valid, (int, np.integer)) and int(n_valid) == n_pad)
+    if mask is not None:
+        mask = jnp.asarray(mask).astype(jnp.int8).reshape(1, n_pad)
     return _fused_mips_topk_g_impl(
         queries, codes, global_scale,
-        jnp.asarray(n_valid, jnp.int32),
+        jnp.asarray(n_valid, jnp.int32), mask,
         k=k, row_block=row_block, recall_target=recall_target,
         interpret=interpret, has_padding=has_padding,
     )
@@ -447,6 +465,7 @@ def _fused_mips_topk_g_impl(
     codes: jax.Array,
     global_scale: jax.Array | float,
     n_valid: jax.Array,
+    mask: jax.Array | None,
     *,
     k: int,
     row_block: int,
@@ -480,35 +499,44 @@ def _fused_mips_topk_g_impl(
         ),
         **params,
     )
+    has_mask = mask is not None
     kernel = functools.partial(
-        _mips_g_kernel, row_block=row_block, has_padding=has_padding
+        _mips_g_kernel, row_block=row_block, has_padding=has_padding,
+        has_mask=has_mask,
     )
+    mask_args = (mask,) if has_mask else ()
     if has_padding:
         nvalid_arr = jnp.asarray(n_valid, dtype=jnp.int32).reshape(1, 1)
+        in_specs = [
+            pl.BlockSpec((b, d), lambda i, *_: (0, 0)),
+            pl.BlockSpec((row_block, d), lambda i, *_: (i, 0)),
+        ]
+        if has_mask:
+            in_specs.append(pl.BlockSpec((1, row_block), lambda i, *_: (0, i)))
         cand = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(n_tiles,),
-                in_specs=[
-                    pl.BlockSpec((b, d), lambda i, *_: (0, 0)),
-                    pl.BlockSpec((row_block, d), lambda i, *_: (i, 0)),
-                ],
+                in_specs=in_specs,
                 out_specs=pl.BlockSpec((b, 128), lambda i, *_: (0, i)),
             ),
             **common,
-        )(nvalid_arr, qk, codes)
+        )(nvalid_arr, qk, codes, *mask_args)
     else:
+        in_specs = [
+            pl.BlockSpec((b, d), lambda i: (0, 0)),
+            pl.BlockSpec((row_block, d), lambda i: (i, 0)),
+        ]
+        if has_mask:
+            in_specs.append(pl.BlockSpec((1, row_block), lambda i: (0, i)))
         cand = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec((b, d), lambda i: (0, 0)),
-                pl.BlockSpec((row_block, d), lambda i: (i, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((b, 128), lambda i: (0, i)),
             **common,
-        )(qk, codes)
+        )(qk, codes, *mask_args)
 
     # epilogue: approximate selection over the packed maxima (f32 cast
     # rounds the low packed bits — only reorders near-ties; the original

@@ -235,6 +235,36 @@ class SearchEngine:
 
                 return speed, True
 
+            if self._speed_ok and with_bias == "mask":
+                # FILTERED speed path: the bool mask streams through the
+                # maxima-scan kernel (excluded rows -> INT32_MIN before
+                # the lane reduction) — filtered queries run at
+                # speed-path rates instead of the per-row kernel's
+                gscale = self._global_scale
+                kr = min(max(k, self.rescore_factor * k), self.padded_rows)
+                ids_dev = self.ids
+                rescore_dev = self._rescore_device
+                row_block = self.row_block
+                interpret = self.pallas_interpret
+                n_valid = self.n_valid
+
+                def speed_mask_impl(q, m, vectors, rescore, ids):
+                    _, li = fused_mips_topk_g(
+                        q, vectors, gscale, n_valid, m,
+                        k=kr, row_block=row_block, interpret=interpret,
+                    )
+                    s, li = device_rescore(q, li, rescore, n_valid, k=k)
+                    gids = jnp.where(li >= 0, ids[li.clip(0)], PAD_ID)
+                    return s, gids
+
+                jm = jax.jit(speed_mask_impl)
+                vectors = self.vectors
+
+                def speed_mask(q, m):
+                    return jm(q, m, vectors, self._rescore_device, ids_dev)
+
+                return speed_mask, True
+
             def single(q, bias):
                 s, li = self._local_topk(
                     q, self.vectors, self.scales, bias, n_valid, k
@@ -419,6 +449,13 @@ class SearchEngine:
             fn_k = k if self._speed_ok else k_dev
             fn, rescored_on_device = self._get_search_fn(fn_k, with_bias=False)
             s, i = fn(q)
+        elif self._speed_ok:
+            # filtered speed path: int8 mask streamed through the
+            # maxima-scan kernel; rescoring happens on device
+            mask_host = np.zeros(self.padded_rows, np.int8)
+            mask_host[: mask.shape[0]] = mask
+            fn, rescored_on_device = self._get_search_fn(k, with_bias="mask")
+            s, i = fn(q, jnp.asarray(mask_host))
         else:
             bias_host = np.where(mask, 0.0, NEG_INF).astype(np.float32)
             pad = self.padded_rows - bias_host.shape[0]
