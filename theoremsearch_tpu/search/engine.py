@@ -63,6 +63,7 @@ class SearchEngine:
         pallas_interpret: bool = False,
         ivf_index=None,
         ivf_nprobe: int | None = None,
+        ivf_max_batch: int = 16,
     ):
         """rescore_vectors: optional host-resident (num_rows, D) bf16/f32
         copy of the original embeddings; when present, int8/bf16 scans
@@ -161,7 +162,15 @@ class SearchEngine:
         # queries always use the flat masked scan — a filter mask does
         # not compose with coarse probing without recall loss.
         self.ivf = ivf_index
-        self.ivf_nprobe = ivf_nprobe
+        # default nprobe 16: on the 1M bench nprobe=8 recall dipped to
+        # 0.9875 on some query draws; 16 clears the 0.99 gate at 2.2 ms
+        self.ivf_nprobe = ivf_nprobe or 16
+        # IVF wins only at small batches: its exact-top-k epilogue scales
+        # with the probed width, and batch-deduped probing approaches all
+        # lists as B grows (measured crossover at B~16-32 on 1M:
+        # experiments/exp_ivf_bsweep.py — 2.5 vs 3.4 ms at B=8, but
+        # 1731 vs 5.7 ms at B=512). Bigger batches route to the flat scan.
+        self.ivf_max_batch = ivf_max_batch
         self._ivf_fns: dict[int, Callable] = {}
         if ivf_index is not None and mesh is not None:
             raise ValueError(
@@ -382,7 +391,7 @@ class SearchEngine:
                     [qh, np.zeros((b_pad - b, qh.shape[1]), np.float32)]
                 )
             q = jnp.asarray(qh)
-        if self.ivf is not None:
+        if self.ivf is not None and b <= self.ivf_max_batch:
             s, i = self._ivf_fn(k)(q)   # rescores on device internally
 
             def finalize_ivf() -> tuple[np.ndarray, np.ndarray]:
@@ -441,7 +450,7 @@ class SearchEngine:
             mask = compile_filter_mask(filters, self.meta)
 
         rescored_on_device = False
-        if mask is None and self.ivf is not None:
+        if mask is None and self.ivf is not None and b <= self.ivf_max_batch:
             s, i = self._ivf_fn(k)(q)
             rescored_on_device = True
         elif mask is None:
