@@ -174,3 +174,36 @@ def test_pipelined_device_encode_and_mixed_batch(engine):
     for j in range(5):
         np.testing.assert_allclose(np.sort(got[j][0]), np.sort(np.asarray(ref_s[j])), atol=1e-5)
     sched.shutdown()
+
+
+def test_mixed_batch_with_real_padded_encode_device(engine):
+    """Regression: BatchedEncoder.encode_device pads its output to a
+    power of two; in a mixed text+vector batch those junk rows must NOT
+    shift the vector requests' results."""
+    import jax
+
+    from theoremsearch_tpu.core.config import EncoderConfig
+    from theoremsearch_tpu.encoder.batching import BatchedEncoder
+    from theoremsearch_tpu.encoder.model import init_params
+
+    eng, emb = engine
+    cfg = EncoderConfig.tiny().replace(embedding_dim=64, hidden_size=64,
+                                       num_heads=2, num_kv_heads=1, head_dim=32)
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    be = BatchedEncoder(params, cfg, batch_size=16, buckets=(16,))
+    # 3 texts -> encode_device returns 8 rows (pow2), 5 junk
+    assert be.encode_device(["a", "b", "c"]).shape[0] == 8
+
+    sched = BatchScheduler(eng, max_batch=16, max_wait_ms=60,
+                           encode_fn=be.encode_device)
+    rng = np.random.default_rng(9)
+    qv = np.asarray(l2_normalize(rng.standard_normal((2, 64)).astype(np.float32)))
+    futs = [sched.submit_text(f"query {i}", k=4) for i in range(3)]
+    futs += [sched.submit(qv[i], k=4) for i in range(2)]
+    got = [f.result(10) for f in futs]
+    # the vector requests must match a direct engine search exactly
+    ref_s, ref_i = eng.search_vectors(qv, k=4)
+    for j in range(2):
+        np.testing.assert_allclose(got[3 + j][0], ref_s[j], atol=1e-5)
+        np.testing.assert_array_equal(got[3 + j][1], ref_i[j])
+    sched.shutdown()

@@ -172,19 +172,24 @@ class BatchScheduler:
         if not any_filters and batch:
             # fast path: one matrix, one async dispatch, resolver syncs
             vec_reqs = [r for r in batch if r.vec is not None]
-            parts = []
-            if text_reqs:
-                parts.append(enc)
-            if vec_reqs:
-                parts.append(_np.stack([r.vec for r in vec_reqs]))
             reqs = text_reqs + vec_reqs
             try:
-                if len(parts) == 1:
-                    q = parts[0]
+                if text_reqs and not vec_reqs:
+                    # encode_device output may carry power-of-two padding
+                    # rows BEYOND the real count — fine here, the
+                    # resolver only reads rows [0, len(reqs))
+                    q = enc
+                elif text_reqs:
+                    # mixed batch (rare): those padding rows would sit in
+                    # the MIDDLE of a device concat and misalign every
+                    # vector request after them — assemble on the host,
+                    # sliced to the real count
+                    q = _np.concatenate([
+                        _np.asarray(enc)[: len(text_reqs)],
+                        _np.stack([r.vec for r in vec_reqs]),
+                    ])
                 else:
-                    import jax.numpy as jnp
-
-                    q = jnp.concatenate([jnp.asarray(p, jnp.float32) for p in parts])
+                    q = _np.stack([r.vec for r in vec_reqs])
                 k_max = max(r.k for r in reqs)
                 fin = self.engine.search_vectors_async(q, k=k_max)
                 self._rq.put((reqs, fin))
