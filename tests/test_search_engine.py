@@ -371,3 +371,40 @@ def test_engine_speed_path_filtered(corpus, meta):
         len(set(i[r].tolist()) & set(i_x[r].tolist())) / 10 for r in range(8)
     ])
     assert overlap >= 0.9, overlap
+
+
+def test_sharded_speed_path(corpus):
+    """Multi-chip speed path: per-shard maxima-scan kernel + LOCAL device
+    rescore (row-sharded bf16 copy) + ICI all_gather merge must hit the
+    0.99 gate and agree with the single-chip speed path."""
+    emb, q = corpus
+    idx = FlatIndex.build(
+        emb,
+        config=IndexConfig(pad_multiple=256, dtype="int8", int8_scale="global"),
+        normalize=False,
+    )
+    mesh = make_mesh(MeshConfig(data=1, shard=4))
+    eng_m = SearchEngine(
+        idx, mesh=mesh, use_pallas=True, pallas_interpret=True, row_block=128,
+        rescore_vectors=emb, rescore_factor=8,
+    )
+    assert eng_m._sharded_speed_ok
+    eng_1 = SearchEngine(
+        idx, use_pallas=True, pallas_interpret=True, row_block=128,
+        rescore_vectors=emb, rescore_factor=8,
+    )
+    s_m, i_m = eng_m.search_vectors(q, k=10)
+    s_1, i_1 = eng_1.search_vectors(q, k=10)
+    _, ref = exact_topk(q, emb, k=10)
+    from theoremsearch_tpu.eval.metrics import recall_vs_exact
+
+    assert recall_vs_exact(i_m, np.asarray(ref), k=10) >= 0.99
+    # both rescored paths rank by the same bf16-exact products
+    overlap = np.mean([
+        len(set(i_m[r].tolist()) & set(i_1[r].tolist())) / 10 for r in range(len(q))
+    ])
+    assert overlap >= 0.99, overlap
+    np.testing.assert_allclose(s_m, s_1, atol=5e-3)
+    # async path works sharded too
+    s_a, i_a = eng_m.search_vectors_async(q, k=10)()
+    np.testing.assert_array_equal(i_a, i_m)

@@ -151,11 +151,34 @@ class SearchEngine:
             and self.padded_rows % max(self.row_block, 128) == 0
         )
         rb = self.row_block
-        if self._speed_ok and (rb % 128 or (rb // 128) & (rb // 128 - 1)):
+        rb_ok = not (rb % 128 or (rb // 128) & (rb // 128 - 1))
+        if self._speed_ok and not rb_ok:
             self._speed_ok = False
         self._rescore_device = (
             jnp.asarray(self.rescore_vectors, jnp.bfloat16) if self._speed_ok else None
         )
+
+        # multi-chip speed path: per-shard maxima scan + LOCAL device
+        # rescore from a row-sharded bf16 copy, then the usual ICI
+        # all_gather merge — each chip rescores only its own candidates
+        self._sharded_speed_ok = (
+            mesh is not None
+            and self.use_pallas
+            and self._global_scale > 0
+            and self.rescore_vectors is not None
+            and self._rescore_sorted_ids is None
+            and rb_ok
+        )
+        if self._sharded_speed_ok:
+            import ml_dtypes
+
+            resc = np.zeros((self.padded_rows, self.dim), ml_dtypes.bfloat16)
+            resc[: self.rescore_vectors.shape[0]] = self.rescore_vectors.astype(
+                ml_dtypes.bfloat16
+            )
+            self._rescore_device = jax.device_put(
+                resc, NamedSharding(mesh, P("shard", None))
+            )
 
         # optional IVF route for UNFILTERED single-chip queries: the
         # low-latency knob (probe-major Pallas path, IVF_BENCH). Filtered
@@ -290,6 +313,39 @@ class SearchEngine:
         ids = self.ids
         vectors = self.vectors
 
+        if not with_bias and self._sharded_speed_ok:
+            from jax import shard_map as _shard_map
+
+            gscale = self._global_scale
+            kr = min(max(k, self.rescore_factor * k), self.rows_per_shard)
+            row_block = self.row_block
+            interpret = self.pallas_interpret
+            rescore_dev = self._rescore_device
+
+            def shard_body_speed(q, corpus, ids_shard, rescore_shard):
+                shard_idx = jax.lax.axis_index("shard")
+                local_valid = jnp.clip(
+                    n_valid - shard_idx * rows_per_shard, 0, rows_per_shard
+                )
+                _, li = fused_mips_topk_g(
+                    q, corpus, gscale, local_valid,
+                    k=kr, row_block=row_block, interpret=interpret,
+                )
+                s, li = device_rescore(q, li, rescore_shard, local_valid, k=k)
+                gids = jnp.where(li >= 0, ids_shard[li.clip(0)], PAD_ID)
+                all_s = jax.lax.all_gather(s, "shard", axis=1, tiled=True)
+                all_i = jax.lax.all_gather(gids, "shard", axis=1, tiled=True)
+                return merge_topk(all_s, jnp.where(all_i < 0, PAD_ID, all_i), k)
+
+            f = _shard_map(
+                shard_body_speed,
+                mesh=mesh,
+                in_specs=(P(None, None), P("shard", None), P("shard"), P("shard", None)),
+                out_specs=(P(None, None), P(None, None)),
+                check_vma=False,
+            )
+            return jax.jit(lambda q: f(q, vectors, ids, rescore_dev)), True
+
         def shard_body(q, corpus, ids_shard, scales_shard, bias_shard):
             shard_idx = jax.lax.axis_index("shard")
             local_valid = jnp.clip(
@@ -401,7 +457,7 @@ class SearchEngine:
 
             return finalize_ivf
 
-        fn_k = k if self._speed_ok else k_dev
+        fn_k = k if (self._speed_ok or self._sharded_speed_ok) else k_dev
         fn, rescored_on_device = self._get_search_fn(fn_k, with_bias=False)
         s, i = fn(q)  # dispatched; not synced
 
@@ -455,7 +511,7 @@ class SearchEngine:
             rescored_on_device = True
         elif mask is None:
             # speed path builds for the FINAL k (it oversamples inside)
-            fn_k = k if self._speed_ok else k_dev
+            fn_k = k if (self._speed_ok or self._sharded_speed_ok) else k_dev
             fn, rescored_on_device = self._get_search_fn(fn_k, with_bias=False)
             s, i = fn(q)
         elif self._speed_ok:
