@@ -169,3 +169,23 @@ def test_encode_long_chunk_and_pool(enc):
     rep = be.encode_long([" ".join([chunk] * 8)], chunk_tokens=20)
     single = be.encode([chunk])
     assert float(rep[0] @ single[0]) > 0.9
+
+
+def test_batched_encoder_nonpow2_data_axis(enc):
+    """P('data', None) inputs need batch % data_axis == 0: a 5-device data
+    mesh must still encode (pow2 buckets alone would pad 3 -> 8, which 5
+    does not divide ... 8 % 5 != 0 -> _prep_batch rounds up to 10)."""
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    devs = jax.devices()[:5]
+    mesh = Mesh(_np.array(devs), ("data",))
+    be = BatchedEncoder(
+        enc.params, enc.cfg, mesh=mesh, batch_size=16, buckets=(16, 32)
+    )
+    out = be.encode(["alpha beta", "gamma", "delta epsilon zeta"])
+    assert out.shape == (3, enc.cfg.embedding_dim)
+    ref = BatchedEncoder(enc.params, enc.cfg, batch_size=16, buckets=(16, 32)).encode(
+        ["alpha beta", "gamma", "delta epsilon zeta"]
+    )
+    _np.testing.assert_allclose(out, ref, atol=2e-2)

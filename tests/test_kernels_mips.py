@@ -286,3 +286,53 @@ def test_fused_g_with_filter_mask(rng):
         real = set(i2[r][i2[r] >= 0].tolist())
         assert real == {5, 700, 3000}
     assert (np.asarray(s2)[:, 3:] == -np.inf).all()
+
+
+def test_exact_topk_wide_matches_lax(rng):
+    """The masked-path epilogue's two-stage exact top-k must equal a
+    single wide lax.top_k — including when all top values sit in ADJACENT
+    columns (the contiguous-filter case approx_max_k collapses on TPU)."""
+    from theoremsearch_tpu.kernels.mips import _exact_topk_wide
+
+    # random case, wide enough to take the segmented path (W > seg)
+    cand = jnp.asarray(rng.integers(-(2**25), 2**25, (4, 8192)), jnp.int32)
+    v, p = _exact_topk_wide(cand, 40)
+    rv, rp = jax.lax.top_k(cand, 40)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(v), np.take_along_axis(
+        np.asarray(cand), np.asarray(p), axis=1))
+
+    # adversarial: the 40 largest values are contiguous columns inside
+    # one segment
+    host = np.full((2, 8192), -1000, np.int32)
+    host[:, 3000:3040] = np.arange(40, dtype=np.int32)[None, :] + 5
+    v2, p2 = _exact_topk_wide(jnp.asarray(host), 40)
+    assert set(np.asarray(p2)[0].tolist()) == set(range(3000, 3040))
+    assert np.asarray(v2)[0, 0] == 44
+
+
+def test_fused_g_contiguous_range_mask(rng):
+    """A contiguous doc-id filter (year_range over an id-ordered corpus)
+    must surface exactly the masked range's best rows — the masked
+    epilogue selects exactly, so this holds by construction even where
+    approx_max_k's bin reduction would collapse adjacent survivors."""
+    from theoremsearch_tpu.kernels import device_rescore, fused_mips_topk_g
+
+    x, q, codes, scale = _make_global(rng, n=8192, d=256, b=8)
+    mask = np.zeros(8192, bool)
+    mask[4096:4608] = True  # one contiguous 512-row block
+    s, i = fused_mips_topk_g(
+        q, codes, scale, 8192, jnp.asarray(mask), k=40, row_block=512,
+        interpret=True,
+    )
+    i = np.asarray(i)
+    sel = i[i >= 0]
+    assert mask[sel].all()
+    rs, ri = device_rescore(jnp.asarray(q), jnp.asarray(i), jnp.asarray(x), 8192, k=10)
+    ref = np.where(mask[None, :], q @ x.T, -np.inf)
+    ref_ids = np.argsort(-ref, axis=1)[:, :10]
+    overlap = np.mean([
+        len(set(np.asarray(ri)[r].tolist()) & set(ref_ids[r].tolist())) / 10
+        for r in range(8)
+    ])
+    assert overlap >= 0.95, overlap

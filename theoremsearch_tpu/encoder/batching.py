@@ -138,6 +138,12 @@ class BatchedEncoder:
         while b_pad < len(idx):
             b_pad *= 2
         b_pad = min(b_pad, self.batch_size)
+        if self._data_sharding is not None:
+            # P('data', None) inputs need the batch dim divisible by the
+            # data axis; round the bucket up (pow2 buckets already cover
+            # pow2 axes <= 8, but not larger or non-pow2 data axes)
+            axis = self.mesh.shape["data"]
+            b_pad = ((max(b_pad, len(idx)) + axis - 1) // axis) * axis
         if len(idx) < b_pad:
             pad = b_pad - len(idx)
             ids = np.concatenate([ids, np.zeros((pad, width), np.int32)])

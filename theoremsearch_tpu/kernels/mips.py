@@ -398,6 +398,29 @@ def _mips_g_kernel(
 _INVALID_SCORE = INT32_LOW >> 1
 
 
+def _exact_topk_wide(cand: jax.Array, k: int, seg: int = 2048):
+    """Exact top-k over a wide (B, W) candidate row, two-stage.
+
+    Stage 1 takes per-segment top-k over W//seg segments, stage 2 merges
+    the segment winners. Exact: a global top-k element is beaten by fewer
+    than k elements overall, hence by fewer than k within its own segment,
+    so it survives stage 1. Keeping each sort narrow is markedly cheaper
+    on TPU than one W-wide lax.top_k (which measured ~40 ms at W=32k,
+    B=1024 on v5e)."""
+    b, w = cand.shape
+    if w <= seg or w % seg:
+        vi, pos = jax.lax.top_k(cand, k)
+        return vi, pos.astype(jnp.int32)
+    s = w // seg
+    k1 = min(k, seg)
+    vi1, p1 = jax.lax.top_k(cand.reshape(b, s, seg), k1)        # (B, S, k1)
+    base = (jnp.arange(s, dtype=jnp.int32) * seg)[None, :, None]
+    p1 = p1.astype(jnp.int32) + base
+    vi2, p2 = jax.lax.top_k(vi1.reshape(b, s * k1), k)
+    pos = jnp.take_along_axis(p1.reshape(b, s * k1), p2, axis=1)
+    return vi2, pos
+
+
 def fused_mips_topk_g(
     queries: jax.Array,
     codes: jax.Array,
@@ -409,6 +432,7 @@ def fused_mips_topk_g(
     row_block: int = 4096,
     recall_target: float = 0.97,
     interpret: bool = False,
+    exact_epilogue: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Global-scale int8 fused scan (the speed path; see _mips_g_kernel).
 
@@ -424,6 +448,11 @@ def fused_mips_topk_g(
              excluded rows drop to INT32_MIN before the lane reduction,
              so FILTERED search runs at speed-path rates (the streamed
              mask adds 1 byte/row of bandwidth).
+    exact_epilogue: None (default) selects exact top-k for masked scans
+             and approx_max_k otherwise; True/False overrides (the
+             masked default exists because contiguous-doc-id filters put
+             every survivor in adjacent columns, which approx_max_k's
+             bin reduction collapses on real TPU).
 
     Returns (scores (B, k) f32 desc, ids (B, k) i32 corpus rows; -1 ids
     and -inf scores for invalid slots).
@@ -448,17 +477,23 @@ def fused_mips_topk_g(
     has_padding = not (isinstance(n_valid, (int, np.integer)) and int(n_valid) == n_pad)
     if mask is not None:
         mask = jnp.asarray(mask).astype(jnp.int8).reshape(1, n_pad)
+    if exact_epilogue is None:
+        exact_epilogue = mask is not None
     return _fused_mips_topk_g_impl(
         queries, codes, global_scale,
         jnp.asarray(n_valid, jnp.int32), mask,
         k=k, row_block=row_block, recall_target=recall_target,
         interpret=interpret, has_padding=has_padding,
+        exact_epilogue=exact_epilogue,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "row_block", "recall_target", "interpret", "has_padding"),
+    static_argnames=(
+        "k", "row_block", "recall_target", "interpret", "has_padding",
+        "exact_epilogue",
+    ),
 )
 def _fused_mips_topk_g_impl(
     queries: jax.Array,
@@ -472,6 +507,7 @@ def _fused_mips_topk_g_impl(
     recall_target: float,
     interpret: bool,
     has_padding: bool,
+    exact_epilogue: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     n_pad, d = codes.shape
     b = queries.shape[0]
@@ -538,19 +574,30 @@ def _fused_mips_topk_g_impl(
             **common,
         )(qk, codes, *mask_args)
 
-    # epilogue: approximate selection over the packed maxima (f32 cast
-    # rounds the low packed bits — only reorders near-ties; the original
-    # int32 is re-gathered for exact decode), then unpack ids
+    # epilogue: selection over the packed maxima, then unpack ids
     k_eff = min(k, n_tiles * 128)
-    _, pos = jax.lax.approx_max_k(
-        cand.astype(jnp.float32), k_eff, recall_target=recall_target
-    )
-    pos = pos.astype(jnp.int32)
-    vi = jnp.take_along_axis(cand, pos, axis=1)
-    # exact re-sort of the selected k (approx_max_k order is approximate
-    # and the f32 cast rounds near-ties) — (B, k) only, negligible
-    vi, order = jax.lax.top_k(vi, k_eff)
-    pos = jnp.take_along_axis(pos, order, axis=1)
+    if exact_epilogue:
+        # EXACT selection for the masked path. approx_max_k bin-reduces
+        # adjacent columns on real TPU; a contiguous-doc-id filter (e.g.
+        # year_range over an id-ordered corpus) leaves all survivors in
+        # adjacent columns of `cand`, which a bin reduction collapses —
+        # filtered recall would silently die on chip while interpret-mode
+        # CI (where approx_max_k is exact) stays green.
+        vi, pos = _exact_topk_wide(cand, k_eff)
+    else:
+        # unfiltered: survivors land in random columns, where
+        # approx_max_k's loss model holds (f32 cast rounds the low packed
+        # bits — only reorders near-ties; the original int32 is
+        # re-gathered for exact decode)
+        _, pos = jax.lax.approx_max_k(
+            cand.astype(jnp.float32), k_eff, recall_target=recall_target
+        )
+        pos = pos.astype(jnp.int32)
+        vi = jnp.take_along_axis(cand, pos, axis=1)
+        # exact re-sort of the selected k (approx_max_k order is
+        # approximate and the f32 cast rounds near-ties) — (B, k) only
+        vi, order = jax.lax.top_k(vi, k_eff)
+        pos = jnp.take_along_axis(pos, order, axis=1)
     ids = (pos // 128) * row_block + (vi & (g - 1)) * 128 + pos % 128
     valid = vi > _INVALID_SCORE
     g_shift = g.bit_length() - 1

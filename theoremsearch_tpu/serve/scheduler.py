@@ -180,14 +180,18 @@ class BatchScheduler:
                     # resolver only reads rows [0, len(reqs))
                     q = enc
                 elif text_reqs:
-                    # mixed batch (rare): those padding rows would sit in
-                    # the MIDDLE of a device concat and misalign every
-                    # vector request after them — assemble on the host,
-                    # sliced to the real count
-                    q = _np.concatenate([
-                        _np.asarray(enc)[: len(text_reqs)],
-                        _np.stack([r.vec for r in vec_reqs]),
-                    ])
+                    # mixed batch (rare): encode_device output carries
+                    # power-of-two padding rows beyond the real count, so
+                    # a plain concat would misalign every vector request.
+                    # Assemble ON DEVICE (np.asarray here would force a
+                    # blocking sync on the dispatch thread and stall the
+                    # encode->scan pipeline behind it): scatter the host
+                    # vectors over the junk tail starting at the real
+                    # text count. All shapes stay pow2-bucketed, so the
+                    # compiled-program count stays bounded.
+                    q = self._assemble_mixed(
+                        enc, len(text_reqs), _np.stack([r.vec for r in vec_reqs])
+                    )
                 else:
                     q = _np.stack([r.vec for r in vec_reqs])
                 k_max = max(r.k for r in reqs)
@@ -224,6 +228,41 @@ class BatchScheduler:
                             r.future.set_exception(e)
         self._stats["batches"] += n_groups
         self._stats["queries"] += len(batch)
+
+    @staticmethod
+    def _assemble_mixed(enc, n_text: int, vecs: np.ndarray):
+        """Device-side (n_pad, D) batch = enc rows [0, n_text) followed by
+        the host `vecs` rows, without a host sync on enc.
+
+        enc may be a device array with a pow2 junk tail (encode_device) or
+        a host array (plain encode). Host vectors are scattered at rows
+        [n_text, n_text + n_vec) with pow2-padded updates and drop-mode
+        out-of-bounds handling, so every program shape is a (pow2, pow2)
+        pair — bounded compile count on the tunnel."""
+        import jax
+        import jax.numpy as jnp
+
+        n_vec = vecs.shape[0]
+        total = n_text + n_vec
+        if not isinstance(enc, jax.Array):
+            return np.concatenate([np.asarray(enc)[:n_text], vecs])
+        d = enc.shape[1]
+        n_pad = 8
+        while n_pad < total:
+            n_pad *= 2
+        if n_pad > enc.shape[0]:
+            enc = jnp.concatenate(
+                [enc, jnp.zeros((n_pad - enc.shape[0], d), enc.dtype)]
+            )
+        v_pad = 8
+        while v_pad < n_vec:
+            v_pad *= 2
+        upd = np.zeros((v_pad, d), np.float32)
+        upd[:n_vec] = vecs
+        rows = n_text + np.arange(v_pad, dtype=np.int32)
+        # rows >= n_pad are dropped; rows in [total, n_text+v_pad) only
+        # overwrite junk tail the resolver never reads
+        return enc.at[jnp.asarray(rows)].set(jnp.asarray(upd), mode="drop")
 
     # ------------- resolver -------------
 
