@@ -7,6 +7,16 @@ same pipeline's recall@10 against the fp32 exact oracle on the same
 queries. No metric in the JSON line comes from a configuration that was
 not timed.
 
+Round-3 hardening (VERDICT r2 items 2 and 4):
+- the recall gate is evaluated over NDRAWS independent query draws
+  (different seeds); each config reports recall min/mean/draws and the
+  headline must clear 0.99 at the MINIMUM (round 2 gated on a single
+  draw with a 0.001 margin — draw variance could flip it);
+- the headline pipeline also runs at 2M and 4M rows (chunked on-device
+  corpus build; the fp32 corpus is never materialized — oracle top-k
+  accumulates per chunk), reporting the per-chip capacity ceiling:
+  4M x 1024 at 3 bytes/dim = 12 GB of 16 GB v5e HBM.
+
 Configurations:
   speed (headline): global-scale int8 maxima-scan kernel
       (fused_mips_topk_g, row_block=4096, retrieve 40 @ recall_target
@@ -25,13 +35,14 @@ streamlit_app.py:281, with no published numbers).
 
 Methodology: corpus generated & quantized on device (host<->device adds
 ~33ms/call here); timing = 30 async-dispatched calls + one sync, best
-of 3 rounds; oracle corpus is passed as a jit ARG (closing over it
-bakes a 4GB constant into the remote compile).
+of 3 rounds; oracle corpus chunks are jit ARGS (closing over them bakes
+multi-GB constants into the remote compile).
 """
 
 from __future__ import annotations
 
 import functools
+import gc
 import json
 import sys
 import time
@@ -95,108 +106,178 @@ def main():
     if on_tpu:
         N, D, K, KR, ITERS = 1_048_576, 1024, 10, 40, 30
         B_SPEED, B_EXACT, RB_SPEED, RB_EXACT = 1024, 512, 4096, 2048
+        NDRAWS = 5
+        SCALE_NS = (2_097_152, 4_194_304)
+        SCALE_DRAWS = 3
+        CHUNK = 262_144
     else:  # smoke-scale on CPU (interpret-mode kernels)
         N, D, K, KR, ITERS = 32_768, 256, 10, 40, 2
         B_SPEED, B_EXACT, RB_SPEED, RB_EXACT = 64, 64, 1024, 1024
+        NDRAWS = 3
+        SCALE_NS = (65_536,)
+        SCALE_DRAWS = 2
+        CHUNK = 16_384
 
     key = jax.random.PRNGKey(0)
     kq, kc = jax.random.split(key)
+    interp = not on_tpu
 
-    @functools.partial(jax.jit, static_argnames=("n", "d"))
-    def gen(key, *, n, d):
-        x = jax.random.normal(key, (n, d), jnp.float32)
+    # ---- independent query draws (the recall gate runs on ALL of them;
+    # timing uses draw 0) ----
+    def draw_queries(seed: int, b: int):
+        k = jax.random.PRNGKey(1000 + seed)
+        q = jax.random.normal(k, (b, D), jnp.float32)
+        return q / jnp.linalg.norm(q, axis=1, keepdims=True)
+
+    max_draws = max(NDRAWS, SCALE_DRAWS)
+    q_draws = [draw_queries(s, B_SPEED) for s in range(max_draws)]
+
+    # ---- chunked corpus build: per chunk, generate fp32 rows on device,
+    # accumulate the exact-oracle top-k for every draw, and pack int8 +
+    # bf16 slices into donated buffers. The fp32 corpus never exists
+    # whole — this is what makes the 12 GB 4M config fit in HBM. ----
+    @functools.partial(jax.jit, static_argnames=("rows",))
+    def gen_chunk(kchunk, *, rows):
+        x = jax.random.normal(kchunk, (rows, D), jnp.float32)
         return x / jnp.linalg.norm(x, axis=1, keepdims=True)
 
-    _log(f"building fp32 corpus N={N} D={D} on device")
-    corpus_f32 = gen(kc, n=N, d=D)
-    jax.block_until_ready(corpus_f32)
-
-    q = jax.random.normal(kq, (B_SPEED, D), jnp.float32)
-    q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
-
-    # ---- fp32 exact oracle (chunked over queries; corpus as ARG) ----
     @jax.jit
-    def exact10(qc, corpus):
+    def chunk_absmax(x):
+        return jnp.max(jnp.abs(x))
+
+    @functools.partial(jax.jit, static_argnames=("start",))
+    def oracle_step(qall, x, top_s, top_i, *, start):
         s = jax.lax.dot_general(
-            qc, corpus, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            qall, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        return jax.lax.top_k(s, K)[1]
+        gids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
+        cs = jnp.concatenate([top_s, s], axis=1)
+        ci = jnp.concatenate([top_i, gids], axis=1)
+        ns, sel = jax.lax.top_k(cs, K)
+        return ns, jnp.take_along_axis(ci, sel, axis=1)
 
-    step = min(128, B_SPEED)
-    exact_ids = np.concatenate(
-        [np.asarray(exact10(q[i : i + step], corpus_f32)) for i in range(0, B_SPEED, step)]
-    )
-    _log("exact fp32 oracle done")
+    @functools.partial(jax.jit, static_argnames=("start",), donate_argnums=(0,))
+    def pack_int8(buf, x, gscale, *, start):
+        codes = jnp.clip(jnp.round(x / gscale), -127, 127).astype(jnp.int8)
+        return jax.lax.dynamic_update_slice(buf, codes, (start, 0))
 
-    # ---- speed index: global-scale int8 + bf16 rescore copy.  The
-    # per-row index for the exact rows is built AFTER the speed timings —
-    # extra resident HBM measurably slows the streaming scan ----
-    gscale = float(jnp.max(jnp.abs(corpus_f32)) / 127.0)
-    codes_g = jnp.clip(jnp.round(corpus_f32 / gscale), -127, 127).astype(jnp.int8)
-    corpus_bf16 = corpus_f32.astype(jnp.bfloat16)
-    kc2 = kc  # regenerate per-row index later from the same key
-    jax.block_until_ready((codes_g, corpus_bf16))
-    del corpus_f32
-    import gc
+    @functools.partial(jax.jit, static_argnames=("start",), donate_argnums=(0,))
+    def pack_bf16(buf, x, *, start):
+        return jax.lax.dynamic_update_slice(buf, x.astype(jnp.bfloat16), (start, 0))
 
-    gc.collect()
-    _log(f"speed index built (global scale {gscale:.6f})")
+    def build_corpus(n: int, ndraws: int):
+        """Returns (codes int8 (n,D), bf16 copy, gscale, oracle_ids list
+        per draw). Two passes over regenerated chunks: pass 1 absmax +
+        oracle, pass 2 quantize into donated buffers."""
+        n_chunks = n // CHUNK
+        keys = jax.random.split(jax.random.PRNGKey(7), n_chunks)
+        qall = jnp.concatenate([q_draws[i] for i in range(ndraws)], axis=0)
+        top_s = jnp.full((qall.shape[0], K), -np.inf, jnp.float32)
+        top_i = jnp.full((qall.shape[0], K), -1, jnp.int32)
+        absmax = 0.0
+        for c in range(n_chunks):
+            x = gen_chunk(keys[c], rows=CHUNK)
+            absmax = max(absmax, float(chunk_absmax(x)))
+            top_s, top_i = oracle_step(qall, x, top_s, top_i, start=c * CHUNK)
+        gscale = absmax / 127.0
+        oracle = np.asarray(top_i).reshape(ndraws, B_SPEED, K)
+        del top_s, top_i
+        codes = jnp.zeros((n, D), jnp.int8)
+        bf16 = jnp.zeros((n, D), jnp.bfloat16)
+        for c in range(n_chunks):
+            x = gen_chunk(keys[c], rows=CHUNK)
+            codes = pack_int8(codes, x, gscale, start=c * CHUNK)
+            bf16 = pack_bf16(bf16, x, start=c * CHUNK)
+        jax.block_until_ready((codes, bf16))
+        return codes, bf16, gscale, [oracle[i] for i in range(ndraws)]
 
-    def recall_of(ids: np.ndarray) -> float:
-        ref = exact_ids[: len(ids)]
+    def recall_of(ids: np.ndarray, ref: np.ndarray) -> float:
         return float((ids[:, :, None] == ref[:, None, :]).any(axis=1).mean())
+
+    def gate_over_draws(fn, oracles, ndraws, batch=B_SPEED):
+        recs = []
+        for i in range(ndraws):
+            _, ids = fn(q_draws[i])
+            recs.append(recall_of(np.asarray(ids)[:, :K], oracles[i][:batch]))
+        return {
+            "recall_min": round(min(recs), 4),
+            "recall_mean": round(float(np.mean(recs)), 4),
+            "recall_draws": [round(r, 4) for r in recs],
+        }
 
     rows = {}
 
-    def run_config(name, batch, fn):
+    def run_config(name, batch, fn, oracles, ndraws):
         try:
-            dt = _timed_loop(fn, q[:batch], ITERS)
-            _, ids = fn(q[:batch])
-            rec = recall_of(np.asarray(ids)[:, :K])
+            dt = _timed_loop(fn, q_draws[0][:batch], ITERS)
+            g = gate_over_draws(lambda qq: fn(qq[:batch]), oracles, ndraws, batch)
             rows[name] = {
                 "qps": round(batch / dt, 1),
                 "ms_per_batch": round(dt * 1e3, 3),
                 "batch": batch,
-                "recall_at_10": round(rec, 4),
+                "recall_at_10": g["recall_min"],   # the gate value
+                **g,
             }
-            _log(f"{name}: {dt*1e3:.2f} ms/batch -> {batch/dt:,.0f} QPS, recall@10={rec:.4f}")
+            _log(
+                f"{name}: {dt*1e3:.2f} ms/batch -> {batch/dt:,.0f} QPS, "
+                f"recall@10 min={g['recall_min']:.4f} mean={g['recall_mean']:.4f} "
+                f"({ndraws} draws)"
+            )
         except Exception as e:  # noqa: BLE001
             rows[name] = {"error": str(e)[:160]}
             _log(f"{name} failed: {str(e)[:160]}")
 
-    interp = not on_tpu
+    # ================= 1M headline =================
+    _log(f"building corpus N={N} D={D} (chunked, {NDRAWS}-draw oracle)")
+    codes_g, corpus_bf16, gscale, oracles = build_corpus(N, NDRAWS)
+    _log(f"speed index built (global scale {gscale:.6f})")
 
-    def speed_pipeline(rt):
+    def speed_pipeline(codes, bf16, gs, n, rt):
         def fn(qq):
             _, i40 = fused_mips_topk_g(
-                qq, codes_g, gscale, N, k=KR, row_block=min(RB_SPEED, N),
+                qq, codes, gs, n, k=KR, row_block=min(RB_SPEED, n),
                 recall_target=rt, interpret=interp,
             )
-            return device_rescore(qq, i40, corpus_bf16, N, k=K)
+            return device_rescore(qq, i40, bf16, n, k=K)
         return fn
 
-    run_config("speed_rescored_rt97", B_SPEED, speed_pipeline(0.97))
-    run_config("speed_rescored_rt95", B_SPEED, speed_pipeline(0.95))
+    run_config(
+        "speed_rescored_rt97", B_SPEED,
+        speed_pipeline(codes_g, corpus_bf16, gscale, N, 0.97), oracles, NDRAWS,
+    )
+    run_config(
+        "speed_rescored_rt95", B_SPEED,
+        speed_pipeline(codes_g, corpus_bf16, gscale, N, 0.95), oracles, NDRAWS,
+    )
 
-    # per-row-scale exact rows (the filtered-search production kernel)
-    @functools.partial(jax.jit, static_argnames=("n", "d"))
-    def perrow_quant(key, *, n, d):
-        x = jax.random.normal(key, (n, d), jnp.float32)
-        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+    # per-row-scale exact rows (the filtered-search production kernel).
+    # Regenerate per-row codes chunk-wise from the same keys.
+    @functools.partial(jax.jit, static_argnames=("start",), donate_argnums=(0, 1))
+    def pack_perrow(cbuf, sbuf, x, *, start):
         absmax = jnp.max(jnp.abs(x), axis=1)
         scales = jnp.where(absmax > 0, absmax / 127.0, 1.0)
         codes = jnp.clip(jnp.round(x / scales[:, None]), -127, 127).astype(jnp.int8)
-        return codes, scales
+        return (
+            jax.lax.dynamic_update_slice(cbuf, codes, (start, 0)),
+            jax.lax.dynamic_update_slice(sbuf, scales, (start,)),
+        )
 
-    codes_r, scales_r = perrow_quant(kc2, n=N, d=D)
+    del codes_g
+    gc.collect()
+    codes_r = jnp.zeros((N, D), jnp.int8)
+    scales_r = jnp.zeros((N,), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(7), N // CHUNK)
+    for c in range(N // CHUNK):
+        x = gen_chunk(keys[c], rows=CHUNK)
+        codes_r, scales_r = pack_perrow(codes_r, scales_r, x, start=c * CHUNK)
     jax.block_until_ready(scales_r)
     _log("per-row index built")
     run_config(
-        "exact_int8_perrow_k10",
-        B_EXACT,
+        "exact_int8_perrow_k10", B_EXACT,
         lambda qq: fused_mips_topk(
             qq, codes_r, scales_r, N, k=K, row_block=min(RB_EXACT, N), interpret=interp
         ),
+        oracles, NDRAWS,
     )
 
     def perrow_rescored(qq):
@@ -205,11 +286,42 @@ def main():
         )
         return device_rescore(qq, i40, corpus_bf16, N, k=K)
 
-    run_config("exact_int8_perrow_rescored", B_EXACT, perrow_rescored)
+    run_config("exact_int8_perrow_rescored", B_EXACT, perrow_rescored, oracles, NDRAWS)
 
-    # headline = fastest row passing the 0.99 gate
+    del codes_r, scales_r, corpus_bf16
+    gc.collect()
+
+    # ================= scale rows: 2M / 4M (VERDICT r2 item 4) =========
+    scale_rows = {}
+    for n_scale in SCALE_NS:
+        try:
+            _log(f"building scale corpus N={n_scale} (chunked)")
+            codes_s, bf16_s, gs_s, oracles_s = build_corpus(n_scale, SCALE_DRAWS)
+            mem_gb = n_scale * D * 3 / 2**30
+            fn = speed_pipeline(codes_s, bf16_s, gs_s, n_scale, 0.97)
+            dt = _timed_loop(fn, q_draws[0], ITERS)
+            g = gate_over_draws(fn, oracles_s, SCALE_DRAWS)
+            scale_rows[f"n{n_scale}"] = {
+                "rows": n_scale,
+                "memory_gb": round(mem_gb, 2),
+                "qps": round(B_SPEED / dt, 1),
+                "ms_per_batch": round(dt * 1e3, 3),
+                **g,
+            }
+            _log(
+                f"scale N={n_scale}: {dt*1e3:.2f} ms/batch -> "
+                f"{B_SPEED/dt:,.0f} QPS, recall min={g['recall_min']:.4f} "
+                f"({mem_gb:.1f} GB resident)"
+            )
+            del codes_s, bf16_s
+            gc.collect()
+        except Exception as e:  # noqa: BLE001
+            scale_rows[f"n{n_scale}"] = {"error": str(e)[:160]}
+            _log(f"scale N={n_scale} failed: {str(e)[:160]}")
+
+    # headline = fastest 1M row passing the 0.99 gate AT THE MIN over draws
     passing = {
-        n: r for n, r in rows.items() if "qps" in r and r["recall_at_10"] >= 0.99
+        n: r for n, r in rows.items() if "qps" in r and r["recall_min"] >= 0.99
     }
     best = max(passing or {n: r for n, r in rows.items() if "qps" in r},
                key=lambda n: rows[n]["qps"])
@@ -222,12 +334,13 @@ def main():
                 "value": qps,
                 "unit": "queries/sec",
                 "vs_baseline": round(qps / 100_000.0, 4),
-                "recall_at_10_vs_exact": rows[best]["recall_at_10"],
-                "gate": "recall>=0.99 on the SAME timed pipeline",
+                "recall_at_10_vs_exact": rows[best]["recall_min"],
+                "gate": f"min recall@10 over {NDRAWS} draws >= 0.99 on the SAME timed pipeline",
                 "headline_config": best,
                 "corpus": N,
                 "dim": D,
                 "configs": rows,
+                "scale": scale_rows,
             }
         )
     )

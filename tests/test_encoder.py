@@ -189,3 +189,57 @@ def test_batched_encoder_nonpow2_data_axis(enc):
         ["alpha beta", "gamma", "delta epsilon zeta"]
     )
     _np.testing.assert_allclose(out, ref, atol=2e-2)
+
+
+def test_fused_attention_matches_reference():
+    """The fused Pallas attention block (interpret mode on CPU) must match
+    the XLA reference composition through the full forward, including
+    padding and packed multi-item blocks (BB = 128 // S items share one
+    logits tile, masked block-diagonally)."""
+    from theoremsearch_tpu.encoder.model import encode_pooled as ep
+
+    cfg = EncoderConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=128,
+        max_seq_len=64, embedding_dim=256,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(0)
+    B, S = 8, 32  # packing factor 4: 2 packed blocks of 4 items
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (B, S)), jnp.int32)
+    lengths = rng.integers(4, S, B)
+    mask = jnp.asarray(
+        (np.arange(S)[None, :] < lengths[:, None]).astype(np.int32)
+    )
+    ref = np.asarray(ep(params, ids, mask, cfg, fused="off"))
+    fus = np.asarray(ep(params, ids, mask, cfg, fused="interpret"))
+    cos = np.sum(ref * fus, axis=1)
+    assert (cos > 0.999).all(), cos
+    np.testing.assert_allclose(ref, fus, atol=3e-2)
+
+
+def test_fused_attention_grad_matches_reference():
+    """custom_vjp backward (XLA recompute) must match the reference grad."""
+    from theoremsearch_tpu.encoder.model import encode_pooled as ep
+
+    cfg = EncoderConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_layers=1, num_heads=2, num_kv_heads=1, head_dim=128,
+        max_seq_len=32, embedding_dim=128,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(2))
+    rng = np.random.default_rng(1)
+    B, S = 4, 32
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (B, S)), jnp.int32)
+    mask = jnp.ones((B, S), jnp.int32)
+
+    def loss(p, fused):
+        return jnp.sum(ep(p, ids, mask, cfg, fused=fused) ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, "off"))(params)
+    g_fus = jax.grad(lambda p: loss(p, "interpret"))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=5e-2, rtol=5e-2,
+        )

@@ -44,7 +44,11 @@ class BatchedEncoder:
         self.mesh = mesh
         self.batch_size = batch_size
         self.buckets = tuple(b for b in buckets if b <= cfg.max_seq_len) or (cfg.max_seq_len,)
-        self._fn = jax.jit(functools.partial(encode_pooled, cfg=cfg))
+        # fused Pallas attention on a real single-chip backend; the XLA
+        # reference path on CPU and under a mesh (pallas_call is opaque
+        # to the GSPMD partitioner, so sharded inputs keep the XLA path)
+        fused = "on" if (mesh is None and jax.default_backend() != "cpu") else "off"
+        self._fn = jax.jit(functools.partial(encode_pooled, cfg=cfg, fused=fused))
         if mesh is not None:
             self._data_sharding = NamedSharding(mesh, P("data", None))
         else:
@@ -112,9 +116,15 @@ class BatchedEncoder:
             n_pad *= 2
         texts = list(texts) + [""] * (n_pad - n)
         tokenized = [self.tokenizer.tokenize(t) for t in texts]
-        order = sorted(range(n_pad), key=lambda i: len(tokenized[i]))
-        pieces = []
         bs = self.batch_size
+        # single sub-batch: every row pads to the longest row's bucket
+        # regardless of order, so sorting buys nothing and its scatter
+        # re-ordering costs an extra device op per serving batch
+        if n_pad <= bs:
+            order = list(range(n_pad))
+        else:
+            order = sorted(range(n_pad), key=lambda i: len(tokenized[i]))
+        pieces = []
         for start in range(0, len(order), bs):
             idx = order[start : start + bs]
             ids_d, mask_d, n_real = self._prep_batch(texts, tokenized, idx)
@@ -129,11 +139,23 @@ class BatchedEncoder:
     def _prep_batch(self, texts, tokenized, idx):
         """Tokenize+pad one sub-batch to its (batch-bucket, width-bucket)
         static shape; returns (ids, mask, n_real) device arrays."""
-        chunk = [texts[i] for i in idx]
         longest = max(len(tokenized[i]) for i in idx) + 2  # BOS/EOS
         width = self._bucket_for(longest)
-        enc = self.tokenizer(chunk, max_length=width, pad_to=width)
-        ids, mask = enc.input_ids, enc.attention_mask
+        if isinstance(self.tokenizer, SimpleTokenizer):
+            # build arrays from the ALREADY-tokenized lists — calling the
+            # tokenizer again would re-run regex+hash per text (measured
+            # as a visible share of the serving encoder stage)
+            tk = self.tokenizer
+            ids = np.full((len(idx), width), tk.pad_id, np.int32)
+            mask = np.zeros((len(idx), width), np.int32)
+            for j, i in enumerate(idx):
+                s = [tk.bos_id] + tokenized[i][: width - 2] + [tk.eos_id]
+                ids[j, : len(s)] = s
+                mask[j, : len(s)] = 1
+        else:
+            chunk = [texts[i] for i in idx]
+            enc = self.tokenizer(chunk, max_length=width, pad_to=width)
+            ids, mask = enc.input_ids, enc.attention_mask
         b_pad = 8
         while b_pad < len(idx):
             b_pad *= 2
@@ -160,7 +182,10 @@ class BatchedEncoder:
         if not len(texts):
             return np.zeros((0, self.cfg.embedding_dim), np.float32)
         tokenized = [self.tokenizer.tokenize(t) for t in texts]
-        order = sorted(range(len(texts)), key=lambda i: len(tokenized[i]))
+        if len(texts) <= self.batch_size:
+            order = list(range(len(texts)))
+        else:
+            order = sorted(range(len(texts)), key=lambda i: len(tokenized[i]))
         out = np.zeros((len(texts), self.cfg.embedding_dim), np.float32)
 
         bs = self.batch_size

@@ -97,21 +97,22 @@ def _rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 
 
 def _rope_tables(positions: jax.Array, dh: int, theta: float) -> tuple[jax.Array, jax.Array]:
-    """cos/sin tables (B, S, 1, half) f32, computed ONCE per forward and
+    """cos/sin tables (B, S, half) f32, computed ONCE per forward and
     shared by every layer's q and k (56 per-layer recomputations
     otherwise — trivial FLOPs but that many extra kernel launches)."""
     half = dh // 2
     freqs = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
     angles = positions[..., None].astype(jnp.float32) * freqs  # (B, S, half)
-    return jnp.cos(angles)[:, :, None, :], jnp.sin(angles)[:, :, None, :]
+    return jnp.cos(angles), jnp.sin(angles)
 
 
 def _rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: (B, S, H, Dh). Rotary embedding over the head dim."""
+    """x: (B, S, H, Dh); cos/sin: (B, S, half). Rotary over the head dim."""
     half = x.shape[-1] // 2
     x1, x2 = x[..., :half], x[..., half:]
     xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
-    out = jnp.concatenate([xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1)
+    c, s = cos[:, :, None, :], sin[:, :, None, :]
+    out = jnp.concatenate([xf1 * c - xf2 * s, xf2 * c + xf1 * s], axis=-1)
     return out.astype(x.dtype)
 
 
@@ -150,33 +151,138 @@ def _attention(layer: Params, x: jax.Array, mask: jax.Array, rope_cs: tuple, cfg
     return out @ layer["wo"]
 
 
+# ---------------------------------------------------------------------------
+# fused attention (Pallas) with XLA-recompute VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_attn_core(h: int, hk: int, dh: int, eps: float, interpret: bool):
+    """custom-VJP wrapper: forward = fused Pallas kernel
+    (kernels/attention.py), backward = jax.vjp of the XLA reference
+    composition (recomputed — matching the trainer's remat policy)."""
+    from ..kernels.attention import fused_qknorm_rope_attention
+
+    def ref(q, k, v, qw, kw, cos, sin, mask):
+        b, s, _ = q.shape
+        eps_ = eps
+        q4 = _rms_norm(q.reshape(b, s, h, dh), qw, eps_)
+        k4 = _rms_norm(k.reshape(b, s, hk, dh), kw, eps_)
+        q4 = _rope(q4, cos, sin)
+        k4 = _rope(k4, cos, sin)
+        rep = h // hk
+        k4 = jnp.repeat(k4, rep, axis=2)
+        v4 = jnp.repeat(v.reshape(b, s, hk, dh), rep, axis=2)
+        scale = 1.0 / np.sqrt(dh)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q4, k4, preferred_element_type=jnp.float32
+        ) * scale
+        causal = jnp.tril(jnp.ones((s, s), bool))
+        valid = (mask != 0)[:, None, None, :] & causal[None, None, :, :]
+        logits = jnp.where(valid, logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, v4, preferred_element_type=jnp.float32
+        )
+        return out.astype(jnp.bfloat16).reshape(b, s, h * dh)
+
+    @jax.custom_vjp
+    def core(q, k, v, qw, kw, cos, sin, mask):
+        return fused_qknorm_rope_attention(
+            q, k, v, qw, kw, cos, sin, mask,
+            num_heads=h, num_kv_heads=hk, head_dim=dh, eps=eps,
+            causal=True, interpret=interpret,
+        )
+
+    def fwd(q, k, v, qw, kw, cos, sin, mask):
+        return core(q, k, v, qw, kw, cos, sin, mask), (q, k, v, qw, kw, cos, sin, mask)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(g)
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+def _fused_ok(cfg: EncoderConfig, s: int, b: int) -> bool:
+    """The fused kernel targets the production 0.6B-class shapes: 128-lane
+    head_dim and a batch divisible by the packing factor."""
+    bb = max(1, 128 // s)
+    return cfg.head_dim == 128 and b % bb == 0 and cfg.num_heads % cfg.num_kv_heads == 0
+
+
+def _attention_fused(
+    layer: Params, x: jax.Array, mask: jax.Array, rope_cs: tuple,
+    cfg: EncoderConfig, interpret: bool,
+) -> jax.Array:
+    cos, sin = rope_cs
+    q = x @ layer["wq"]
+    k = x @ layer["wk"]
+    v = x @ layer["wv"]
+    core = _make_attn_core(
+        cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.rms_norm_eps, interpret
+    )
+    attn = core(
+        q, k, v, layer["q_norm"], layer["k_norm"], cos, sin,
+        mask.astype(jnp.int32),
+    )
+    return attn.astype(x.dtype) @ layer["wo"]
+
+
 def _mlp(layer: Params, x: jax.Array) -> jax.Array:
     gate = jax.nn.silu((x @ layer["w_gate"]).astype(jnp.float32)).astype(x.dtype)
     up = x @ layer["w_up"]
     return (gate * up) @ layer["w_down"]
 
 
-def forward(params: Params, input_ids: jax.Array, attention_mask: jax.Array, cfg: EncoderConfig) -> jax.Array:
-    """Hidden states (B, S, H) after the final norm."""
+def forward(
+    params: Params,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    cfg: EncoderConfig,
+    fused: str = "off",
+) -> jax.Array:
+    """Hidden states (B, S, H) after the final norm.
+
+    fused: "off" = XLA reference attention; "on" = fused Pallas
+    attention block (kernels/attention.py) when the shapes qualify
+    (production TPU path — ~1/3 of the serving step was attention
+    layout overhead); "interpret" = fused kernel in interpret mode
+    (CPU tests)."""
     x = params["embed"][input_ids].astype(jnp.dtype(cfg.dtype))
     positions = jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1
     positions = jnp.maximum(positions, 0)
     mask = attention_mask.astype(bool)
     rope_cs = _rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    b, s = input_ids.shape
+    use_fused = fused in ("on", "interpret") and _fused_ok(cfg, s, b)
     for layer in params["layers"]:
-        x = x + _attention(layer, _rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps), mask, rope_cs, cfg)
+        xa = _rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+        if use_fused:
+            x = x + _attention_fused(
+                layer, xa, attention_mask, rope_cs, cfg, fused == "interpret"
+            )
+        else:
+            x = x + _attention(layer, xa, mask, rope_cs, cfg)
         x = x + _mlp(layer, _rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps))
     return _rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
 
-def encode_pooled(params: Params, input_ids: jax.Array, attention_mask: jax.Array, cfg: EncoderConfig) -> jax.Array:
+def encode_pooled(
+    params: Params,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    cfg: EncoderConfig,
+    fused: str = "off",
+) -> jax.Array:
     """Pooled, (optionally) L2-normalized embeddings (B, D).
 
     Qwen3-Embedding pools the last non-padding (EOS) position; mean
     pooling is available for bert/gemma-class encoders. L2 normalization
     matches the reference's normalize_embeddings=True everywhere
     (embeddings.py:27,35; streamlit_app.py:173)."""
-    hidden = forward(params, input_ids, attention_mask, cfg)
+    hidden = forward(params, input_ids, attention_mask, cfg, fused=fused)
     if cfg.pooling == "last_token":
         lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
         idx = jnp.maximum(lengths - 1, 0)
@@ -253,8 +359,9 @@ class QwenEncoder:
         if params is None:
             params = init_params(self.cfg, jax.random.PRNGKey(seed))
         self.params = params
+        fused = "off" if jax.default_backend() == "cpu" else "on"
         self._encode = jax.jit(
-            functools.partial(encode_pooled, cfg=self.cfg)
+            functools.partial(encode_pooled, cfg=self.cfg, fused=fused)
         )
 
     def __call__(self, input_ids, attention_mask):

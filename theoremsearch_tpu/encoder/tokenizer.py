@@ -40,10 +40,19 @@ class SimpleTokenizer:
     def __init__(self, vocab_size: int = 151_669, lowercase: bool = True):
         self.vocab_size = vocab_size
         self.lowercase = lowercase
+        self._cache: dict[str, int] = {}
 
     def _tok_id(self, tok: str) -> int:
+        # token -> id is deterministic; the memo turns the per-token
+        # blake2s into a dict hit for the (heavily repeated) live vocab
+        cached = self._cache.get(tok)
+        if cached is not None:
+            return cached
         h = hashlib.blake2s(tok.encode("utf-8"), digest_size=8).digest()
-        return self.n_special + int.from_bytes(h, "little") % (self.vocab_size - self.n_special)
+        v = self.n_special + int.from_bytes(h, "little") % (self.vocab_size - self.n_special)
+        if len(self._cache) < 1_000_000:
+            self._cache[tok] = v
+        return v
 
     def tokenize(self, text: str) -> list[int]:
         if self.lowercase:
