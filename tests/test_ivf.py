@@ -269,3 +269,88 @@ def test_engine_with_ivf_route(pallas_scale_corpus):
     assert compile_filter_mask(
         SearchFilters(year_range=(1900, 2100)), eng.meta
     ) is None
+
+
+def test_kmeans_checkpoint_kill_and_resume(clustered_corpus, tmp_path, monkeypatch):
+    """A build killed mid-k-means resumes from the last persisted round
+    and lands on EXACTLY the centroids of an uninterrupted run (Lloyd
+    rounds chain deterministically)."""
+    import theoremsearch_tpu.index.ivf as ivf_mod
+
+    emb, _ = clustered_corpus
+    full = train_kmeans(emb, 16, iters=9, seed=1, sample=None)
+
+    real = ivf_mod._kmeans_device
+    calls = {"n": 0}
+
+    def dying(x, cents, *, nlist, iters):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("killed")
+        return real(x, cents, nlist=nlist, iters=iters)
+
+    monkeypatch.setattr(ivf_mod, "_kmeans_device", dying)
+    with pytest.raises(RuntimeError):
+        train_kmeans(emb, 16, iters=9, seed=1, sample=None,
+                     checkpoint_dir=tmp_path, ckpt_every=3)
+    monkeypatch.setattr(ivf_mod, "_kmeans_device", real)
+    # resume: picks up at round 6, runs only the last 3 iters
+    resumed = train_kmeans(emb, 16, iters=9, seed=1, sample=None,
+                           checkpoint_dir=tmp_path, ckpt_every=3)
+    np.testing.assert_allclose(resumed, full, atol=1e-6)
+
+
+def test_ivf_build_checkpoint_reuse(clustered_corpus, tmp_path):
+    """A checkpointed build persists k-means + assignment outputs, and a
+    rebuild from the checkpoints produces an identical index."""
+    emb, q = clustered_corpus
+    cfg = IndexConfig(ivf_nlist=32, dtype="int8", ivf_assign2_margin=0.02)
+    a = IVFIndex.build(emb, config=cfg, checkpoint_dir=tmp_path)
+    assert (tmp_path / "kmeans_ckpt.npz").exists()
+    assert (tmp_path / "assign_ckpt.npz").exists()
+    b = IVFIndex.build(emb, config=cfg, checkpoint_dir=tmp_path)
+    np.testing.assert_array_equal(a.slab_ids, b.slab_ids)
+    np.testing.assert_array_equal(a.spill_ids, b.spill_ids)
+    np.testing.assert_allclose(a.centroids, b.centroids)
+
+
+def test_calibrate_nprobe_holds_gate(clustered_corpus):
+    from theoremsearch_tpu.index.ivf import calibrate_nprobe
+
+    emb, _ = clustered_corpus
+    idx = IVFIndex.build(
+        emb, config=IndexConfig(ivf_nlist=32, dtype="float32")
+    )
+    nprobe, rec = calibrate_nprobe(
+        idx, emb, gate=0.95, k=10, n_queries=64, n_draws=2,
+        candidates=(2, 4, 8, 16, 32),
+    )
+    assert rec >= 0.95
+    assert nprobe <= 32
+    # verify the calibrated setting really holds on a fresh draw
+    rng = np.random.default_rng(99)
+    rows = rng.choice(emb.shape[0], 64, replace=False)
+    qv = emb[rows] + (0.25 / np.sqrt(64)) * rng.standard_normal((64, 64)).astype(np.float32)
+    qv /= np.linalg.norm(qv, axis=1, keepdims=True)
+    _, ref = exact_topk(qv, emb, k=10)
+    _, ids = idx.search(qv, k=10, nprobe=nprobe)
+    assert recall_vs_exact(ids, np.asarray(ref), k=10) >= 0.9
+
+
+def test_builder_finalize_ivf(clustered_corpus, tmp_path):
+    from theoremsearch_tpu.index.builder import IndexBuilder
+
+    emb, q = clustered_corpus
+    b = IndexBuilder(tmp_path / "spool", IndexConfig(
+        ivf_nlist=32, dtype="int8", int8_scale="global", ivf_assign2_margin=0.02,
+    ))
+    ids = np.arange(emb.shape[0], dtype=np.int64)
+    b.add(ids[:2000], emb[:2000])
+    b.add(ids[2000:], emb[2000:])
+    index, calib = b.finalize_ivf(calibrate_gate=0.9)
+    assert calib is not None and calib[1] >= 0.5
+    assert index.config.ivf_nprobe == calib[0]
+    assert (tmp_path / "spool" / "kmeans_ckpt.npz").exists()
+    _, ref = exact_topk(q, emb, k=10)
+    _, found = index.search(q, k=10, nprobe=32)
+    assert recall_vs_exact(found, np.asarray(ref), k=10) >= 0.9

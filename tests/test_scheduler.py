@@ -207,3 +207,38 @@ def test_mixed_batch_with_real_padded_encode_device(engine):
         np.testing.assert_allclose(got[3 + j][0], ref_s[j], atol=1e-5)
         np.testing.assert_array_equal(got[3 + j][1], ref_i[j])
     sched.shutdown()
+
+
+def test_filtered_text_and_vector_groups_async(engine):
+    """A batch mixing text and vector requests across several filter
+    signatures resolves each request against its own group's mask — all
+    groups dispatch through the async path (no dispatch-thread scans)."""
+    eng, emb = engine
+
+    def fake_encode(texts):
+        # deterministic "encoder": text 'doc<i>' -> corpus row i
+        return np.stack([emb[int(t[3:])] for t in texts])
+
+    sched = BatchScheduler(eng, max_batch=16, max_wait_ms=60, encode_fn=fake_encode)
+    f_ag = SearchFilters(tags=["math.AG"])
+    f_nt = SearchFilters(tags=["math.NT"])
+    futs = [
+        sched.submit_text("doc7", k=5, filters=f_ag),     # 7 is odd -> AG
+        sched.submit(emb[8], k=5, filters=f_nt),          # 8 even -> NT
+        sched.submit_text("doc9", k=5),                   # unfiltered
+        sched.submit(emb[10], k=5, filters=f_nt),
+        sched.submit_text("doc11", k=5, filters=f_ag),
+    ]
+    outs = [f.result(20) for f in futs]
+    # self-match must rank first where its category passes the filter
+    assert outs[0][1][0] == 7
+    assert outs[1][1][0] == 8
+    assert outs[2][1][0] == 9
+    assert outs[3][1][0] == 10
+    assert outs[4][1][0] == 11
+    for d in outs[0][1]:
+        assert eng.meta.primary_category[d] == "math.AG"
+    for d in outs[1][1]:
+        assert eng.meta.primary_category[d] == "math.NT"
+    assert sched.stats()["queries"] == 5
+    sched.shutdown()

@@ -128,6 +128,31 @@ def cmd_embed(args):
     print(f"embedded {n} slogans")
 
 
+def cmd_build_ivf(args):
+    """Pack the embedding spool into an IVF index (checkpointed build:
+    k-means rounds + assignment persist in the spool dir, so a killed
+    build resumes past the device-heavy stages), optionally
+    auto-calibrating nprobe against the recall gate."""
+    from .core.config import IndexConfig
+    from .index.builder import IndexBuilder
+
+    b = IndexBuilder(args.spool)
+    cfg = b.config
+    if args.nlist:
+        cfg = cfg.replace(ivf_nlist=args.nlist)
+    if cfg.ivf_nlist <= 0:
+        cfg = cfg.replace(ivf_nlist=max(1, b.total_rows // 256))
+    b.config = cfg.replace(dtype="int8", int8_scale="global")
+    index, calib = b.finalize_ivf(
+        calibrate_gate=args.calibrate_gate if args.calibrate else None,
+    )
+    index.save(args.out)
+    msg = f"IVF index: {index.num_rows} rows, {index.slabs.shape[0]} lists -> {args.out}"
+    if calib is not None:
+        msg += f"; calibrated nprobe={calib[0]} (min recall {calib[1]:.4f})"
+    print(msg)
+
+
 def cmd_search(args):
     from .pipeline import build_engine_from_catalog
     from .search.filters import SearchFilters
@@ -241,6 +266,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--model-dir")
     s.add_argument("--limit", type=int)
     s.set_defaults(fn=cmd_embed)
+
+    s = sub.add_parser("build-ivf")
+    s.add_argument("--spool", default="./spool")
+    s.add_argument("--out", default="./ivf_index")
+    s.add_argument("--nlist", type=int, default=0)
+    s.add_argument("--calibrate", action="store_true",
+                   help="auto-pick the smallest nprobe holding the recall gate")
+    s.add_argument("--calibrate-gate", type=float, default=0.99)
+    s.set_defaults(fn=cmd_build_ivf)
 
     s = sub.add_parser("search")
     s.add_argument("query")

@@ -106,6 +106,47 @@ class IndexBuilder:
         emb = np.concatenate(all_emb)
         return FlatIndex.build(emb, ids=ids, config=self.config, normalize=normalize)
 
+    def finalize_ivf(
+        self,
+        normalize: bool = True,
+        slab_rows: int | None = None,
+        calibrate_gate: float | None = None,
+        interpret: bool = False,
+    ):
+        """Pack the spooled batches into an IVFIndex, with build
+        checkpointing in the spool dir (k-means rounds + assignment
+        resume — a killed build restarts past the device-heavy stages)
+        and optional nprobe auto-calibration against the recall gate.
+
+        Returns (IVFIndex, calibration) where calibration is
+        (nprobe, min_recall) when calibrate_gate is set, else None. The
+        calibrated nprobe is also recorded in the index config."""
+        from .ivf import IVFIndex, calibrate_nprobe
+
+        if not self.manifest["batches"]:
+            raise ValueError("no batches spooled")
+        all_ids, all_emb = [], []
+        seen: set[int] = set()
+        for ids, emb in self.batches():
+            mask = np.array([i not in seen for i in ids.tolist()])
+            seen.update(ids.tolist())
+            if mask.any():
+                all_ids.append(ids[mask])
+                all_emb.append(emb[mask])
+        ids = np.concatenate(all_ids)
+        emb = np.concatenate(all_emb)
+        index = IVFIndex.build(
+            emb, ids=ids, config=self.config, slab_rows=slab_rows,
+            normalize=normalize, checkpoint_dir=self.dir,
+        )
+        calib = None
+        if calibrate_gate is not None:
+            calib = calibrate_nprobe(
+                index, emb, gate=calibrate_gate, ids=ids, interpret=interpret
+            )
+            index.config = index.config.replace(ivf_nprobe=int(calib[0]))
+        return index, calib
+
     def _write_manifest(self) -> None:
         tmp = self.manifest_path.with_suffix(".tmp")
         tmp.write_text(json.dumps(self.manifest, indent=2))

