@@ -111,3 +111,78 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(server, "/nope")
     assert ei.value.code == 404
+
+
+def test_scheduler_routed_service_and_admission_control():
+    """SearchService over a BatchScheduler: results match the direct
+    path (incl. citation-weighted rerank), and an overloaded scheduler
+    surfaces HTTP 429."""
+    import json
+    import urllib.request
+
+    import numpy as np
+
+    from theoremsearch_tpu.core import IndexConfig
+    from theoremsearch_tpu.eval.oracle import l2_normalize
+    from theoremsearch_tpu.index import FlatIndex
+    from theoremsearch_tpu.search import CorpusMetadata, SearchEngine
+    from theoremsearch_tpu.serve.app import SearchService
+    from theoremsearch_tpu.serve.http_api import SearchServer
+    from theoremsearch_tpu.serve.scheduler import BatchScheduler, SchedulerOverloaded
+
+    rng = np.random.default_rng(5)
+    emb = np.asarray(l2_normalize(rng.standard_normal((512, 32)).astype(np.float32)))
+    rows = [
+        {"paper_id": f"p{i}", "paper_title": f"T{i}", "authors": [],
+         "link": "https://arxiv.org/abs/x", "year": 2020,
+         "primary_category": "math.NT", "journal_ref": None,
+         "citations": (i * 7) % 50, "theorem_name": "Theorem 1.",
+         "theorem_body": "$x$", "slogan": f"slogan {i}"}
+        for i in range(512)
+    ]
+    meta = CorpusMetadata.from_rows(rows)
+    idx = FlatIndex.build(emb, config=IndexConfig(pad_multiple=128), normalize=False)
+    eng = SearchEngine(idx, meta=meta, use_pallas=False, row_block=128)
+
+    def encode(texts):
+        return np.stack([emb[int(t)] for t in texts])
+
+    sched = BatchScheduler(eng, max_batch=8, max_wait_ms=5, encode_fn=encode)
+    svc = SearchService(eng, encode, scheduler=sched)
+    svc_direct = SearchService(eng, encode)
+    from theoremsearch_tpu.search import SearchFilters
+
+    f = SearchFilters(top_k=5, citation_weight=0.3)
+    a = svc.search_and_display("17", f)
+    b = svc_direct.search_and_display("17", f)
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert a[0]["doc_id"] is not None
+
+    # admission control: fill the queue beyond max_pending
+    # long batching window keeps the saturating requests in flight for
+    # the duration of the HTTP call (deterministic 429)
+    tiny = BatchScheduler(eng, max_batch=8, max_wait_ms=5000, encode_fn=encode,
+                          max_pending=2)
+    svc_tiny = SearchService(eng, encode, scheduler=tiny)
+    srv = SearchServer(svc_tiny).start()
+    try:
+        for _ in range(4):  # saturate: the last ones raise, queue stays full
+            try:
+                tiny.submit(emb[0], k=5)
+            except SchedulerOverloaded:
+                pass
+        body = json.dumps({"query": "3", "top_k": 5}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/search", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            code = 200
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 429
+    finally:
+        srv.stop()
+        tiny.shutdown()
+        sched.shutdown()

@@ -568,6 +568,42 @@ class SearchEngine:
     # full serving path (the streamlit_app.py backend behavior)
     # ------------------------------------------------------------------
 
+    def search_pool_k(self, filters: SearchFilters) -> int:
+        """Candidates to retrieve for a filter set: top_k directly, or the
+        rerank pool max(50, 10*top_k) when citation-weighted
+        (streamlit_app.py:317)."""
+        top_k = int(filters.top_k)
+        if float(filters.citation_weight) == 0.0:
+            return top_k
+        return max(self.config.rerank_min_pool, self.config.rerank_pool_multiple * top_k)
+
+    def rank_results(
+        self,
+        scores: np.ndarray,
+        ids: np.ndarray,
+        citation_weight: float,
+        top_k: int,
+    ) -> list[dict[str, Any]]:
+        """Join + (optional) citation-weighted rerank of one query's
+        retrieved candidates — shared by the direct path and the
+        scheduler-routed serving path (streamlit_app.py:316-363)."""
+        rows = self._join(ids, scores)
+        if citation_weight == 0.0:
+            for r in rows:
+                r["score"] = r["similarity"]
+            return rows
+        for r in rows:
+            cit = r["citations"]
+            bonus = (
+                citation_weight * math.log(cit)
+                if (cit is not None and cit > 0)
+                else 0.0
+            )
+            r["score"] = r["similarity"] + bonus
+        # ORDER BY weighted_score DESC, similarity DESC (:363)
+        rows.sort(key=lambda r: (-r["score"], -r["similarity"]))
+        return rows[:top_k]
+
     def search(
         self,
         query_vec: np.ndarray,
@@ -579,27 +615,12 @@ class SearchEngine:
         filters = filters or SearchFilters()
         if not filters.sources:
             return []   # reference refuses to search without a source (:166-168)
-        top_k = int(filters.top_k)
-        cw = float(filters.citation_weight)
-
-        if cw == 0.0:
-            scores, ids = self.search_vectors(query_vec, k=top_k, filters=filters)
-            rows = self._join(ids[0], scores[0])
-            for r in rows:
-                r["score"] = r["similarity"]
-            return rows
-
-        # candidate pool then rerank: pool = max(50, 10*top_k) (:317)
-        pool = max(self.config.rerank_min_pool, self.config.rerank_pool_multiple * top_k)
-        scores, ids = self.search_vectors(query_vec, k=pool, filters=filters)
-        rows = self._join(ids[0], scores[0])
-        for r in rows:
-            cit = r["citations"]
-            bonus = cw * math.log(cit) if (cit is not None and cit > 0) else 0.0
-            r["score"] = r["similarity"] + bonus
-        # ORDER BY weighted_score DESC, similarity DESC (:363)
-        rows.sort(key=lambda r: (-r["score"], -r["similarity"]))
-        return rows[:top_k]
+        scores, ids = self.search_vectors(
+            query_vec, k=self.search_pool_k(filters), filters=filters
+        )
+        return self.rank_results(
+            scores[0], ids[0], float(filters.citation_weight), int(filters.top_k)
+        )
 
     def _join(self, ids: np.ndarray, scores: np.ndarray) -> list[dict[str, Any]]:
         if self.meta is None:

@@ -46,9 +46,18 @@ class SearchService:
         engine: SearchEngine,
         encode_fn: Callable[[list[str]], np.ndarray],
         feedback_path: str | None = None,
+        scheduler=None,
+        request_timeout: float = 60.0,
     ):
+        """scheduler: optional serve.scheduler.BatchScheduler (built with
+        an encode_fn). When present, search_and_display routes through it:
+        concurrent HTTP requests micro-batch both the encoder forward and
+        the corpus scan, and its max_pending admission control applies
+        (SchedulerOverloaded -> HTTP 429)."""
         self.engine = engine
         self.encode = encode_fn
+        self.scheduler = scheduler
+        self.request_timeout = request_timeout
         self._facets = _TTLCache()
         self._feedback_path = feedback_path
 
@@ -78,8 +87,19 @@ class SearchService:
         filters = filters or SearchFilters()
         if not filters.sources:
             return []
-        qvec = np.asarray(self.encode([query or ""]))[0]
-        rows = self.engine.search(qvec, filters)
+        if self.scheduler is not None:
+            # batched serving path: the scheduler micro-batches this
+            # request's encode+scan with concurrent ones
+            fut = self.scheduler.submit_text(
+                query or "", k=self.engine.search_pool_k(filters), filters=filters
+            )
+            scores, ids = fut.result(self.request_timeout)
+            rows = self.engine.rank_results(
+                scores, ids, float(filters.citation_weight), int(filters.top_k)
+            )
+        else:
+            qvec = np.asarray(self.encode([query or ""]))[0]
+            rows = self.engine.search(qvec, filters)
         for r in rows:
             r["display_markdown"] = clean_latex_for_display(r.get("theorem_body", ""))
         return rows

@@ -22,6 +22,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .app import SearchService, _filters_from_ui
+from .scheduler import SchedulerOverloaded
 
 
 def make_handler(service: SearchService):
@@ -70,6 +71,10 @@ def make_handler(service: SearchService):
                 self._send(200, {"query": query, "results": rows})
             except json.JSONDecodeError:
                 self._send(400, {"error": "invalid JSON body"})
+            except SchedulerOverloaded as e:
+                # admission control: shed load instead of queueing into
+                # unbounded tail latency
+                self._send(429, {"error": f"overloaded: {e}", "retry_after_ms": 100})
             except Exception as e:  # noqa: BLE001
                 self._send(500, {"error": str(e)[:300]})
 

@@ -27,6 +27,14 @@ from ..search.engine import SearchEngine
 from ..search.filters import SearchFilters, filter_key as _filter_key
 
 
+class SchedulerOverloaded(RuntimeError):
+    """Raised by submit()/submit_text() when the pending queue exceeds
+    max_pending — admission control for saturated serving (without it,
+    latency at saturation is unbounded queueing: SERVE_BENCH_r02 showed
+    c=512 p50 at 3x the c=128 p50 for 20% more throughput). HTTP
+    surfaces map this to 429."""
+
+
 @dataclass
 class _Request:
     vec: np.ndarray | None
@@ -44,8 +52,13 @@ class BatchScheduler:
         max_wait_ms: float = 2.0,
         encode_fn=None,
         pipeline_depth: int = 4,
+        max_pending: int | None = None,
     ):
-        """encode_fn: optional ``list[str] -> (B, D) array``; enables
+        """max_pending: admission-control bound on queued-but-undispatched
+        requests; beyond it submit() raises SchedulerOverloaded instead
+        of letting tail latency grow without bound.
+
+        encode_fn: optional ``list[str] -> (B, D) array``; enables
         submit_text(), which micro-batches the ENCODER as well as the scan
         (one encoder forward + one corpus scan per dispatched batch — the
         full text->top-k serving path). Pass BatchedEncoder.encode_device
@@ -55,6 +68,9 @@ class BatchScheduler:
         self.encode_fn = encode_fn
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
+        self.max_pending = max_pending
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
         self._q: "queue.Queue[_Request | None]" = queue.Queue()
         self._stats = {"batches": 0, "queries": 0}
         # pipelined resolution: the dispatch thread enqueues device work
@@ -75,8 +91,29 @@ class BatchScheduler:
     ) -> Future:
         """Returns a Future resolving to (scores (k,), doc_ids (k,))."""
         req = _Request(np.asarray(query_vec, np.float32), k, filters)
+        self._admit(req)
         self._q.put(req)
         return req.future
+
+    def _admit(self, req: _Request) -> None:
+        """Admission control on IN-FLIGHT requests (submitted, not yet
+        resolved — queue depth alone misses work already drained into a
+        dispatch batch)."""
+        if self.max_pending is None:
+            return
+        with self._inflight_lock:
+            if self._inflight >= self.max_pending:
+                raise SchedulerOverloaded(
+                    f"{self._inflight} requests in flight "
+                    f"(max_pending={self.max_pending})"
+                )
+            self._inflight += 1
+
+        def _done(_f):
+            with self._inflight_lock:
+                self._inflight -= 1
+
+        req.future.add_done_callback(_done)
 
     def submit_text(
         self, query: str, k: int = 10, filters: SearchFilters | None = None
@@ -86,6 +123,7 @@ class BatchScheduler:
         if self.encode_fn is None:
             raise ValueError("submit_text requires an encode_fn")
         req = _Request(None, k, filters, text=query)
+        self._admit(req)
         self._q.put(req)
         return req.future
 
