@@ -74,13 +74,20 @@ class BatchScheduler:
         self._q: "queue.Queue[_Request | None]" = queue.Queue()
         self._stats = {"batches": 0, "queries": 0}
         # pipelined resolution: the dispatch thread enqueues device work
-        # and a finalizer; this thread performs the (only) host sync per
-        # batch — batch k's sync overlaps batch k+1's encode+scan. The
-        # bounded queue applies backpressure if the device outruns the
-        # host side.
-        self._rq: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
-        self._resolver = threading.Thread(target=self._resolve_loop, daemon=True)
-        self._resolver.start()
+        # and a finalizer; a POOL of resolver threads performs the host
+        # syncs. Each sync pays a fixed device->host round trip (~30-60ms
+        # on a remote-attached chip) that is latency- not work-bound, so
+        # concurrent syncs overlap — with one resolver the round trips
+        # serialize and cap throughput at ~1/RT batches/sec once the
+        # encoder got fast enough to shrink batch sizes. The bounded
+        # queue applies backpressure if the device outruns the host side.
+        self._rq: "queue.Queue" = queue.Queue(maxsize=2 * pipeline_depth)
+        self._resolvers = [
+            threading.Thread(target=self._resolve_loop, daemon=True)
+            for _ in range(max(1, pipeline_depth))
+        ]
+        for t in self._resolvers:
+            t.start()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -138,8 +145,10 @@ class BatchScheduler:
     def shutdown(self) -> None:
         self._q.put(None)
         self._thread.join(timeout=10)
-        self._rq.put(None)
-        self._resolver.join(timeout=10)
+        for _ in self._resolvers:
+            self._rq.put(None)
+        for t in self._resolvers:
+            t.join(timeout=10)
 
     # ------------- dispatch loop -------------
 
@@ -159,6 +168,20 @@ class BatchScheduler:
                     break
                 try:
                     nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._run_groups(batch)
+                    return
+                batch.append(nxt)
+            # pipeline backpressure as batch growth: while every resolver
+            # slot is busy, dispatching another small batch only queues —
+            # keep draining so saturation produces FEWER, LARGER batches
+            # (amortizing the per-batch device->host round trip) instead
+            # of many round-trip-bound small ones
+            while len(batch) < self.max_batch and self._rq.full():
+                try:
+                    nxt = self._q.get(timeout=0.002)
                 except queue.Empty:
                     break
                 if nxt is None:

@@ -54,9 +54,10 @@ def info_nce_loss(
     p_mask: jax.Array,
     enc_cfg: EncoderConfig,
     temperature: float,
+    fused: str = "off",
 ) -> jax.Array:
-    q = encode_pooled(params, q_ids, q_mask, enc_cfg)          # (B, D) fp32, normalized
-    p = encode_pooled(params, p_ids, p_mask, enc_cfg)
+    q = encode_pooled(params, q_ids, q_mask, enc_cfg, fused=fused)  # (B, D) fp32, normalized
+    p = encode_pooled(params, p_ids, p_mask, enc_cfg, fused=fused)
     logits = (q @ p.T) / temperature                            # (B, B)
     labels = jnp.arange(q.shape[0])
     loss_qp = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
@@ -75,10 +76,16 @@ def make_train_step(
     'shard', batches are sharded over 'data'; XLA/GSPMD inserts the
     gradient psum (dp) and the attention/MLP collectives (tp)."""
     opt = make_optimizer(train_cfg)
+    # fused Pallas attention forward on a real single-chip backend; the
+    # custom VJP recomputes the XLA reference for backward (same math,
+    # same remat-like recompute the trainer would do anyway). Mesh runs
+    # keep the XLA path (pallas_call is opaque to GSPMD).
+    fused = "on" if (mesh is None and jax.default_backend() != "cpu") else "off"
 
     def step(state: TrainState, q_ids, q_mask, p_ids, p_mask):
         loss, grads = jax.value_and_grad(info_nce_loss)(
-            state.params, q_ids, q_mask, p_ids, p_mask, enc_cfg, train_cfg.temperature
+            state.params, q_ids, q_mask, p_ids, p_mask, enc_cfg,
+            train_cfg.temperature, fused,
         )
         updates, new_opt = opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -278,10 +278,10 @@ def main():
         # the scheduler's per-group device gather compiles per
         # (enc_rows, idx_pad) shape pair — warm the plausible grid
         dummy = jnp.zeros((512, D), jnp.float32)
-        for e_rows in (64, 128, 256, 512):
+        for e_rows in (8, 16, 32, 64, 128, 256, 512):
             for p in (8, 16, 32, 64, 128, 256):
                 _ = np.asarray(
-                    jnp.take(dummy[:e_rows], jnp.zeros(p, jnp.int32), axis=0)[:1, :1]
+                    jnp.take(dummy[:e_rows], jnp.zeros(min(p, 512), jnp.int32), axis=0)[:1, :1]
                 )
         _log("filter signatures + gather shapes warmed")
         for level in (128, 512):
