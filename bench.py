@@ -145,8 +145,10 @@ def main():
     def chunk_absmax(x):
         return jnp.max(jnp.abs(x))
 
-    @functools.partial(jax.jit, static_argnames=("start",))
-    def oracle_step(qall, x, top_s, top_i, *, start):
+# `start` is a TRACED scalar everywhere below: making it static would
+    # compile one remote program per chunk (~16 per helper at 4M).
+    @jax.jit
+    def oracle_step(qall, x, top_s, top_i, start):
         s = jax.lax.dot_general(
             qall, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -156,13 +158,13 @@ def main():
         ns, sel = jax.lax.top_k(cs, K)
         return ns, jnp.take_along_axis(ci, sel, axis=1)
 
-    @functools.partial(jax.jit, static_argnames=("start",), donate_argnums=(0,))
-    def pack_int8(buf, x, gscale, *, start):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def pack_int8(buf, x, gscale, start):
         codes = jnp.clip(jnp.round(x / gscale), -127, 127).astype(jnp.int8)
         return jax.lax.dynamic_update_slice(buf, codes, (start, 0))
 
-    @functools.partial(jax.jit, static_argnames=("start",), donate_argnums=(0,))
-    def pack_bf16(buf, x, *, start):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def pack_bf16(buf, x, start):
         return jax.lax.dynamic_update_slice(buf, x.astype(jnp.bfloat16), (start, 0))
 
     def build_corpus(n: int, ndraws: int):
@@ -178,7 +180,7 @@ def main():
         for c in range(n_chunks):
             x = gen_chunk(keys[c], rows=CHUNK)
             absmax = max(absmax, float(chunk_absmax(x)))
-            top_s, top_i = oracle_step(qall, x, top_s, top_i, start=c * CHUNK)
+            top_s, top_i = oracle_step(qall, x, top_s, top_i, jnp.int32(c * CHUNK))
         gscale = absmax / 127.0
         oracle = np.asarray(top_i).reshape(ndraws, B_SPEED, K)
         del top_s, top_i
@@ -186,8 +188,8 @@ def main():
         bf16 = jnp.zeros((n, D), jnp.bfloat16)
         for c in range(n_chunks):
             x = gen_chunk(keys[c], rows=CHUNK)
-            codes = pack_int8(codes, x, gscale, start=c * CHUNK)
-            bf16 = pack_bf16(bf16, x, start=c * CHUNK)
+            codes = pack_int8(codes, x, gscale, jnp.int32(c * CHUNK))
+            bf16 = pack_bf16(bf16, x, jnp.int32(c * CHUNK))
         jax.block_until_ready((codes, bf16))
         return codes, bf16, gscale, [oracle[i] for i in range(ndraws)]
 
@@ -252,8 +254,8 @@ def main():
 
     # per-row-scale exact rows (the filtered-search production kernel).
     # Regenerate per-row codes chunk-wise from the same keys.
-    @functools.partial(jax.jit, static_argnames=("start",), donate_argnums=(0, 1))
-    def pack_perrow(cbuf, sbuf, x, *, start):
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def pack_perrow(cbuf, sbuf, x, start):
         absmax = jnp.max(jnp.abs(x), axis=1)
         scales = jnp.where(absmax > 0, absmax / 127.0, 1.0)
         codes = jnp.clip(jnp.round(x / scales[:, None]), -127, 127).astype(jnp.int8)
@@ -269,7 +271,7 @@ def main():
     keys = jax.random.split(jax.random.PRNGKey(7), N // CHUNK)
     for c in range(N // CHUNK):
         x = gen_chunk(keys[c], rows=CHUNK)
-        codes_r, scales_r = pack_perrow(codes_r, scales_r, x, start=c * CHUNK)
+        codes_r, scales_r = pack_perrow(codes_r, scales_r, x, jnp.int32(c * CHUNK))
     jax.block_until_ready(scales_r)
     _log("per-row index built")
     run_config(
