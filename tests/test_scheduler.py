@@ -242,3 +242,32 @@ def test_filtered_text_and_vector_groups_async(engine):
         assert eng.meta.primary_category[d] == "math.NT"
     assert sched.stats()["queries"] == 5
     sched.shutdown()
+
+
+def test_filter_coalescing_batches_and_deadline_flush(engine):
+    """Filtered requests with the same signature coalesce into one scan
+    when enough arrive; a lone filtered request still resolves within
+    the coalesce deadline (loop-timeout flush)."""
+    import time
+
+    eng, emb = engine
+    sched = BatchScheduler(
+        eng, max_batch=64, max_wait_ms=5,
+        filter_coalesce_ms=120.0, filter_coalesce_min=8,
+    )
+    f = SearchFilters(tags=["math.AG"])
+    b0 = dict(sched.stats())
+    futs = [sched.submit(emb[2 * i + 1], k=5, filters=f) for i in range(8)]
+    for i, fu in enumerate(futs):
+        s, ids = fu.result(10)
+        assert ids[0] == 2 * i + 1  # self-match, odd ids are math.AG
+    b1 = sched.stats()
+    # 8 same-signature requests should have shared very few scans
+    assert b1["batches"] - b0["batches"] <= 3
+
+    # a single held request flushes at the deadline, not at min-size
+    t0 = time.time()
+    s, ids = sched.submit(emb[3], k=5, filters=f).result(10)
+    assert ids[0] == 3
+    assert time.time() - t0 < 5.0
+    sched.shutdown()

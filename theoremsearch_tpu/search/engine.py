@@ -509,6 +509,11 @@ class SearchEngine:
         if mask is None and self.ivf is not None and b <= self.ivf_max_batch:
             s, i = self._ivf_fn(k)(q)   # rescores on device internally
             rescored_on_device = True
+        elif mask is not None and not np.any(mask):
+            # nothing passes (e.g. empty source set): resolve host-side
+            empty_s = np.full((b, k), NEG_INF, np.float32)
+            empty_i = np.full((b, k), PAD_ID, np.int32)
+            return lambda: (empty_s, empty_i)
         elif mask is None:
             # speed path builds for the FINAL k (it oversamples inside)
             fn_k = k if (self._speed_ok or self._sharded_speed_ok) else k_dev
@@ -526,8 +531,11 @@ class SearchEngine:
         on_device = rescored_on_device
 
         def finalize() -> tuple[np.ndarray, np.ndarray]:
-            s_h = np.asarray(s)[:b]
-            i_h = np.asarray(i)[:b]
+            # ONE device->host transfer for both outputs: each pull pays
+            # a full round trip on a remote-attached chip, and resolver
+            # throughput is round-trip-bound at small batch sizes
+            s_h, i_h = jax.device_get((s, i))
+            s_h, i_h = s_h[:b], i_h[:b]
             if do_rescore and not on_device:
                 s_h, i_h = self._rescore(np.asarray(q)[:b], s_h, i_h, k)
             s2, i2 = s_h[:, :k], i_h[:, :k]

@@ -53,10 +53,21 @@ class BatchScheduler:
         encode_fn=None,
         pipeline_depth: int = 4,
         max_pending: int | None = None,
+        filter_coalesce_ms: float = 30.0,
+        filter_coalesce_min: int = 32,
     ):
         """max_pending: admission-control bound on queued-but-undispatched
         requests; beyond it submit() raises SchedulerOverloaded instead
         of letting tail latency grow without bound.
+
+        filter_coalesce_ms/_min: filtered requests are HELD until their
+        filter signature has _min requests or _ms elapsed, then batch
+        into one scan. Each filtered group costs a full corpus scan +
+        host round trip regardless of its size, so dispatching 2-query
+        groups every cycle round-trip-binds mixed traffic; coalescing
+        amortizes the scan over the signature's arrivals at a bounded
+        latency cost. Held TEXT requests encode in the batch where their
+        group fires (their vectors are never materialized early).
 
         encode_fn: optional ``list[str] -> (B, D) array``; enables
         submit_text(), which micro-batches the ENCODER as well as the scan
@@ -69,6 +80,10 @@ class BatchScheduler:
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
         self.max_pending = max_pending
+        self.filter_coalesce_s = filter_coalesce_ms / 1000.0
+        self.filter_coalesce_min = filter_coalesce_min
+        self._held: dict[tuple, list[_Request]] = {}
+        self._held_deadline: dict[tuple, float] = {}
         self._inflight = 0
         self._inflight_lock = threading.Lock()
         self._q: "queue.Queue[_Request | None]" = queue.Queue()
@@ -152,15 +167,30 @@ class BatchScheduler:
 
     # ------------- dispatch loop -------------
 
+    def _flush_all_held(self) -> None:
+        for k in self._held_deadline:
+            self._held_deadline[k] = 0.0
+        self._run_groups([])
+
     def _loop(self) -> None:
+        import time
+
         while True:
-            first = self._q.get()
+            timeout = None
+            if self._held_deadline:
+                timeout = max(
+                    0.0, min(self._held_deadline.values()) - time.time()
+                )
+            try:
+                first = self._q.get(timeout=timeout)
+            except queue.Empty:
+                self._run_groups([])  # flush expired filter holds
+                continue
             if first is None:
+                self._flush_all_held()
                 return
             batch = [first]
             # drain for up to max_wait or until max_batch
-            import time
-
             deadline = time.time() + self.max_wait_s
             while len(batch) < self.max_batch:
                 remaining = deadline - time.time()
@@ -172,6 +202,7 @@ class BatchScheduler:
                     break
                 if nxt is None:
                     self._run_groups(batch)
+                    self._flush_all_held()
                     return
                 batch.append(nxt)
             # pipeline backpressure as batch growth: while every resolver
@@ -186,17 +217,48 @@ class BatchScheduler:
                     break
                 if nxt is None:
                     self._run_groups(batch)
+                    self._flush_all_held()
                     return
                 batch.append(nxt)
             self._run_groups(batch)
 
     def _run_groups(self, batch: list[_Request]) -> None:
+        import time
+
         import numpy as _np
 
-        # encode ALL text requests (across every filter group) in ONE
-        # batched forward. The result may be a DEVICE array
+        # filtered requests coalesce by signature: each group costs a
+        # full corpus scan + round trip regardless of size, so hold them
+        # until the signature has filter_coalesce_min requests or its
+        # deadline passes; unfiltered requests dispatch immediately
+        now = time.time()
+        immediate: list[_Request] = []
+        for r in batch:
+            key = _filter_key(r.filters)
+            if key == ():
+                immediate.append(r)
+            else:
+                if key not in self._held:
+                    self._held_deadline[key] = now + self.filter_coalesce_s
+                self._held.setdefault(key, []).append(r)
+        groups: list[tuple[tuple, list[_Request]]] = []
+        if immediate:
+            groups.append(((), immediate))
+        for key in [
+            k for k in self._held
+            if len(self._held[k]) >= self.filter_coalesce_min
+            or now >= self._held_deadline[k]
+        ]:
+            groups.append((key, self._held.pop(key)))
+            self._held_deadline.pop(key)
+        if not groups:
+            return
+
+        # encode ALL text requests (across every dispatching group) in
+        # ONE batched forward. The result may be a DEVICE array
         # (encode_device): groups consume it without a host sync.
-        text_reqs = [r for r in batch if r.vec is None]
+        dispatching = [r for _, reqs in groups for r in reqs]
+        text_reqs = [r for r in dispatching if r.vec is None]
         enc = None
         if text_reqs:
             try:
@@ -205,7 +267,11 @@ class BatchScheduler:
                 for r in text_reqs:
                     if not r.future.done():
                         r.future.set_exception(e)
-                batch = [r for r in batch if r.vec is not None]
+                groups = [
+                    (key, [r for r in reqs if r.vec is not None])
+                    for key, reqs in groups
+                ]
+                groups = [(key, reqs) for key, reqs in groups if reqs]
                 text_reqs = []
         text_pos = {id(r): i for i, r in enumerate(text_reqs)}
 
@@ -214,11 +280,9 @@ class BatchScheduler:
         # thread, stalling every batch queued behind them). The engine
         # caches the device mask per filter signature, so a filtered
         # dispatch costs the same as an unfiltered one.
-        groups: dict[tuple, list[_Request]] = {}
-        for r in batch:
-            groups.setdefault(_filter_key(r.filters), []).append(r)
         n_groups = 0
-        for key, reqs in groups.items():
+        n_queries = 0
+        for key, reqs in groups:
             treqs = [r for r in reqs if r.vec is None]
             vreqs = [r for r in reqs if r.vec is not None]
             reqs_ord = treqs + vreqs
@@ -235,12 +299,13 @@ class BatchScheduler:
                 )
                 self._rq.put((reqs_ord, fin))
                 n_groups += 1
+                n_queries += len(reqs_ord)
             except Exception as e:  # noqa: BLE001
                 for r in reqs_ord:
                     if not r.future.done():
                         r.future.set_exception(e)
         self._stats["batches"] += n_groups
-        self._stats["queries"] += len(batch)
+        self._stats["queries"] += n_queries
 
     @staticmethod
     def _group_queries(enc, rows: list[int], n_text_total: int, vecs):
