@@ -279,11 +279,16 @@ def main():
         # (enc_rows, idx_pad) shape pair — warm the plausible grid
         dummy = jnp.zeros((512, D), jnp.float32)
         for e_rows in (8, 16, 32, 64, 128, 256, 512):
-            for p in (8, 16, 32, 64, 128, 256):
+            for p in (8, 16, 32, 64, 128, 256, 512):
                 _ = np.asarray(
-                    jnp.take(dummy[:e_rows], jnp.zeros(min(p, 512), jnp.int32), axis=0)[:1, :1]
+                    jnp.take(dummy[:e_rows], jnp.zeros(p, jnp.int32), axis=0)[:1, :1]
                 )
         _log("filter signatures + gather shapes warmed")
+        # unmeasured mix warmup: any program shape the grid above missed
+        # compiles here instead of inside a measured window (one mid-run
+        # remote compile stalls a resolver slot for its full duration)
+        run_level(64, "warmup_mix", 0.2)
+        results.pop("warmup_mix", None)
         for level in (128, 512):
             run_level(level, f"c{level}_mix20", 0.2)
     sched.shutdown()
