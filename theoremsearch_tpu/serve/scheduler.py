@@ -242,15 +242,28 @@ class BatchScheduler:
                     self._held_deadline[key] = now + self.filter_coalesce_s
                 self._held.setdefault(key, []).append(r)
         groups: list[tuple[tuple, list[_Request]]] = []
+        total = 0
         if immediate:
             groups.append(((), immediate))
+            total = len(immediate)
         for key in [
             k for k in self._held
             if len(self._held[k]) >= self.filter_coalesce_min
             or now >= self._held_deadline[k]
         ]:
-            groups.append((key, self._held.pop(key)))
+            # cap a cycle's dispatch at max_batch total queries: larger
+            # composites would hit un-warmed device shapes (a release
+            # deferred past the cap goes out next cycle, ~ms later)
+            if (
+                total
+                and total + len(self._held[key]) > self.max_batch
+                and now < self._held_deadline[key] + 4 * self.filter_coalesce_s
+            ):
+                continue  # defer (bounded: force-release past 4x deadline)
+            reqs = self._held.pop(key)
             self._held_deadline.pop(key)
+            groups.append((key, reqs))
+            total += len(reqs)
         if not groups:
             return
 
