@@ -273,7 +273,7 @@ def main():
     # buckets first, then measure 20% filtered at the two operating points
     if on_tpu:
         for f in FILTER_SIGS:
-            for b in (8, 32, 64, 128, 256):
+            for b in (8, 32, 64, 128, 256, 512):
                 engine.search_vectors(warm[:b], k=10, filters=f)
         # the scheduler's per-group device gather compiles per
         # (enc_rows, idx_pad) shape pair — warm the plausible grid
