@@ -105,9 +105,14 @@ def main():
         refs = [np.asarray(exact10(qd, embd)) for qd in draws]
         print(f"[{kind}] corpus + oracle done", flush=True)
 
-        # brute speed-path baseline at B=8
+        # brute speed-path baseline at B=8 (quantize under jit: the eager
+        # composition materializes three 4 GB f32 temporaries and OOMs)
+        @jax.jit
+        def _quant(e, gs):
+            return jnp.clip(jnp.round(e / gs), -127, 127).astype(jnp.int8)
+
         gscale = float(jnp.max(jnp.abs(embd)) / 127.0)
-        codes = jnp.clip(jnp.round(embd / gscale), -127, 127).astype(jnp.int8)
+        codes = _quant(embd, gscale)
         bf16 = embd.astype(jnp.bfloat16)
         jax.block_until_ready((codes, bf16))
         emb = np.asarray(embd)
