@@ -188,9 +188,18 @@ class SearchEngine:
         # queries always use the flat masked scan — a filter mask does
         # not compose with coarse probing without recall loss.
         self.ivf = ivf_index
-        # default nprobe 16: on the 1M bench nprobe=8 recall dipped to
-        # 0.9875 on some query draws; 16 clears the 0.99 gate at 2.2 ms
-        self.ivf_nprobe = ivf_nprobe or 16
+        # default nprobe 16 holds the 0.99 gate on EASY geometry only
+        # (well-separated clusters, in-distribution queries). Measured
+        # per-geometry requirements (IVF_BENCH_r03.json): overlapping
+        # clusters need 32, off-distribution queries 32-64, and a
+        # structureless corpus needs 256 — where IVF loses to the flat
+        # scan outright. Calibrate per corpus with
+        # IndexBuilder.finalize_ivf(calibrate_gate=...) / `build-ivf
+        # --calibrate`, which stores the picked nprobe in the index
+        # config; prefer the flat route when calibration lands >~64.
+        self.ivf_nprobe = ivf_nprobe or (
+            max(int(ivf_index.config.ivf_nprobe), 16) if ivf_index is not None else 16
+        )
         # IVF wins only at small batches: its exact-top-k epilogue scales
         # with the probed width, and batch-deduped probing approaches all
         # lists as B grows (measured crossover at B~16-32 on 1M:
