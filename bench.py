@@ -171,25 +171,29 @@ def main():
         """Returns (codes int8 (n,D), bf16 copy, gscale, oracle_ids list
         per draw). Two passes over regenerated chunks: pass 1 absmax +
         oracle, pass 2 quantize into donated buffers."""
-        n_chunks = n // CHUNK
+        # halve the chunk above 2M: the pack pass holds codes (n bytes)
+        # + bf16 (2n) + the live fp32 chunk, and 4M x 1024 already uses
+        # 12 GB of HBM for the index alone
+        chunk = CHUNK if n <= 2_097_152 else CHUNK // 2
+        n_chunks = n // chunk
         keys = jax.random.split(jax.random.PRNGKey(7), n_chunks)
         qall = jnp.concatenate([q_draws[i] for i in range(ndraws)], axis=0)
         top_s = jnp.full((qall.shape[0], K), -np.inf, jnp.float32)
         top_i = jnp.full((qall.shape[0], K), -1, jnp.int32)
         absmax = 0.0
         for c in range(n_chunks):
-            x = gen_chunk(keys[c], rows=CHUNK)
+            x = gen_chunk(keys[c], rows=chunk)
             absmax = max(absmax, float(chunk_absmax(x)))
-            top_s, top_i = oracle_step(qall, x, top_s, top_i, jnp.int32(c * CHUNK))
+            top_s, top_i = oracle_step(qall, x, top_s, top_i, jnp.int32(c * chunk))
         gscale = absmax / 127.0
         oracle = np.asarray(top_i).reshape(ndraws, B_SPEED, K)
         del top_s, top_i
         codes = jnp.zeros((n, D), jnp.int8)
         bf16 = jnp.zeros((n, D), jnp.bfloat16)
         for c in range(n_chunks):
-            x = gen_chunk(keys[c], rows=CHUNK)
-            codes = pack_int8(codes, x, gscale, jnp.int32(c * CHUNK))
-            bf16 = pack_bf16(bf16, x, jnp.int32(c * CHUNK))
+            x = gen_chunk(keys[c], rows=chunk)
+            codes = pack_int8(codes, x, gscale, jnp.int32(c * chunk))
+            bf16 = pack_bf16(bf16, x, jnp.int32(c * chunk))
         jax.block_until_ready((codes, bf16))
         return codes, bf16, gscale, [oracle[i] for i in range(ndraws)]
 
@@ -315,7 +319,7 @@ def main():
                 f"{B_SPEED/dt:,.0f} QPS, recall min={g['recall_min']:.4f} "
                 f"({mem_gb:.1f} GB resident)"
             )
-            del codes_s, bf16_s
+            del codes_s, bf16_s, fn
             gc.collect()
         except Exception as e:  # noqa: BLE001
             scale_rows[f"n{n_scale}"] = {"error": str(e)[:160]}
