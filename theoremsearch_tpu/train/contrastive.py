@@ -76,11 +76,11 @@ def make_train_step(
     'shard', batches are sharded over 'data'; XLA/GSPMD inserts the
     gradient psum (dp) and the attention/MLP collectives (tp)."""
     opt = make_optimizer(train_cfg)
-    # fused Pallas attention forward on a real single-chip backend; the
-    # custom VJP recomputes the XLA reference for backward (same math,
-    # same remat-like recompute the trainer would do anyway). Mesh runs
-    # keep the XLA path (pallas_call is opaque to GSPMD).
-    fused = "on" if (mesh is None and jax.default_backend() != "cpu") else "off"
+    # training keeps the XLA attention: the fused kernel's custom VJP
+    # re-runs the reference forward in backward, which measured NET
+    # SLOWER for fwd+bwd (279.6 vs 264 ms/step on chip) — the fused
+    # path pays off only for inference, where there is no backward
+    fused = "off"
 
     def step(state: TrainState, q_ids, q_mask, p_ids, p_mask):
         loss, grads = jax.value_and_grad(info_nce_loss)(
