@@ -186,3 +186,67 @@ def test_scheduler_routed_service_and_admission_control():
         srv.stop()
         tiny.shutdown()
         sched.shutdown()
+
+
+def test_cli_serve_command_end_to_end(tmp_path):
+    """`python -m theoremsearch_tpu serve` wiring: catalog -> engine +
+    encoder + scheduler -> HTTP server, driven through a real POST."""
+    import gzip
+    import json
+    import urllib.request
+    from argparse import Namespace
+
+    from theoremsearch_tpu.cli import make_search_server
+    from theoremsearch_tpu.ingest.catalog import Catalog
+    from theoremsearch_tpu.ingest.parse_driver import parse_papers
+    from theoremsearch_tpu.slogans import OfflineStubClient, generate_slogans, load_prompt
+
+    cat = Catalog(str(tmp_path / "cat.db"))
+    sources = {}
+    for i in range(6):
+        pid = f"2402.{i:05d}"
+        cat.upsert_paper({
+            "paper_id": pid, "title": f"Paper {i}", "authors": [f"A{i}"],
+            "summary": "s", "link": f"https://arxiv.org/abs/{pid}",
+            "last_updated": "2024-01-01", "journal_ref": None,
+            "primary_category": "math.NT", "categories": ["math.NT"],
+            "citations": i,
+        })
+        tex = (
+            "\\documentclass{article}\n"
+            "\\newtheorem{theorem}{Theorem}\n"
+            "\\begin{document}\n"
+            f"\\begin{{theorem}} Result {i} about primes. \\end{{theorem}}\n"
+            "\\end{document}\n"
+        ).encode()
+        sources[pid] = gzip.compress(tex)
+    parse_papers(cat, source_fetcher=lambda pid: sources[pid], timeout_s=30)
+    generate_slogans(cat, load_prompt("body-only-v1"), OfflineStubClient())
+    cat.close()
+
+    args = Namespace(
+        catalog=str(tmp_path / "cat.db"), spool=str(tmp_path / "spool"),
+        model_dir=None, host="127.0.0.1", port=0, no_batching=False,
+        max_batch=16, max_wait_ms=5.0, max_pending=64,
+    )
+    srv, sched = make_search_server(args)
+    srv.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/health", timeout=30
+        ) as r:
+            assert json.loads(r.read())["corpus"] == 6
+        body = json.dumps({"query": "primes", "top_k": 3}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/search", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert len(out["results"]) == 3
+        assert out["results"][0]["paper_id"].startswith("2402.")
+        assert "display_markdown" in out["results"][0]
+    finally:
+        srv.stop()
+        if sched is not None:
+            sched.shutdown()

@@ -34,7 +34,7 @@ def _catalog(args):
     return Catalog(args.catalog)
 
 
-def _encoder(args):
+def _batched_encoder(args):
     """Checkpoint encoder when --model-dir is given, hermetic otherwise."""
     from .core.config import EncoderConfig
     from .encoder.batching import BatchedEncoder
@@ -52,8 +52,11 @@ def _encoder(args):
         cfg = EncoderConfig.tiny()
         params = init_params(cfg, jax.random.PRNGKey(0))
         tok = get_tokenizer(None, cfg.vocab_size)
-    be = BatchedEncoder(params, cfg, tokenizer=tok)
-    return be.encode
+    return BatchedEncoder(params, cfg, tokenizer=tok)
+
+
+def _encoder(args):
+    return _batched_encoder(args).encode
 
 
 def cmd_ingest_arxiv(args):
@@ -170,6 +173,48 @@ def cmd_search(args):
             print(f"    {r['theorem_slogan'][:200]}")
 
 
+def make_search_server(args):
+    """Build the serving stack from a catalog: engine + encoder + (by
+    default) the micro-batching scheduler with admission control, wrapped
+    in a threaded HTTP server. Factored from cmd_serve so tests can start
+    and stop it without blocking."""
+    from .pipeline import build_engine_from_catalog
+    from .serve.app import SearchService
+    from .serve.http_api import SearchServer
+    from .serve.scheduler import BatchScheduler
+
+    be = _batched_encoder(args)
+    engine = build_engine_from_catalog(_catalog(args), be.encode, args.spool)
+    sched = None
+    if not args.no_batching:
+        sched = BatchScheduler(
+            engine,
+            max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms,
+            encode_fn=be.encode_device,
+            max_pending=args.max_pending or None,
+        )
+    svc = SearchService(engine, be.encode, scheduler=sched)
+    return SearchServer(svc, host=args.host, port=args.port), sched
+
+
+def cmd_serve(args):
+    """HTTP serving daemon — the reference's `streamlit run
+    streamlit_app.py` equivalent, but through the production
+    micro-batched path (POST /search, GET /facets, GET /health)."""
+    srv, sched = make_search_server(args)
+    print(f"serving on http://{args.host}:{srv.port}  "
+          f"(batching={'off' if sched is None else 'on'})")
+    try:
+        srv.httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+        if sched is not None:
+            sched.shutdown()
+
+
 def cmd_eval(args):
     from .eval.harness import evaluate_encoder_on_validation
 
@@ -283,6 +328,19 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--top-k", type=int, default=10)
     s.add_argument("--citation-weight", type=float, default=0.0)
     s.set_defaults(fn=cmd_search)
+
+    s = sub.add_parser("serve")
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--spool", default="./spool")
+    s.add_argument("--model-dir")
+    s.add_argument("--no-batching", action="store_true",
+                   help="serve without the micro-batching scheduler")
+    s.add_argument("--max-batch", type=int, default=256)
+    s.add_argument("--max-wait-ms", type=float, default=8.0)
+    s.add_argument("--max-pending", type=int, default=2048,
+                   help="admission-control bound (0 = unbounded); beyond it requests get HTTP 429")
+    s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("eval")
     s.add_argument(
