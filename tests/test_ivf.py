@@ -354,3 +354,44 @@ def test_builder_finalize_ivf(clustered_corpus, tmp_path):
     _, ref = exact_topk(q, emb, k=10)
     _, found = index.search(q, k=10, nprobe=32)
     assert recall_vs_exact(found, np.asarray(ref), k=10) >= 0.9
+
+
+def test_checkpoint_invalidated_by_different_corpus(clustered_corpus, tmp_path):
+    """A same-shape corpus with DIFFERENT contents must not reuse a stale
+    checkpoint (the keys carry a content fingerprint)."""
+    emb, _ = clustered_corpus
+    cfg = IndexConfig(ivf_nlist=16, dtype="float32")
+    a = IVFIndex.build(emb, config=cfg, checkpoint_dir=tmp_path)
+    rng = np.random.default_rng(123)
+    emb2 = np.asarray(l2_normalize(
+        rng.standard_normal(emb.shape).astype(np.float32)))
+    b = IVFIndex.build(emb2, config=cfg, checkpoint_dir=tmp_path)
+    # fresh k-means on the new corpus, not the old centroids
+    assert not np.allclose(a.centroids, b.centroids)
+    # and the new index actually retrieves the new corpus
+    q = emb2[:4]
+    _, ids = b.search(q, k=1, nprobe=16)
+    assert (ids[:, 0] == np.arange(4)).all()
+
+
+def test_calibrated_nprobe_trusted_by_engine(clustered_corpus, tmp_path):
+    from theoremsearch_tpu.index.builder import IndexBuilder
+    from theoremsearch_tpu.search import SearchEngine
+
+    emb, _ = clustered_corpus
+    b = IndexBuilder(tmp_path / "sp", IndexConfig(
+        ivf_nlist=32, dtype="int8", int8_scale="global", ivf_assign2_margin=0.02,
+    ))
+    b.add(np.arange(emb.shape[0], dtype=np.int64), emb)
+    ivf, calib = b.finalize_ivf(calibrate_gate=0.9)
+    assert ivf.config.ivf_nprobe_calibrated
+    flat_idx = __import__("theoremsearch_tpu.index", fromlist=["FlatIndex"]).FlatIndex.build(
+        emb, config=IndexConfig(pad_multiple=256, dtype="int8", int8_scale="global"),
+        normalize=False,
+    )
+    eng = SearchEngine(
+        flat_idx, use_pallas=True, pallas_interpret=True, row_block=128,
+        rescore_vectors=emb, rescore_factor=8, ivf_index=ivf,
+    )
+    # engine uses the calibrated value verbatim (no floor at 16)
+    assert eng.ivf_nprobe == calib[0]

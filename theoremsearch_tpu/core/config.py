@@ -76,6 +76,10 @@ class IndexConfig(_JsonConfig):
     # IVF coarse quantizer (0 = flat exact index)
     ivf_nlist: int = 0
     ivf_nprobe: int = 8
+    # True when ivf_nprobe came from calibrate_nprobe against the recall
+    # gate — the engine then trusts it verbatim (otherwise it floors the
+    # default at 16, the safe value for easy geometry)
+    ivf_nprobe_calibrated: bool = False
     kmeans_iters: int = 25
     kmeans_init: str = "kmeans++"   # or "random"; ++ avoids merged
                                     # clusters on well-separated corpora

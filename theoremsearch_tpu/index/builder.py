@@ -89,21 +89,25 @@ class IndexBuilder:
                 np.load(self.dir / f"{b['name']}.emb.npy"),
             )
 
-    def finalize(self, normalize: bool = True) -> FlatIndex:
+    def _load_deduped(self) -> tuple[np.ndarray, np.ndarray]:
+        """All spooled (ids, embeddings), idempotent re-adds (restart
+        overlap) keeping the first copy — like the reference's ON
+        CONFLICT upsert (ec2/rds/upsert.py:40-45). Shared by the flat
+        and IVF finalizers."""
         if not self.manifest["batches"]:
             raise ValueError("no batches spooled")
         all_ids, all_emb = [], []
         seen: set[int] = set()
         for ids, emb in self.batches():
-            # idempotent re-adds (restart overlap) keep the first copy,
-            # like the reference's ON CONFLICT upsert (ec2/rds/upsert.py:40-45)
             mask = np.array([i not in seen for i in ids.tolist()])
             seen.update(ids.tolist())
             if mask.any():
                 all_ids.append(ids[mask])
                 all_emb.append(emb[mask])
-        ids = np.concatenate(all_ids)
-        emb = np.concatenate(all_emb)
+        return np.concatenate(all_ids), np.concatenate(all_emb)
+
+    def finalize(self, normalize: bool = True) -> FlatIndex:
+        ids, emb = self._load_deduped()
         return FlatIndex.build(emb, ids=ids, config=self.config, normalize=normalize)
 
     def finalize_ivf(
@@ -123,18 +127,7 @@ class IndexBuilder:
         calibrated nprobe is also recorded in the index config."""
         from .ivf import IVFIndex, calibrate_nprobe
 
-        if not self.manifest["batches"]:
-            raise ValueError("no batches spooled")
-        all_ids, all_emb = [], []
-        seen: set[int] = set()
-        for ids, emb in self.batches():
-            mask = np.array([i not in seen for i in ids.tolist()])
-            seen.update(ids.tolist())
-            if mask.any():
-                all_ids.append(ids[mask])
-                all_emb.append(emb[mask])
-        ids = np.concatenate(all_ids)
-        emb = np.concatenate(all_emb)
+        ids, emb = self._load_deduped()
         index = IVFIndex.build(
             emb, ids=ids, config=self.config, slab_rows=slab_rows,
             normalize=normalize, checkpoint_dir=self.dir,
@@ -144,7 +137,9 @@ class IndexBuilder:
             calib = calibrate_nprobe(
                 index, emb, gate=calibrate_gate, ids=ids, interpret=interpret
             )
-            index.config = index.config.replace(ivf_nprobe=int(calib[0]))
+            index.config = index.config.replace(
+                ivf_nprobe=int(calib[0]), ivf_nprobe_calibrated=True
+            )
         return index, calib
 
     def _write_manifest(self) -> None:

@@ -40,6 +40,19 @@ from .flat import PAD_ID
 from .quant import quantize_global_int8, quantize_int8
 
 
+def _fingerprint(x: np.ndarray, sample: int = 4096) -> str:
+    """Content fingerprint of an embedding matrix: blake2s over a
+    deterministic row sample (+ shape). Checkpoint keys include it so a
+    SAME-SHAPE corpus with different contents (e.g. re-embedded with a
+    retrained encoder into the same spool dir) never silently reuses a
+    stale k-means/assignment checkpoint."""
+    import hashlib
+
+    step = max(1, x.shape[0] // sample)
+    h = hashlib.blake2s(np.ascontiguousarray(x[::step]).tobytes(), digest_size=12)
+    return f"{x.shape[0]}x{x.shape[1]}-{h.hexdigest()}"
+
+
 # ---------------------------------------------------------------------------
 # spherical k-means (device)
 # ---------------------------------------------------------------------------
@@ -120,7 +133,10 @@ def train_kmeans(
     if sample is not None and x.shape[0] > sample:
         x = x[rng.choice(x.shape[0], sample, replace=False)]
     ckpt_path = None
-    ckpt_key = f"n{x.shape[0]}_d{x.shape[1]}_l{nlist}_i{iters}_s{seed}_{init}"
+    ckpt_key = (
+        f"n{x.shape[0]}_d{x.shape[1]}_l{nlist}_i{iters}_s{seed}_{init}"
+        f"_{_fingerprint(x)}"
+    )
     iters_done = 0
     cents = None
     if checkpoint_dir is not None:
@@ -217,7 +233,12 @@ class IVFIndex:
         # the 2nd-best cluster is the overflow-relocation target; the
         # margin additionally gates dual-assignment COPIES.
         margin = float(cfg.ivf_assign2_margin)
-        assign_key = f"n{n}_d{d}_l{nlist}_m{margin}"
+        # keyed on corpus AND centroid contents: a k-means re-run with
+        # different settings must invalidate the cached assignment
+        assign_key = (
+            f"n{n}_d{d}_l{nlist}_m{margin}"
+            f"_{_fingerprint(emb)}_{_fingerprint(cents)}"
+        )
         assign_path = (
             Path(checkpoint_dir) / "assign_ckpt.npz" if checkpoint_dir else None
         )

@@ -408,9 +408,17 @@ def _exact_topk_wide(cand: jax.Array, k: int, seg: int = 2048):
     on TPU than one W-wide lax.top_k (which measured ~40 ms at W=32k,
     B=1024 on v5e)."""
     b, w = cand.shape
-    if w <= seg or w % seg:
+    if w <= seg:
         vi, pos = jax.lax.top_k(cand, k)
         return vi, pos.astype(jnp.int32)
+    if w % seg:
+        # pad to a segment multiple with a below-everything sentinel
+        # (falling back to one w-wide top_k here would silently cost
+        # ~40 ms/batch for any corpus whose tile count isn't a multiple
+        # of seg/128); padded positions decode as invalid downstream
+        pad = seg - w % seg
+        cand = jnp.pad(cand, ((0, 0), (0, pad)), constant_values=INT32_MIN)
+        w += pad
     s = w // seg
     k1 = min(k, seg)
     vi1, p1 = jax.lax.top_k(cand.reshape(b, s, seg), k1)        # (B, S, k1)

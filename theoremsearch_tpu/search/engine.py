@@ -138,8 +138,13 @@ class SearchEngine:
 
         self._search_fn_cache: dict[tuple, Callable] = {}
         # per-filter-signature (np mask, device mask/bias) cache — a
-        # serving mix reuses a handful of filter signatures
+        # serving mix reuses a handful of filter signatures. Guarded by
+        # a lock: without a scheduler, ThreadingHTTPServer handler
+        # threads hit this concurrently
         self._filter_cache: dict[tuple, tuple] = {}
+        import threading
+
+        self._filter_cache_lock = threading.Lock()
 
         # speed path (single chip, unfiltered, global-scale int8 index +
         # rescore copies): fused maxima scan -> on-device exact rescore.
@@ -197,9 +202,15 @@ class SearchEngine:
         # IndexBuilder.finalize_ivf(calibrate_gate=...) / `build-ivf
         # --calibrate`, which stores the picked nprobe in the index
         # config; prefer the flat route when calibration lands >~64.
-        self.ivf_nprobe = ivf_nprobe or (
-            max(int(ivf_index.config.ivf_nprobe), 16) if ivf_index is not None else 16
-        )
+        if ivf_nprobe:
+            self.ivf_nprobe = int(ivf_nprobe)
+        elif ivf_index is not None and ivf_index.config.ivf_nprobe_calibrated:
+            # calibrated against the recall gate: trust it verbatim
+            # (flooring it would double the probe cost calibration
+            # minimized on easy geometry)
+            self.ivf_nprobe = int(ivf_index.config.ivf_nprobe)
+        else:
+            self.ivf_nprobe = 16
         # IVF wins only at small batches: its exact-top-k epilogue scales
         # with the probed width, and batch-deduped probing approaches all
         # lists as B grows (measured crossover at B~16-32 on 1M:
@@ -459,7 +470,8 @@ class SearchEngine:
         key = filter_key(filters)
         if key == ():
             return None, None
-        hit = self._filter_cache.get(key)
+        with self._filter_cache_lock:
+            hit = self._filter_cache.get(key)
         if hit is not None:
             return hit
         if self.meta is None:
@@ -482,9 +494,10 @@ class SearchEngine:
             if self._bias_sharding is not None:
                 bias = jax.device_put(bias, self._bias_sharding)
             entry = (mask, bias)
-        if len(self._filter_cache) >= 64:
-            self._filter_cache.pop(next(iter(self._filter_cache)))
-        self._filter_cache[key] = entry
+        with self._filter_cache_lock:
+            if len(self._filter_cache) >= 64:
+                self._filter_cache.pop(next(iter(self._filter_cache)))
+            self._filter_cache[key] = entry
         return entry
 
     def search_vectors_async(
@@ -608,7 +621,7 @@ class SearchEngine:
         if citation_weight == 0.0:
             for r in rows:
                 r["score"] = r["similarity"]
-            return rows
+            return rows[:top_k]
         for r in rows:
             cit = r["citations"]
             bonus = (
