@@ -271,3 +271,47 @@ def test_filter_coalescing_batches_and_deadline_flush(engine):
     assert ids[0] == 3
     assert time.time() - t0 < 5.0
     sched.shutdown()
+
+
+def test_scheduler_over_multichip_engine():
+    """The serving scheduler composes with the sharded (multi-chip)
+    engine: async dispatch + resolver pool over the shard_map speed path
+    on the 8-device CPU mesh, filtered and unfiltered mixed."""
+    from theoremsearch_tpu.core import IndexConfig as IC, MeshConfig, make_mesh
+
+    rng = np.random.default_rng(7)
+    emb = np.asarray(l2_normalize(rng.standard_normal((2048, 64)).astype(np.float32)))
+    rows = [
+        {"paper_id": f"p{i}", "paper_title": "T", "authors": [],
+         "link": "https://arxiv.org/abs/x", "year": 2020,
+         "primary_category": "math.AG" if i % 2 else "math.NT",
+         "journal_ref": None, "citations": i, "theorem_name": "Theorem 1.",
+         "theorem_body": "b", "slogan": "s"}
+        for i in range(2048)
+    ]
+    meta = CorpusMetadata.from_rows(rows)
+    idx = FlatIndex.build(
+        emb, config=IC(pad_multiple=256, dtype="int8", int8_scale="global"),
+        normalize=False,
+    )
+    mesh = make_mesh(MeshConfig(data=1, shard=4))
+    eng = SearchEngine(
+        idx, meta=meta, mesh=mesh, use_pallas=True, pallas_interpret=True,
+        row_block=128, rescore_vectors=emb, rescore_factor=8,
+    )
+    assert eng._sharded_speed_ok
+    sched = BatchScheduler(eng, max_batch=16, max_wait_ms=20,
+                           filter_coalesce_ms=30)
+    f_ag = SearchFilters(tags=["math.AG"])
+    futs = [sched.submit(emb[i], k=5, filters=f_ag if i % 3 == 0 else None)
+            for i in range(1, 13)]
+    for i, fu in enumerate(futs, start=1):
+        s, ids = fu.result(30)
+        filtered = i % 3 == 0
+        if not filtered or i % 2 == 1:
+            # self-match whenever doc i passes the request's filter
+            assert ids[0] == i
+        if filtered:
+            assert all(eng.meta.primary_category[d] == "math.AG"
+                       for d in ids if d >= 0)
+    sched.shutdown()
