@@ -79,7 +79,7 @@ def main():
         N, D, ROW_BLOCK, MAX_BATCH = 1_048_576, 1024, 4096, 512
         enc_cfg = EncoderConfig(max_seq_len=64)
         LEVELS = (8, 32, 128, 512)
-        RUN_S = 10.0
+        RUN_S = float(os.environ.get("SERVE_RUN_S", "10.0"))
     else:  # CPU smoke
         enc_cfg = EncoderConfig.tiny()
         N, D, ROW_BLOCK, MAX_BATCH = 32_768, enc_cfg.embedding_dim, 1024, 64
