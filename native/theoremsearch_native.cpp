@@ -78,6 +78,46 @@ void ts_quantize_int8(const float* x, int64_t n, int64_t d, int8_t* codes, float
     });
 }
 
+// Global absolute max over (n, d) f32 (threaded reduction) — pass 1 of
+// global-scale quantization.
+float ts_absmax(const float* x, int64_t n, int64_t d) {
+    unsigned hw = std::thread::hardware_concurrency();
+    int64_t workers = std::max<int64_t>(1, std::min<int64_t>(hw ? hw : 4, n));
+    std::vector<float> part(workers, 0.0f);
+    parallel_rows(n, [&](int64_t lo, int64_t hi) {
+        float m = 0.0f;
+        const float* p = x + lo * d;
+        const float* end = x + hi * d;
+        for (; p < end; ++p) m = std::max(m, std::fabs(*p));
+        // slot by chunk index (same partition as parallel_rows)
+        int64_t chunk = (n + workers - 1) / workers;
+        part[lo / chunk] = m;
+    });
+    float m = 0.0f;
+    for (float v : part) m = std::max(m, v);
+    return m;
+}
+
+// Symmetric GLOBAL-scale int8 quantization: codes = clip(round(x/scale)).
+// The scan kernel's int32 speed path needs one corpus-wide scale
+// (kernels/mips.py fused_mips_topk_g); numpy's round/clip/astype chain
+// allocates three full-size f32 temporaries (~12 GB at 4M x 1024) and
+// was the warm-rebuild hotspot — this streams row blocks in threads.
+void ts_quantize_global_int8(const float* x, int64_t n, int64_t d, float scale,
+                             int8_t* codes) {
+    float inv = scale > 0.0f ? 1.0f / scale : 0.0f;
+    parallel_rows(n, [&](int64_t lo, int64_t hi) {
+        const float* p = x + lo * d;
+        int8_t* out = codes + lo * d;
+        int64_t cnt = (hi - lo) * d;
+        for (int64_t j = 0; j < cnt; ++j) {
+            float v = std::nearbyint(p[j] * inv);
+            v = std::max(-127.0f, std::min(127.0f, v));
+            out[j] = (int8_t)v;
+        }
+    });
+}
+
 // Merge per-shard top-k candidate lists: scores/ids (b, c) -> exact
 // descending top-k (b, k). Ties keep the earlier (lower-index) candidate,
 // matching jax.lax.top_k. Padding uses id -1 / score -inf.

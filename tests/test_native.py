@@ -54,3 +54,27 @@ def test_strip_comments():
     out = native.strip_comments(src)
     assert "drop this" not in out and "gone" not in out
     assert "50\\% kept" in out and "line two" in out
+
+
+def test_quantize_global_int8_native_and_fallback():
+    """Global-scale quantizer: native path matches the chunked numpy
+    fallback (and both match a direct reference) within the +-1 code a
+    rounding-boundary multiply-vs-divide can produce."""
+    import numpy as np
+
+    from theoremsearch_tpu.utils import native
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1000, 64)).astype(np.float32)
+    amax = float(np.abs(x).max())
+    ref_scale = amax / 127.0
+    ref = np.clip(np.round(x / ref_scale), -127, 127).astype(np.int16)
+
+    codes, scale = native.quantize_global_int8(x)
+    assert abs(scale - ref_scale) < 1e-9
+    assert int(np.abs(codes.astype(np.int16) - ref).max()) <= 1
+
+    # explicit-scale variant (percentile clipping path)
+    codes2, scale2 = native.quantize_global_int8(x, scale=ref_scale * 2)
+    assert scale2 == ref_scale * 2
+    assert int(np.abs(codes2).max()) <= 64

@@ -47,15 +47,16 @@ def quantize_global_int8(
     clip_pct: percentile of |x| used as the clip point (100 = exact max;
     99.9 trades outlier rows for resolution everywhere else).
     """
+    from ..utils import native
+
     xf = np.asarray(x, dtype=np.float32)
-    amax = (
-        float(np.max(np.abs(xf)))
-        if clip_pct >= 100.0
-        else float(np.percentile(np.abs(xf), clip_pct))
-    )
+    if clip_pct >= 100.0:
+        # threaded C++ absmax + quantize (numpy fallback chunks to bound
+        # temporaries) — this was the host hotspot of warm IVF rebuilds
+        return native.quantize_global_int8(xf)
+    amax = float(np.percentile(np.abs(xf), clip_pct))
     scale = amax / 127.0 if amax > 0 else 1.0
-    codes = np.clip(np.round(xf / scale), -127, 127).astype(np.int8)
-    return codes, scale
+    return native.quantize_global_int8(xf, scale=scale)
 
 
 def int8_scores(queries: jax.Array, codes: jax.Array, scales: jax.Array) -> jax.Array:

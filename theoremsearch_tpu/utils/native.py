@@ -37,6 +37,14 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_float),
         ]
+        lib.ts_absmax.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.ts_absmax.restype = ctypes.c_float
+        lib.ts_quantize_global_int8.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_int8),
+        ]
         lib.ts_merge_topk.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -92,6 +100,37 @@ def quantize_int8(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         _fptr(x), n, d, codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), _fptr(scales)
     )
     return codes, scales
+
+
+def quantize_global_int8(
+    x: np.ndarray, scale: float | None = None
+) -> tuple[np.ndarray, float]:
+    """(codes int8 (N,D), global scale) — threaded native path; chunked
+    numpy fallback (the naive round/clip/astype chain allocates three
+    full-size f32 temporaries, ~12 GB at 4M x 1024)."""
+    lib = _load()
+    x = np.ascontiguousarray(x, np.float32)
+    n, d = x.shape
+    if lib is not None:
+        if scale is None:
+            amax = float(lib.ts_absmax(_fptr(x), n, d))
+            scale = amax / 127.0 if amax > 0 else 1.0
+        codes = np.empty((n, d), np.int8)
+        lib.ts_quantize_global_int8(
+            _fptr(x), n, d, ctypes.c_float(scale),
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        )
+        return codes, float(scale)
+    if scale is None:
+        amax = float(np.abs(x).max()) if x.size else 0.0
+        scale = amax / 127.0 if amax > 0 else 1.0
+    codes = np.empty((n, d), np.int8)
+    step = max(1, (1 << 24) // max(d, 1))  # ~64 MB f32 temporaries
+    for i in range(0, n, step):
+        codes[i : i + step] = np.clip(
+            np.rint(x[i : i + step] / scale), -127, 127
+        ).astype(np.int8)
+    return codes, float(scale)
 
 
 def merge_topk(scores: np.ndarray, ids: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
