@@ -98,6 +98,7 @@ def main():
 
     from theoremsearch_tpu.kernels.mips import (
         device_rescore,
+        device_rescore_residual,
         fused_mips_topk,
         fused_mips_topk_g,
     )
@@ -108,6 +109,7 @@ def main():
         B_SPEED, B_EXACT, RB_SPEED, RB_EXACT = 1024, 512, 4096, 2048
         NDRAWS = 5
         SCALE_NS = (2_097_152, 4_194_304)
+        RESID_NS = (6_291_456,)   # 2-bytes/dim capacity mode: 12 GB at 6M
         SCALE_DRAWS = 3
         CHUNK = 262_144
     else:  # smoke-scale on CPU (interpret-mode kernels)
@@ -115,6 +117,7 @@ def main():
         B_SPEED, B_EXACT, RB_SPEED, RB_EXACT = 64, 64, 1024, 1024
         NDRAWS = 3
         SCALE_NS = (65_536,)
+        RESID_NS = (65_536,)
         SCALE_DRAWS = 2
         CHUNK = 16_384
 
@@ -149,8 +152,13 @@ def main():
     # compile one remote program per chunk (~16 per helper at 4M).
     @jax.jit
     def oracle_step(qall, x, top_s, top_i, start):
+        # HIGHEST: the oracle must be TRULY fp32-exact — TPU default
+        # precision truncates operands to bf16, which biases the recall
+        # gate toward rescore paths with correlated bf16 errors
         s = jax.lax.dot_general(
-            qall, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            qall, x, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         gids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
         cs = jnp.concatenate([top_s, s], axis=1)
@@ -166,6 +174,24 @@ def main():
     @functools.partial(jax.jit, donate_argnums=(0,))
     def pack_bf16(buf, x, start):
         return jax.lax.dynamic_update_slice(buf, x.astype(jnp.bfloat16), (start, 0))
+
+    # 2-bytes/dim capacity mode: global-scale scan codes + per-row int8
+    # codes of the RESIDUAL x - gscale*codes (two-level reconstruction,
+    # ~15 effective bits) — replaces the bf16 rescore copy entirely
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def pack_residual(cbuf, rbuf, sbuf, x, gscale, start):
+        codes = jnp.clip(jnp.round(x / gscale), -127, 127).astype(jnp.int8)
+        resid = x - gscale * codes.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(resid), axis=1)
+        scales = jnp.where(absmax > 0, absmax / 127.0, 1.0).astype(jnp.float32)
+        rcodes = jnp.clip(
+            jnp.round(resid / scales[:, None]), -127, 127
+        ).astype(jnp.int8)
+        return (
+            jax.lax.dynamic_update_slice(cbuf, codes, (start, 0)),
+            jax.lax.dynamic_update_slice(rbuf, rcodes, (start, 0)),
+            jax.lax.dynamic_update_slice(sbuf, scales, (start,)),
+        )
 
     def build_corpus(n: int, ndraws: int):
         """Returns (codes int8 (n,D), bf16 copy, gscale, oracle_ids list
@@ -196,6 +222,47 @@ def main():
             bf16 = pack_bf16(bf16, x, jnp.int32(c * chunk))
         jax.block_until_ready((codes, bf16))
         return codes, bf16, gscale, [oracle[i] for i in range(ndraws)]
+
+    def build_corpus_residual(n: int, ndraws: int):
+        """Capacity-mode build: scan codes + residual codes + per-row
+        residual scales (2 bytes/dim total; NO bf16 copy, which is what
+        lets 6M x 1024 fit one v5e)."""
+        chunk = CHUNK if n <= 2_097_152 else CHUNK // 2
+        n_chunks = n // chunk
+        keys = jax.random.split(jax.random.PRNGKey(7), n_chunks)
+        qall = jnp.concatenate([q_draws[i] for i in range(ndraws)], axis=0)
+        top_s = jnp.full((qall.shape[0], K), -np.inf, jnp.float32)
+        top_i = jnp.full((qall.shape[0], K), -1, jnp.int32)
+        absmax = 0.0
+        for c in range(n_chunks):
+            x = gen_chunk(keys[c], rows=chunk)
+            absmax = max(absmax, float(chunk_absmax(x)))
+            top_s, top_i = oracle_step(qall, x, top_s, top_i, jnp.int32(c * chunk))
+        gscale = absmax / 127.0
+        oracle = np.asarray(top_i).reshape(ndraws, B_SPEED, K)
+        del top_s, top_i
+        codes = jnp.zeros((n, D), jnp.int8)
+        rcodes = jnp.zeros((n, D), jnp.int8)
+        rscales = jnp.zeros((n,), jnp.float32)
+        gs_dev = jnp.float32(gscale)
+        for c in range(n_chunks):
+            x = gen_chunk(keys[c], rows=chunk)
+            codes, rcodes, rscales = pack_residual(
+                codes, rcodes, rscales, x, gs_dev, jnp.int32(c * chunk)
+            )
+        jax.block_until_ready(rscales)
+        return codes, rcodes, rscales, gscale, [oracle[i] for i in range(ndraws)]
+
+    def residual_pipeline(codes, rcodes, rscales, gs, n, rt):
+        def fn(qq):
+            _, i40 = fused_mips_topk_g(
+                qq, codes, gs, n, k=KR, row_block=min(RB_SPEED, n),
+                recall_target=rt, interpret=interp,
+            )
+            return device_rescore_residual(
+                qq, i40, codes, gs, rcodes, rscales, n, k=K
+            )
+        return fn
 
     def recall_of(ids: np.ndarray, ref: np.ndarray) -> float:
         return float((ids[:, :, None] == ref[:, None, :]).any(axis=1).mean())
@@ -255,6 +322,30 @@ def main():
         "speed_rescored_rt95", B_SPEED,
         speed_pipeline(codes_g, corpus_bf16, gscale, N, 0.95), oracles, NDRAWS,
     )
+
+    # ---- residual capacity mode at 1M: equal-scale comparison against
+    # the bf16 rescore (same scan; two-level int8 rescore at 2 bytes/dim
+    # vs bf16's 3). Rescore gather bytes are identical — QPS should
+    # match and recall should be >= (15-bit vs 8-bit reconstruction).
+    rcodes_1 = jnp.zeros((N, D), jnp.int8)
+    rscales_1 = jnp.zeros((N,), jnp.float32)
+    keys_1 = jax.random.split(jax.random.PRNGKey(7), N // CHUNK)
+    gs_dev = jnp.float32(gscale)
+    codes_g2 = jnp.zeros((N, D), jnp.int8)
+    for c in range(N // CHUNK):
+        x = gen_chunk(keys_1[c], rows=CHUNK)
+        codes_g2, rcodes_1, rscales_1 = pack_residual(
+            codes_g2, rcodes_1, rscales_1, x, gs_dev, jnp.int32(c * CHUNK)
+        )
+    del codes_g2
+    jax.block_until_ready(rscales_1)
+    run_config(
+        "speed_residual_rt95", B_SPEED,
+        residual_pipeline(codes_g, rcodes_1, rscales_1, gscale, N, 0.95),
+        oracles, NDRAWS,
+    )
+    del rcodes_1, rscales_1
+    gc.collect()
 
     # per-row-scale exact rows (the filtered-search production kernel).
     # Regenerate per-row codes chunk-wise from the same keys.
@@ -324,6 +415,37 @@ def main():
         except Exception as e:  # noqa: BLE001
             scale_rows[f"n{n_scale}"] = {"error": str(e)[:160]}
             _log(f"scale N={n_scale} failed: {str(e)[:160]}")
+
+    # ---- residual capacity rungs: rows the 3-bytes/dim config cannot
+    # hold on one chip (6M x 1024 = 12 GB at 2 bytes/dim) ----
+    for n_scale in RESID_NS:
+        try:
+            _log(f"building residual capacity corpus N={n_scale} (chunked)")
+            codes_s, rcodes_s, rscales_s, gs_s, oracles_s = (
+                build_corpus_residual(n_scale, SCALE_DRAWS)
+            )
+            mem_gb = n_scale * D * 2 / 2**30
+            fn = residual_pipeline(codes_s, rcodes_s, rscales_s, gs_s, n_scale, 0.97)
+            dt = _timed_loop(fn, q_draws[0], ITERS)
+            g = gate_over_draws(fn, oracles_s, SCALE_DRAWS)
+            scale_rows[f"n{n_scale}_residual"] = {
+                "rows": n_scale,
+                "mode": "residual-int8 (2 bytes/dim)",
+                "memory_gb": round(mem_gb, 2),
+                "qps": round(B_SPEED / dt, 1),
+                "ms_per_batch": round(dt * 1e3, 3),
+                **g,
+            }
+            _log(
+                f"residual scale N={n_scale}: {dt*1e3:.2f} ms/batch -> "
+                f"{B_SPEED/dt:,.0f} QPS, recall min={g['recall_min']:.4f} "
+                f"({mem_gb:.1f} GB resident)"
+            )
+            del codes_s, rcodes_s, rscales_s, fn
+            gc.collect()
+        except Exception as e:  # noqa: BLE001
+            scale_rows[f"n{n_scale}_residual"] = {"error": str(e)[:160]}
+            _log(f"residual scale N={n_scale} failed: {str(e)[:160]}")
 
     # headline = fastest 1M row passing the 0.99 gate AT THE MIN over draws
     passing = {

@@ -221,6 +221,75 @@ def test_fused_g_rescored_pipeline_recall(rng):
     np.testing.assert_allclose(np.asarray(rs), expected, rtol=1e-4)
 
 
+def test_device_rescore_int8_per_row(rng):
+    """Plain per-row int8 rescore (rescore_scales arg): scores must be the
+    exact fp32 products of the DEQUANTIZED rows. NOTE: one-level int8
+    caps recall ~0.975 on this synthetic (8-bit reconstruction error is
+    comparable to top-10 score gaps) — that is WHY the supported
+    2-bytes/dim capacity mode is the two-level residual path below."""
+    from theoremsearch_tpu.kernels import device_rescore, fused_mips_topk_g
+
+    x, q, codes, scale = _make_global(rng)
+    absmax = np.abs(x).max(axis=1)
+    rscales = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    rcodes = np.clip(np.round(x / rscales[:, None]), -127, 127).astype(np.int8)
+    n_valid = x.shape[0] - 64
+    _, i40 = fused_mips_topk_g(
+        jnp.asarray(q), codes, scale, n_valid, k=40, row_block=512, interpret=True
+    )
+    rs, ri = device_rescore(
+        jnp.asarray(q), i40, jnp.asarray(rcodes), n_valid,
+        jnp.asarray(rscales), k=10,
+    )
+    ri, rs = np.asarray(ri), np.asarray(rs)
+    assert (ri >= 0).all() and (ri < n_valid).all()
+    deq = rcodes.astype(np.float32) * rscales[:, None]
+    expected = np.take_along_axis(q.astype(np.float32) @ deq.T, ri, 1)
+    np.testing.assert_allclose(rs, expected, rtol=1e-4)
+    _, ref = _exact(q, x, 10, n_valid)
+    rec = (ri[:, :, None] == ref[:, None, :]).any(1).mean()
+    assert rec >= 0.96, rec
+
+
+def test_device_rescore_residual_capacity_mode(rng):
+    """The supported 2-bytes/dim capacity pipeline: global-int8 scan ->
+    TWO-LEVEL (residual) int8 rescore. Reconstruction carries ~15 bits,
+    so recall must match the bf16-rescore pipeline and scores must be
+    far closer to fp32 than bf16 allows."""
+    from theoremsearch_tpu.index.quant import quantize_residual_int8
+    from theoremsearch_tpu.kernels import (
+        device_rescore,
+        device_rescore_residual,
+        fused_mips_topk_g,
+    )
+
+    x, q, codes, scale = _make_global(rng)
+    rcodes, rscales = quantize_residual_int8(x, np.asarray(codes), scale)
+    n_valid = x.shape[0] - 64
+    _, i40 = fused_mips_topk_g(
+        jnp.asarray(q), codes, scale, n_valid, k=40, row_block=512, interpret=True
+    )
+    rs, ri = device_rescore_residual(
+        jnp.asarray(q), i40, codes, scale,
+        jnp.asarray(rcodes), jnp.asarray(rscales), n_valid, k=10,
+    )
+    ri, rs = np.asarray(ri), np.asarray(rs)
+    assert (ri >= 0).all() and (ri < n_valid).all()
+    # scores == fp32 products of the two-level reconstruction, which is
+    # within ~4e-4 of the true fp32 products at unit norm
+    expected = np.take_along_axis(q.astype(np.float32) @ x.T, ri, 1)
+    np.testing.assert_allclose(rs, expected, atol=5e-4)
+    _, ref = _exact(q, x, 10, n_valid)
+    rec = (ri[:, :, None] == ref[:, None, :]).any(1).mean()
+    # same gate as the bf16-rescore pipeline test above
+    assert rec >= 0.99, rec
+    # and the residual reconstruction must beat one-level per-row int8
+    recon = scale * np.asarray(codes)[: x.shape[0]].astype(
+        np.float32
+    ) + rscales[:, None] * rcodes.astype(np.float32)
+    assert np.abs(recon - x).max() < 2e-4
+
+
 def test_fused_g_validation():
     from theoremsearch_tpu.kernels import fused_mips_topk_g
 

@@ -408,3 +408,115 @@ def test_sharded_speed_path(corpus):
     # async path works sharded too
     s_a, i_a = eng_m.search_vectors_async(q, k=10)()
     np.testing.assert_array_equal(i_a, i_m)
+
+
+def _residual_engine(emb, mesh=None, **kw):
+    from theoremsearch_tpu.index.quant import quantize_residual_int8
+
+    idx = FlatIndex.build(
+        emb,
+        config=IndexConfig(pad_multiple=256, dtype="int8", int8_scale="global"),
+        normalize=False,
+    )
+    n = emb.shape[0]
+    rc, rs = quantize_residual_int8(
+        emb, np.asarray(idx.vectors[:n]), idx.global_scale
+    )
+    eng = SearchEngine(
+        idx, mesh=mesh, rescore_residual=(rc, rs), rescore_factor=8,
+        row_block=128, **kw,
+    )
+    return eng, idx, rc, rs
+
+
+def test_engine_residual_capacity_mode(corpus):
+    """2-bytes/dim capacity mode: global-int8 scan + two-level int8
+    device rescore (no bf16 copy) must hit the 0.99 gate, and scores must
+    be ~15-bit-exact inner products (tighter than the bf16 rescore)."""
+    emb, q = corpus
+    eng, idx, rc, rs = _residual_engine(
+        emb, use_pallas=True, pallas_interpret=True
+    )
+    assert eng._speed_ok and eng.rescore_residual is not None
+    s, i = eng.search_vectors(q, k=10)
+    _, ref = exact_topk(q, emb, k=10)
+    from theoremsearch_tpu.eval.metrics import recall_vs_exact
+
+    assert recall_vs_exact(i, np.asarray(ref), k=10) >= 0.99
+    # reconstruction gscale*cg + s_r*cr carries ~15 bits: scores must be
+    # MUCH closer to fp32 than bf16 (atol 5e-3) rescoring allows
+    exp = np.take_along_axis(q @ emb.T, i, axis=1)
+    np.testing.assert_allclose(s, exp, atol=5e-4)
+
+
+def test_engine_residual_sharded(corpus):
+    """Row-sharded capacity mode: per-shard scan + per-shard two-level
+    rescore + ICI merge must match the single-chip residual path."""
+    emb, q = corpus
+    mesh = make_mesh(MeshConfig(data=1, shard=4))
+    eng_m, *_ = _residual_engine(
+        emb, mesh=mesh, use_pallas=True, pallas_interpret=True
+    )
+    assert eng_m._sharded_speed_ok and eng_m.rescore_residual is not None
+    eng_1, *_ = _residual_engine(emb, use_pallas=True, pallas_interpret=True)
+    s_m, i_m = eng_m.search_vectors(q, k=10)
+    s_1, i_1 = eng_1.search_vectors(q, k=10)
+    np.testing.assert_array_equal(i_m, i_1)
+    np.testing.assert_allclose(s_m, s_1, atol=1e-5)
+
+
+def test_engine_residual_filtered(corpus, meta):
+    """Filtered queries in capacity mode ride the masked speed path and
+    return only passing docs, rescored."""
+    emb, q = corpus
+    eng, *_ = _residual_engine(
+        emb, use_pallas=True, pallas_interpret=True
+    )
+    eng.meta = meta
+    filters = SearchFilters(sources=["arXiv"], year_range=(2010, 2024))
+    s, i = eng.search_vectors(q[:8], k=10, filters=filters)
+    mask = compile_filter_mask(filters, meta)
+    for row in i:
+        for d in row:
+            if d >= 0:
+                assert mask[d]
+    # rescored: scores are near-fp32 products
+    valid = i >= 0
+    exp = np.take_along_axis(q[:8] @ emb.T, np.clip(i, 0, None), axis=1)
+    np.testing.assert_allclose(s[valid], exp[valid], atol=5e-4)
+
+
+def test_engine_residual_host_fallback(corpus):
+    """With the speed path off (use_pallas=False), residual mode must
+    still rescore — host-side two-level reconstruction."""
+    emb, q = corpus
+    eng, *_ = _residual_engine(emb, use_pallas=False)
+    assert not eng._speed_ok
+    s, i = eng.search_vectors(q, k=10)
+    _, ref = exact_topk(q, emb, k=10)
+    from theoremsearch_tpu.eval.metrics import recall_vs_exact
+
+    assert recall_vs_exact(i, np.asarray(ref), k=10) >= 0.99
+    exp = np.take_along_axis(q @ emb.T, i, axis=1)
+    np.testing.assert_allclose(s, exp, atol=5e-4)
+
+
+def test_engine_residual_validation(corpus):
+    emb, _ = corpus
+    idx8 = FlatIndex.build(
+        emb,
+        config=IndexConfig(pad_multiple=256, dtype="int8", int8_scale="global"),
+        normalize=False,
+    )
+    n = emb.shape[0]
+    rc = np.zeros((n, emb.shape[1]), np.int8)
+    rs = np.zeros((n,), np.float32)
+    with pytest.raises(ValueError, match="not both"):
+        SearchEngine(idx8, rescore_vectors=emb, rescore_residual=(rc, rs))
+    with pytest.raises(ValueError, match="int8"):
+        SearchEngine(idx8, rescore_residual=(rc.astype(np.int16), rs))
+    idx_f = FlatIndex.build(
+        emb, config=IndexConfig(pad_multiple=256), normalize=False
+    )
+    with pytest.raises(ValueError, match="global-scale"):
+        SearchEngine(idx_f, rescore_residual=(rc, rs))

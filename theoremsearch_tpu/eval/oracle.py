@@ -19,11 +19,19 @@ import numpy as np
 
 
 def exact_sim_matrix(queries: jax.Array, corpus: jax.Array) -> jax.Array:
-    """(Q, D) x (N, D) -> (Q, N) inner-product scores in fp32."""
+    """(Q, D) x (N, D) -> (Q, N) inner-product scores in fp32.
+
+    precision=HIGHEST is load-bearing: TPU fp32 matmuls default to
+    bf16-truncated operands, which silently turns the "exact" oracle into
+    a bf16-grade one — measured recall against it then FAVORS rescore
+    paths whose own errors correlate with bf16 truncation (the bf16
+    rescore copy) and penalizes more accurate ones (the two-level
+    residual rescore). HIGHEST forces the multi-pass fp32 emulation."""
     return jnp.dot(
         queries.astype(jnp.float32),
         corpus.astype(jnp.float32).T,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

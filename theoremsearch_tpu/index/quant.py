@@ -59,6 +59,45 @@ def quantize_global_int8(
     return native.quantize_global_int8(xf, scale=scale)
 
 
+def quantize_residual_int8(
+    x: np.ndarray | jax.Array,
+    codes_g: np.ndarray,
+    gscale: float,
+    chunk: int = 262_144,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row int8 codes of the RESIDUAL x - gscale*codes_g.
+
+    Two-level quantization: the global-scale scan codes are the coarse
+    level (step = gscale); the residual lies in [-gscale/2, gscale/2],
+    so its per-row int8 scale is ~gscale/254 — reconstruction
+    gscale*cg + s_r*cr carries ~15 effective bits, ~10x less error than
+    a bf16 copy (8-bit mantissa), at 1 byte/dim instead of 2. Pairs with
+    device_rescore_residual for the 2-bytes/dim serving index.
+
+    Returns (res_codes int8 (N,D), res_scales fp32 (N,)).
+    """
+    from ..utils import native
+
+    xf = np.asarray(x, dtype=np.float32)
+    n = xf.shape[0]
+    out_codes = np.empty_like(codes_g)
+    out_scales = np.empty((n,), np.float32)
+    for s in range(0, n, chunk):
+        e = min(n, s + chunk)
+        r = xf[s:e] - np.float32(gscale) * codes_g[s:e]
+        out_codes[s:e], out_scales[s:e] = native.quantize_int8(r)
+    return out_codes, out_scales
+
+
+def dequantize_residual_int8(
+    codes_g: np.ndarray, gscale: float, res_codes: np.ndarray, res_scales: np.ndarray
+) -> np.ndarray:
+    return (
+        np.float32(gscale) * codes_g.astype(np.float32)
+        + res_scales[:, None] * res_codes.astype(np.float32)
+    )
+
+
 def int8_scores(queries: jax.Array, codes: jax.Array, scales: jax.Array) -> jax.Array:
     """Reference (non-Pallas) int8 scoring path: fp32 accumulate of
     q @ codes.T, then per-row rescale. XLA lowers the int8 matmul onto the

@@ -1,5 +1,6 @@
 from .mips import (
     device_rescore,
+    device_rescore_residual,
     fused_mips_topk,
     fused_mips_topk_g,
     merge_topk,
@@ -9,6 +10,7 @@ from .mips import (
 
 __all__ = [
     "device_rescore",
+    "device_rescore_residual",
     "fused_mips_topk",
     "fused_mips_topk_g",
     "merge_topk",

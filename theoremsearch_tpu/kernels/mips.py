@@ -707,6 +707,7 @@ def device_rescore(
     cand_ids: jax.Array,
     rescore_corpus: jax.Array,
     n_valid: jax.Array | int | None = None,
+    rescore_scales: jax.Array | None = None,
     *,
     k: int = 10,
 ) -> tuple[jax.Array, jax.Array]:
@@ -717,7 +718,11 @@ def device_rescore(
     of the honest serving pipeline (fused retrieve-k' -> rescore -> top-k).
 
     queries: (B, D) f32; cand_ids: (B, C) i32 rows into rescore_corpus;
-    rescore_corpus: (N, D) bf16/f32. Returns (scores (B,k) f32, ids (B,k)).
+    rescore_corpus: (N, D) bf16/f32 — or int8 per-row codes with
+    rescore_scales (N,) f32, the 2-bytes/dim capacity mode (codes for
+    the scan + codes for the rescore; no bf16 copy), which stretches one
+    chip's HBM to ~6M rows at D=1024. Returns (scores (B,k) f32,
+    ids (B,k)).
     """
     n = rescore_corpus.shape[0]
     # ascending ids improve the scattered-row gather's DRAM locality
@@ -727,12 +732,78 @@ def device_rescore(
     cand_ids = jnp.sort(cand_ids, axis=1)
     safe = jnp.clip(cand_ids, 0, n - 1)
     cand = jnp.take(rescore_corpus, safe, axis=0)              # (B, C, D)
+    prec = None
+    if rescore_scales is not None:
+        # dequantize the gathered per-row int8 rows in f32 (tiny: B*C*D)
+        cs = jnp.take(rescore_scales, safe, axis=0)            # (B, C)
+        cand = cand.astype(jnp.float32) * cs[..., None]
+        # keep the dequantized f32 rows at full precision (TPU default
+        # would truncate the operands back to bf16)
+        prec = jax.lax.Precision.HIGHEST
     s = jax.lax.dot_general(
         cand,
         queries.astype(cand.dtype),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=prec,
     )                                                          # (B, C)
+    valid = cand_ids >= 0
+    if n_valid is not None:
+        valid &= cand_ids < jnp.asarray(n_valid, jnp.int32)
+    s = jnp.where(valid, s, NEG_INF)
+    top_s, sel = jax.lax.top_k(s, k)
+    top_i = jnp.take_along_axis(cand_ids, sel, axis=1)
+    return top_s, jnp.where(jnp.isfinite(top_s), top_i, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def device_rescore_residual(
+    queries: jax.Array,
+    cand_ids: jax.Array,
+    codes_g: jax.Array,
+    gscale: jax.Array | float,
+    res_codes: jax.Array,
+    res_scales: jax.Array,
+    n_valid: jax.Array | int | None = None,
+    *,
+    k: int = 10,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact rescoring from TWO-LEVEL int8 codes — the 2-bytes/dim index.
+
+    Reconstructs each candidate row as gscale*cg + s_r*cr where cg are the
+    global-scale scan codes (already device-resident for the maxima scan)
+    and cr/s_r are per-row int8 codes of the RESIDUAL x - gscale*cg
+    (quantize_residual_int8). The residual lies within half a coarse step,
+    so its quantizer step is ~gscale/254: reconstruction carries ~15
+    effective bits — ~50x less error than the bf16 rescore copy at unit
+    norm — while the rescore gather moves the same 2 bytes/dim/row the
+    bf16 copy did. Net: equal-or-better recall, equal rescore cost, and
+    2 bytes/dim total instead of 3 (~6M rows/chip at D=1024 on v5e).
+
+    queries (B,D) f32; cand_ids (B,C) i32 rows; codes_g (>=N,D) int8
+    (may be pad-extended); res_codes (N,D) int8; res_scales (N,) f32.
+    """
+    n = res_codes.shape[0]
+    # ascending ids improve gather DRAM locality (see device_rescore)
+    cand_ids = jnp.sort(cand_ids, axis=1)
+    safe = jnp.clip(cand_ids, 0, n - 1)
+    cg = jnp.take(codes_g, safe, axis=0).astype(jnp.float32)    # (B, C, D)
+    cr = jnp.take(res_codes, safe, axis=0).astype(jnp.float32)  # (B, C, D)
+    sr = jnp.take(res_scales, safe, axis=0)                     # (B, C)
+    cand = jnp.asarray(gscale, jnp.float32) * cg + sr[..., None] * cr
+    # HIGHEST precision: TPU fp32 matmuls default to bf16-truncated
+    # operands, which would round the 15-bit reconstruction back to 8
+    # bits and forfeit the accuracy this mode exists for (measured:
+    # default precision ranked WORSE than the bf16 copy on chip). The
+    # rescore matmul is (B, C, D) — tiny next to the scan — so the
+    # multi-pass fp32 emulation costs ~nothing.
+    s = jax.lax.dot_general(
+        cand,
+        queries.astype(jnp.float32),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                           # (B, C)
     valid = cand_ids >= 0
     if n_valid is not None:
         valid &= cand_ids < jnp.asarray(n_valid, jnp.int32)

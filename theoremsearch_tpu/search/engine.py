@@ -28,6 +28,7 @@ from ..index.flat import PAD_ID, FlatIndex
 from ..kernels.mips import (
     NEG_INF,
     device_rescore,
+    device_rescore_residual,
     fused_mips_topk,
     fused_mips_topk_g,
     merge_topk,
@@ -59,6 +60,7 @@ class SearchEngine:
         use_pallas: bool | None = None,
         row_block: int = 1024,
         rescore_vectors: np.ndarray | None = None,
+        rescore_residual: tuple[np.ndarray, np.ndarray] | None = None,
         rescore_factor: int = 4,
         pallas_interpret: bool = False,
         ivf_index=None,
@@ -69,7 +71,14 @@ class SearchEngine:
         copy of the original embeddings; when present, int8/bf16 scans
         retrieve rescore_factor*k candidates and exact fp32 rescoring of
         the gathered originals ranks the final top-k (int8 + bf16 copy =
-        3 bytes/dim, still under pgvector's fp32 rows)."""
+        3 bytes/dim, still under pgvector's fp32 rows).
+
+        rescore_residual: alternative to rescore_vectors — (res_codes
+        int8 (N,D), res_scales f32 (N,)) from quantize_residual_int8.
+        Rescoring reconstructs gscale*cg + s_r*cr from the scan codes
+        plus the residual codes (~15 effective bits, less error than the
+        bf16 copy) at 2 bytes/dim total — the capacity mode (~6M rows/
+        chip at D=1024). Requires a global-scale int8 index."""
         self.meta = meta
         self.config = config or SearchConfig()
         self.mesh = mesh
@@ -77,6 +86,23 @@ class SearchEngine:
         self.rescore_vectors = (
             np.asarray(rescore_vectors) if rescore_vectors is not None else None
         )
+        if rescore_residual is not None and self.rescore_vectors is not None:
+            raise ValueError("pass rescore_vectors OR rescore_residual, not both")
+        self.rescore_residual = rescore_residual
+        if rescore_residual is not None:
+            rc, rs = rescore_residual
+            if rc.dtype != np.int8 or rc.shape[0] != index.num_rows:
+                raise ValueError(
+                    f"rescore_residual codes must be int8 with {index.num_rows} "
+                    f"rows, got {rc.dtype} {rc.shape}"
+                )
+            if rs.shape != (rc.shape[0],):
+                raise ValueError("rescore_residual scales must be (N,)")
+            if not float(getattr(index, "global_scale", 0.0) or 0.0) > 0:
+                raise ValueError(
+                    "rescore_residual requires a global-scale int8 index "
+                    "(the residual is relative to gscale*codes)"
+                )
         self.rescore_factor = rescore_factor
         # rescore_vectors row r holds the original embedding of index row r,
         # whose DOC id is index.ids[r]; search returns doc ids, so non-arange
@@ -94,6 +120,18 @@ class SearchEngine:
                 order = np.argsort(doc_ids)
                 self._rescore_sorted_ids = doc_ids[order]
                 self._rescore_order = order
+        self._host_codes = None
+        if rescore_residual is not None:
+            n = rescore_residual[0].shape[0]
+            doc_ids = np.asarray(index.ids[:n])
+            if not np.array_equal(doc_ids, np.arange(n, dtype=doc_ids.dtype)):
+                raise ValueError(
+                    "rescore_residual requires row-order doc ids (ids == "
+                    "arange); reorder the corpus before building"
+                )
+            # host view of the scan codes for the non-speed-path fallback
+            # rescore (reference, not a copy — index.vectors is host numpy)
+            self._host_codes = np.asarray(index.vectors)
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
@@ -150,11 +188,14 @@ class SearchEngine:
         # rescore copies): fused maxima scan -> on-device exact rescore.
         # The device bf16 copy replaces the host-side numpy rescore that
         # would otherwise bottleneck serving batches.
+        has_rescore = (
+            self.rescore_vectors is not None or self.rescore_residual is not None
+        )
         self._speed_ok = (
             mesh is None
             and self.use_pallas
             and self._global_scale > 0
-            and self.rescore_vectors is not None
+            and has_rescore
             and self._rescore_sorted_ids is None  # rows == arange(num_rows)
             and self.padded_rows % max(self.row_block, 128) == 0
         )
@@ -162,9 +203,18 @@ class SearchEngine:
         rb_ok = not (rb % 128 or (rb // 128) & (rb // 128 - 1))
         if self._speed_ok and not rb_ok:
             self._speed_ok = False
-        self._rescore_device = (
-            jnp.asarray(self.rescore_vectors, jnp.bfloat16) if self._speed_ok else None
-        )
+        self._rescore_device = None
+        self._res_codes_device = None
+        self._res_scales_device = None
+        if self._speed_ok:
+            if self.rescore_residual is not None:
+                rc, rs = self.rescore_residual
+                self._res_codes_device = jnp.asarray(rc)
+                self._res_scales_device = jnp.asarray(rs, jnp.float32)
+            else:
+                self._rescore_device = jnp.asarray(
+                    self.rescore_vectors, jnp.bfloat16
+                )
 
         # multi-chip speed path: per-shard maxima scan + LOCAL device
         # rescore from a row-sharded bf16 copy, then the usual ICI
@@ -173,20 +223,35 @@ class SearchEngine:
             mesh is not None
             and self.use_pallas
             and self._global_scale > 0
-            and self.rescore_vectors is not None
+            and has_rescore
             and self._rescore_sorted_ids is None
             and rb_ok
         )
         if self._sharded_speed_ok:
-            import ml_dtypes
+            if self.rescore_residual is not None:
+                # residual capacity mode, row-sharded: each chip rescores
+                # its own candidates from its scan-code + residual shards
+                rc, rs = self.rescore_residual
+                rc_pad = np.zeros((self.padded_rows, self.dim), np.int8)
+                rc_pad[: rc.shape[0]] = rc
+                rs_pad = np.zeros((self.padded_rows,), np.float32)
+                rs_pad[: rs.shape[0]] = rs
+                self._res_codes_device = jax.device_put(
+                    rc_pad, NamedSharding(mesh, P("shard", None))
+                )
+                self._res_scales_device = jax.device_put(
+                    rs_pad, NamedSharding(mesh, P("shard"))
+                )
+            else:
+                import ml_dtypes
 
-            resc = np.zeros((self.padded_rows, self.dim), ml_dtypes.bfloat16)
-            resc[: self.rescore_vectors.shape[0]] = self.rescore_vectors.astype(
-                ml_dtypes.bfloat16
-            )
-            self._rescore_device = jax.device_put(
-                resc, NamedSharding(mesh, P("shard", None))
-            )
+                resc = np.zeros((self.padded_rows, self.dim), ml_dtypes.bfloat16)
+                resc[: self.rescore_vectors.shape[0]] = self.rescore_vectors.astype(
+                    ml_dtypes.bfloat16
+                )
+                self._rescore_device = jax.device_put(
+                    resc, NamedSharding(mesh, P("shard", None))
+                )
 
         # optional IVF route for UNFILTERED single-chip queries: the
         # low-latency knob (probe-major Pallas path, IVF_BENCH). Filtered
@@ -260,18 +325,29 @@ class SearchEngine:
                 gscale = self._global_scale
                 kr = min(max(k, self.rescore_factor * k), self.padded_rows)
                 ids_dev = self.ids
-                rescore_dev = self._rescore_device
+                residual = self.rescore_residual is not None
+                rescore_dev = (
+                    (self._res_codes_device, self._res_scales_device)
+                    if residual
+                    else self._rescore_device
+                )
                 row_block = self.row_block
                 interpret = self.pallas_interpret
 
                 def speed_impl(q, vectors, rescore, ids):
                     # retrieve kr candidates (quasi-exact int32 scan),
-                    # exact bf16 rescore, then map local rows -> doc ids
+                    # exact rescore (bf16 copy, or two-level int8
+                    # reconstruction in capacity mode), map rows -> doc ids
                     _, li = fused_mips_topk_g(
                         q, vectors, gscale, n_valid,
                         k=kr, row_block=row_block, interpret=interpret,
                     )
-                    s, li = device_rescore(q, li, rescore, n_valid, k=k)
+                    if residual:
+                        s, li = device_rescore_residual(
+                            q, li, vectors, gscale, *rescore, n_valid, k=k
+                        )
+                    else:
+                        s, li = device_rescore(q, li, rescore, n_valid, k=k)
                     gids = jnp.where(li >= 0, ids[li.clip(0)], PAD_ID)
                     return s, gids
 
@@ -298,7 +374,12 @@ class SearchEngine:
                 gscale = self._global_scale
                 kr = min(max(k, self.rescore_factor * k), self.padded_rows)
                 ids_dev = self.ids
-                rescore_dev = self._rescore_device
+                residual = self.rescore_residual is not None
+                rescore_dev = (
+                    (self._res_codes_device, self._res_scales_device)
+                    if residual
+                    else self._rescore_device
+                )
                 row_block = self.row_block
                 interpret = self.pallas_interpret
                 n_valid = self.n_valid
@@ -308,7 +389,12 @@ class SearchEngine:
                         q, vectors, gscale, n_valid, m,
                         k=kr, row_block=row_block, interpret=interpret,
                     )
-                    s, li = device_rescore(q, li, rescore, n_valid, k=k)
+                    if residual:
+                        s, li = device_rescore_residual(
+                            q, li, vectors, gscale, *rescore, n_valid, k=k
+                        )
+                    else:
+                        s, li = device_rescore(q, li, rescore, n_valid, k=k)
                     gids = jnp.where(li >= 0, ids[li.clip(0)], PAD_ID)
                     return s, gids
 
@@ -316,7 +402,7 @@ class SearchEngine:
                 vectors = self.vectors
 
                 def speed_mask(q, m):
-                    return jm(q, m, vectors, self._rescore_device, ids_dev)
+                    return jm(q, m, vectors, rescore_dev, ids_dev)
 
                 return speed_mask, True
 
@@ -343,9 +429,17 @@ class SearchEngine:
             kr = min(max(k, self.rescore_factor * k), self.rows_per_shard)
             row_block = self.row_block
             interpret = self.pallas_interpret
-            rescore_dev = self._rescore_device
+            residual = self.rescore_residual is not None
+            if residual:
+                # capacity mode: rescore from the shard's scan codes +
+                # residual-code shard (two-level int8; no bf16 copy)
+                rescore_dev = (self._res_codes_device, self._res_scales_device)
+                rescore_specs = (P("shard", None), P("shard"))
+            else:
+                rescore_dev = (self._rescore_device,)
+                rescore_specs = (P("shard", None),)
 
-            def shard_body_speed(q, corpus, ids_shard, rescore_shard):
+            def shard_body_speed(q, corpus, ids_shard, *rescore_shard):
                 shard_idx = jax.lax.axis_index("shard")
                 local_valid = jnp.clip(
                     n_valid - shard_idx * rows_per_shard, 0, rows_per_shard
@@ -354,7 +448,14 @@ class SearchEngine:
                     q, corpus, gscale, local_valid,
                     k=kr, row_block=row_block, interpret=interpret,
                 )
-                s, li = device_rescore(q, li, rescore_shard, local_valid, k=k)
+                if residual:
+                    s, li = device_rescore_residual(
+                        q, li, corpus, gscale, *rescore_shard, local_valid, k=k
+                    )
+                else:
+                    s, li = device_rescore(
+                        q, li, rescore_shard[0], local_valid, k=k
+                    )
                 gids = jnp.where(li >= 0, ids_shard[li.clip(0)], PAD_ID)
                 all_s = jax.lax.all_gather(s, "shard", axis=1, tiled=True)
                 all_i = jax.lax.all_gather(gids, "shard", axis=1, tiled=True)
@@ -363,11 +464,11 @@ class SearchEngine:
             f = _shard_map(
                 shard_body_speed,
                 mesh=mesh,
-                in_specs=(P(None, None), P("shard", None), P("shard"), P("shard", None)),
+                in_specs=(P(None, None), P("shard", None), P("shard"), *rescore_specs),
                 out_specs=(P(None, None), P(None, None)),
                 check_vma=False,
             )
-            return jax.jit(lambda q: f(q, vectors, ids, rescore_dev)), True
+            return jax.jit(lambda q: f(q, vectors, ids, *rescore_dev)), True
 
         def shard_body(q, corpus, ids_shard, scales_shard, bias_shard):
             shard_idx = jax.lax.axis_index("shard")
@@ -516,7 +617,9 @@ class SearchEngine:
         cached on device per filter signature, so a filtered group costs
         the same dispatch as an unfiltered one."""
         k = k or self.config.top_k
-        do_rescore = self.rescore_vectors is not None
+        do_rescore = (
+            self.rescore_vectors is not None or self.rescore_residual is not None
+        )
         k_fetch = k * self.rescore_factor if do_rescore else k
         k_dev = min(max(k_fetch, 1), self.rows_per_shard)
         q, b = self._pad_queries(query_vecs)
@@ -586,9 +689,20 @@ class SearchEngine:
             pos = np.searchsorted(self._rescore_sorted_ids, np.maximum(ids, 0))
             pos = np.clip(pos, 0, self._rescore_order.shape[0] - 1)
             safe = self._rescore_order[pos]
-        else:
+        elif self.rescore_vectors is not None:
             safe = np.clip(ids, 0, self.rescore_vectors.shape[0] - 1)
-        cand = self.rescore_vectors[safe].astype(np.float32)        # (B, C, D)
+        else:
+            safe = np.clip(ids, 0, self.rescore_residual[0].shape[0] - 1)
+        if self.rescore_vectors is not None:
+            cand = self.rescore_vectors[safe].astype(np.float32)    # (B, C, D)
+        else:
+            # capacity mode fallback: reconstruct gscale*cg + s_r*cr on host
+            rc, rs = self.rescore_residual
+            cand = np.float32(self._global_scale) * self._host_codes[
+                safe
+            ].astype(np.float32) + rs[safe][:, :, None] * rc[safe].astype(
+                np.float32
+            )
         re_s = np.einsum("bcd,bd->bc", cand, q.astype(np.float32))
         re_s = np.where((ids >= 0) & np.isfinite(s), re_s, -np.inf)
         sel = np.argsort(-re_s, axis=1, kind="stable")[:, :k]
