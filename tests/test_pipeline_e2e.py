@@ -169,3 +169,31 @@ def test_cli_help_and_eval(tmp_path, validation_csv):
     assert out.returncode == 0
     for cmd in ("ingest-arxiv", "parse", "slogans", "embed", "search", "eval", "quality"):
         assert cmd in out.stdout
+
+
+def test_pipeline_residual_capacity_path(full_catalog, tmp_path):
+    """Catalog -> engine with the int8-global-residual config: the rebuilt
+    index must keep global_scale, hand the engine row-order ids, and
+    auto-adopt the residual rescore data (the production capacity mode)."""
+    from theoremsearch_tpu.core import IndexConfig
+
+    engine = build_engine_from_catalog(
+        full_catalog,
+        _hash_encode,
+        str(tmp_path / "spool_resid"),
+        embedder="resid-path",  # distinct: the shared catalog already has
+        # rows embedded under the default embedder name
+        index_config=IndexConfig(
+            dim=128, pad_multiple=8, dtype="int8", int8_scale="global",
+            residual=True,
+        ),
+        use_pallas=False,
+    )
+    assert engine._global_scale > 0, "global_scale lost in the rebuild"
+    assert engine.rescore_residual is not None, "residual not adopted"
+    n = engine.n_valid
+    assert np.array_equal(np.asarray(engine.ids[:n]).ravel(), np.arange(n))
+    svc = SearchService(engine, _hash_encode)
+    rows = svc.search_and_display("graph colorings", SearchFilters(top_k=3))
+    assert len(rows) == 3
+    assert "graph colorings" in rows[0]["theorem_body"]

@@ -520,3 +520,65 @@ def test_engine_residual_validation(corpus):
     )
     with pytest.raises(ValueError, match="global-scale"):
         SearchEngine(idx_f, rescore_residual=(rc, rs))
+
+
+def test_flat_index_residual_build_save_load_autoadopt(corpus, tmp_path):
+    """config.residual packs two-level rescore data into the index; it
+    survives save/load, and SearchEngine auto-adopts it (no explicit
+    rescore args) — the production capacity-mode path."""
+    emb, q = corpus
+    idx = FlatIndex.build(
+        emb,
+        config=IndexConfig(
+            pad_multiple=256, dtype="int8", int8_scale="global", residual=True
+        ),
+        normalize=False,
+    )
+    assert idx.rescore_residual is not None
+    idx.save(tmp_path / "flat_resid")
+    idx2 = FlatIndex.load(tmp_path / "flat_resid")
+    assert idx2.rescore_residual is not None
+    np.testing.assert_array_equal(idx2.rescore_residual[0], idx.rescore_residual[0])
+    np.testing.assert_array_equal(idx2.rescore_residual[1], idx.rescore_residual[1])
+    assert idx2.global_scale == idx.global_scale
+    eng = SearchEngine(idx2, use_pallas=True, pallas_interpret=True, row_block=128)
+    assert eng.rescore_residual is not None and eng._speed_ok
+    _, i = eng.search_vectors(q, k=10)
+    _, ref = exact_topk(q, emb, k=10)
+    from theoremsearch_tpu.eval.metrics import recall_vs_exact
+
+    assert recall_vs_exact(i, np.asarray(ref), k=10) >= 0.99
+
+
+def test_flat_index_residual_requires_global():
+    emb = np.eye(8, 64, dtype=np.float32)
+    with pytest.raises(ValueError, match="residual"):
+        FlatIndex.build(
+            emb,
+            config=IndexConfig(pad_multiple=8, dtype="bfloat16", residual=True),
+        )
+
+
+def test_engine_autoadopt_skips_non_arange_ids(corpus):
+    """Residual data + custom doc ids: adoption must be skipped with a
+    warning (residual mode needs row-order ids), search stays correct."""
+    emb, q = corpus
+    ids = np.arange(emb.shape[0], dtype=np.int64) * 3 + 7
+    idx = FlatIndex.build(
+        emb,
+        ids=ids,
+        config=IndexConfig(
+            pad_multiple=256, dtype="int8", int8_scale="global", residual=True
+        ),
+        normalize=False,
+    )
+    with pytest.warns(UserWarning, match="row-order"):
+        eng = SearchEngine(idx, use_pallas=False, row_block=128)
+    assert eng.rescore_residual is None
+    _, i = eng.search_vectors(q, k=5)
+    _, ref = exact_topk(q, emb, k=5)
+    overlap = np.mean([
+        len(set(i[r].tolist()) & set(ids[np.asarray(ref)[r]].tolist())) / 5
+        for r in range(len(q))
+    ])
+    assert overlap >= 0.9

@@ -124,8 +124,20 @@ def cmd_embed(args):
     from .index.builder import IndexBuilder
     from .pipeline import embed_missing_slogans
 
+    cfg = None
+    if getattr(args, "index_dtype", None):
+        from .core.config import IndexConfig
+
+        cfg = {
+            "bfloat16": IndexConfig(dtype="bfloat16"),
+            "int8": IndexConfig(dtype="int8"),
+            "int8-global": IndexConfig(dtype="int8", int8_scale="global"),
+            "int8-global-residual": IndexConfig(
+                dtype="int8", int8_scale="global", residual=True
+            ),
+        }[args.index_dtype]
     n = embed_missing_slogans(
-        _catalog(args), _encoder(args), IndexBuilder(args.spool),
+        _catalog(args), _encoder(args), IndexBuilder(args.spool, cfg),
         embedder=args.embedder, limit=args.limit,
     )
     print(f"embedded {n} slogans")
@@ -310,6 +322,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--spool", default="./spool")
     s.add_argument("--model-dir")
     s.add_argument("--limit", type=int)
+    s.add_argument(
+        "--index-dtype", default=None,
+        choices=["bfloat16", "int8", "int8-global", "int8-global-residual"],
+        help="index layout the spool will finalize into (fixed at spool "
+        "creation): int8-global unlocks the fused speed path; "
+        "int8-global-residual adds the 2-bytes/dim two-level rescore "
+        "(capacity mode, ~6M rows/chip at D=1024)",
+    )
     s.set_defaults(fn=cmd_embed)
 
     s = sub.add_parser("build-ivf")

@@ -71,6 +71,12 @@ class IndexConfig(_JsonConfig):
     int8_scale: str = "perrow"      # perrow | global (global unlocks the
                                     # fused int32 speed path; pair with
                                     # rescoring)
+    # capacity-mode rescore data (int8_scale == "global" only): ALSO pack
+    # per-row int8 codes of the residual x - gscale*codes. The engine then
+    # rescores from the two-level reconstruction (~15 effective bits) at
+    # 2 bytes/dim total — no bf16 copy (kernels/mips.py
+    # device_rescore_residual)
+    residual: bool = False
     row_block: int = 1024           # corpus rows per kernel tile; multiple of 8
     pad_multiple: int = 1024        # shard row counts padded to this
     # IVF coarse quantizer (0 = flat exact index)

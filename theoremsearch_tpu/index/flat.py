@@ -12,6 +12,8 @@ Disk layout (index_dir/):
     shard_0000.vecs.npy          (padded_rows, dim) bf16-as-uint16 or int8
     shard_0000.scales.npy        (padded_rows,) fp32     [int8 only]
     shard_0000.ids.npy           (padded_rows,) int64 doc ids, -1 for padding
+    shard_0000.rescodes.npy      (num_rows, dim) int8    [config.residual only]
+    shard_0000.resscales.npy     (num_rows,) fp32        [config.residual only]
 """
 
 from __future__ import annotations
@@ -49,6 +51,11 @@ class FlatIndex:
     # fused speed path (kernels/mips.py fused_mips_topk_g). scales then
     # hold the single value redundantly so per-row paths stay correct.
     global_scale: float = 0.0
+    # capacity-mode rescore data (config.residual): (res_codes int8 (N,D),
+    # res_scales fp32 (N,)) — per-row int8 codes of x - gscale*codes.
+    # SearchEngine auto-adopts these for two-level rescoring (2 bytes/dim
+    # total; ~15 effective bits)
+    rescore_residual: tuple[np.ndarray, np.ndarray] | None = None
 
     # ---------------- construction ----------------
 
@@ -75,12 +82,19 @@ class FlatIndex:
 
         scales = None
         global_scale = 0.0
+        rescore_residual = None
         if cfg.dtype == "int8":
             if cfg.int8_scale == "global":
                 from .quant import quantize_global_int8
 
                 codes, global_scale = quantize_global_int8(emb)
                 sc = np.full(n, global_scale, np.float32)
+                if cfg.residual:
+                    from .quant import quantize_residual_int8
+
+                    rescore_residual = quantize_residual_int8(
+                        emb, codes, global_scale
+                    )
             else:
                 from .quant import quantize_int8
 
@@ -96,10 +110,14 @@ class FlatIndex:
         else:
             raise ValueError(f"unsupported index dtype {cfg.dtype}")
 
+        if cfg.residual and rescore_residual is None:
+            raise ValueError(
+                "config.residual requires dtype='int8', int8_scale='global'"
+            )
         all_ids = np.concatenate([ids, np.full(pad_rows, PAD_ID, np.int64)])
         return cls(
             vectors=vecs, ids=all_ids, scales=scales, num_rows=n, config=cfg,
-            global_scale=global_scale,
+            global_scale=global_scale, rescore_residual=rescore_residual,
         )
 
     # ---------------- persistence ----------------
@@ -115,6 +133,10 @@ class FlatIndex:
         np.save(path / "shard_0000.ids.npy", self.ids)
         if self.scales is not None:
             np.save(path / "shard_0000.scales.npy", self.scales)
+        if self.rescore_residual is not None:
+            rc, rs = self.rescore_residual
+            np.save(path / "shard_0000.rescodes.npy", rc)
+            np.save(path / "shard_0000.resscales.npy", rs)
         manifest = {
             "format": "flat",
             "num_rows": self.num_rows,
@@ -136,9 +158,16 @@ class FlatIndex:
         ids = np.load(path / "shard_0000.ids.npy")
         scales_path = path / "shard_0000.scales.npy"
         scales = np.load(scales_path) if scales_path.exists() else None
+        rescore_residual = None
+        rc_path = path / "shard_0000.rescodes.npy"
+        if rc_path.exists():
+            rescore_residual = (
+                np.load(rc_path), np.load(path / "shard_0000.resscales.npy")
+            )
         return cls(
             vectors=vecs, ids=ids, scales=scales, num_rows=manifest["num_rows"], config=cfg,
             global_scale=float(manifest.get("global_scale", 0.0)),
+            rescore_residual=rescore_residual,
         )
 
     # ---------------- device views ----------------

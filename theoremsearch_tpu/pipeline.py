@@ -117,19 +117,32 @@ def build_engine_from_catalog(
     index = builder.finalize()
     real_ids = index.ids[index.ids >= 0]
     meta = corpus_metadata_from_catalog(catalog, np.sort(real_ids))
-    # index rows are ordered by spool order == sorted slogan_id order only
-    # if pages were in-order; remap doc ids -> positions in meta
+    # PERMUTE index rows into sorted-doc-id (== meta) order and hand the
+    # engine row-order ids (arange). Row-order ids keep the fused speed
+    # path and the residual capacity rescore eligible — the previous
+    # remap-ids-in-place approach left rows in spool order, which (a)
+    # forced the id->row indirection on every rescore and (b) dropped
+    # global_scale in the rebuild, silently disabling the speed path.
     order = np.argsort(real_ids, kind="stable")
-    inv = np.empty_like(order)
-    inv[order] = np.arange(len(order))
-    # rebuild FlatIndex with ids = positions into meta
-    pos_ids = np.full_like(index.ids, -1)
-    pos_ids[: len(inv)] = inv
+    n = index.num_rows
+    vecs = index.vectors.copy()
+    vecs[:n] = index.vectors[:n][order]
+    ids = index.ids.copy()
+    ids[:n] = np.arange(n, dtype=index.ids.dtype)
+    scales = index.scales
+    if scales is not None:
+        scales = scales.copy()
+        scales[:n] = index.scales[:n][order]
+    resid = index.rescore_residual
+    if resid is not None:
+        resid = (resid[0][order], resid[1][order])
     index = FlatIndex(
-        vectors=index.vectors,
-        ids=np.where(index.ids >= 0, pos_ids, -1),
-        scales=index.scales,
-        num_rows=index.num_rows,
+        vectors=vecs,
+        ids=ids,
+        scales=scales,
+        num_rows=n,
         config=index.config,
+        global_scale=index.global_scale,
+        rescore_residual=resid,
     )
     return SearchEngine(index, meta=meta, mesh=mesh, use_pallas=use_pallas)

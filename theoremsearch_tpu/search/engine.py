@@ -88,6 +88,27 @@ class SearchEngine:
         )
         if rescore_residual is not None and self.rescore_vectors is not None:
             raise ValueError("pass rescore_vectors OR rescore_residual, not both")
+        if rescore_residual is None and self.rescore_vectors is None:
+            # auto-adopt capacity-mode rescore data packed into the index
+            # (FlatIndex.build(config.residual) / FlatIndex.load) — only
+            # when doc ids are row-order, which residual mode requires
+            auto = getattr(index, "rescore_residual", None)
+            if auto is not None:
+                n_auto = auto[0].shape[0]
+                auto_ids = np.asarray(index.ids[:n_auto])
+                if np.array_equal(
+                    auto_ids, np.arange(n_auto, dtype=auto_ids.dtype)
+                ):
+                    rescore_residual = auto
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        "index carries residual rescore data but doc ids "
+                        "are not row-order; rescoring disabled — reorder "
+                        "the corpus so ids == arange",
+                        stacklevel=2,
+                    )
         self.rescore_residual = rescore_residual
         if rescore_residual is not None:
             rc, rs = rescore_residual
