@@ -59,8 +59,12 @@ def _norm(x):
 
 @jax.jit
 def exact10(qc, corpus):
+    # HIGHEST: the oracle must be truly fp32-exact — TPU default precision
+    # bf16-truncates, inflating recall for bf16-rescore paths (correlated
+    # errors) — see eval/oracle.py
     s = jax.lax.dot_general(qc, corpus, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
     return jax.lax.top_k(s, K)[1]
 
 
