@@ -148,7 +148,6 @@ def main():
     params = jax.device_put(init_params(cfg, jax.random.PRNGKey(0)))
     ALL_KEYS = ["w_gate", "w_up", "w_down", "wq", "wk", "wv", "wo"]
     qlayers = jax.jit(lambda p: quantize_layers(p, ALL_KEYS))(params)
-    qlayers = jax.device_put(jax.tree.map(lambda x: x, qlayers))
 
     f_bf16 = jax.jit(functools.partial(encode_pooled, cfg=cfg, fused="on"))
     f_mlp = jax.jit(functools.partial(forward_quant, cfg=cfg, mode="mlp"))

@@ -405,3 +405,26 @@ def test_fused_g_contiguous_range_mask(rng):
         for r in range(8)
     ])
     assert overlap >= 0.95, overlap
+
+
+def test_residual_quantize_dequantize_roundtrip(rng):
+    """quantize_residual_int8 -> dequantize_residual_int8 reconstructs x
+    to ~15-bit accuracy, and accepts a PAD-EXTENDED codes_g (the natural
+    caller passes FlatIndex.vectors, which is padded)."""
+    from theoremsearch_tpu.index.quant import (
+        dequantize_residual_int8,
+        quantize_global_int8,
+        quantize_residual_int8,
+    )
+
+    x = rng.standard_normal((500, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    cg, gs = quantize_global_int8(x)
+    cg_padded = np.concatenate([cg, np.zeros((12, 64), np.int8)])
+    rc, rs = quantize_residual_int8(x, cg_padded, gs)
+    assert rc.shape == x.shape and rs.shape == (500,)
+    recon = dequantize_residual_int8(cg, gs, rc, rs)
+    assert np.abs(recon - x).max() < 2e-4
+    # residual reconstruction beats one-level dequantization by >10x
+    one_level = gs * cg.astype(np.float32)
+    assert np.abs(recon - x).max() * 10 < np.abs(one_level - x).max()

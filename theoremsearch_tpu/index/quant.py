@@ -80,7 +80,10 @@ def quantize_residual_int8(
 
     xf = np.asarray(x, dtype=np.float32)
     n = xf.shape[0]
-    out_codes = np.empty_like(codes_g)
+    # sized from x, NOT codes_g: codes_g may be pad-extended (e.g.
+    # FlatIndex.vectors), and the residual arrays must have exactly the
+    # N real rows
+    out_codes = np.empty((n, xf.shape[1]), np.int8)
     out_scales = np.empty((n,), np.float32)
     for s in range(0, n, chunk):
         e = min(n, s + chunk)

@@ -88,6 +88,7 @@ class SearchEngine:
         )
         if rescore_residual is not None and self.rescore_vectors is not None:
             raise ValueError("pass rescore_vectors OR rescore_residual, not both")
+        _ids_arange_checked = False
         if rescore_residual is None and self.rescore_vectors is None:
             # auto-adopt capacity-mode rescore data packed into the index
             # (FlatIndex.build(config.residual) / FlatIndex.load) — only
@@ -100,6 +101,7 @@ class SearchEngine:
                     auto_ids, np.arange(n_auto, dtype=auto_ids.dtype)
                 ):
                     rescore_residual = auto
+                    _ids_arange_checked = True
                 else:
                     import warnings
 
@@ -144,12 +146,13 @@ class SearchEngine:
         self._host_codes = None
         if rescore_residual is not None:
             n = rescore_residual[0].shape[0]
-            doc_ids = np.asarray(index.ids[:n])
-            if not np.array_equal(doc_ids, np.arange(n, dtype=doc_ids.dtype)):
-                raise ValueError(
-                    "rescore_residual requires row-order doc ids (ids == "
-                    "arange); reorder the corpus before building"
-                )
+            if not _ids_arange_checked:   # auto-adopt already verified
+                doc_ids = np.asarray(index.ids[:n])
+                if not np.array_equal(doc_ids, np.arange(n, dtype=doc_ids.dtype)):
+                    raise ValueError(
+                        "rescore_residual requires row-order doc ids (ids == "
+                        "arange); reorder the corpus before building"
+                    )
             # host view of the scan codes for the non-speed-path fallback
             # rescore (reference, not a copy — index.vectors is host numpy)
             self._host_codes = np.asarray(index.vectors)
@@ -346,12 +349,7 @@ class SearchEngine:
                 gscale = self._global_scale
                 kr = min(max(k, self.rescore_factor * k), self.padded_rows)
                 ids_dev = self.ids
-                residual = self.rescore_residual is not None
-                rescore_dev = (
-                    (self._res_codes_device, self._res_scales_device)
-                    if residual
-                    else self._rescore_device
-                )
+                rescore_dev = self._rescore_args()
                 row_block = self.row_block
                 interpret = self.pallas_interpret
 
@@ -363,12 +361,7 @@ class SearchEngine:
                         q, vectors, gscale, n_valid,
                         k=kr, row_block=row_block, interpret=interpret,
                     )
-                    if residual:
-                        s, li = device_rescore_residual(
-                            q, li, vectors, gscale, *rescore, n_valid, k=k
-                        )
-                    else:
-                        s, li = device_rescore(q, li, rescore, n_valid, k=k)
+                    s, li = self._device_rescore(q, li, vectors, rescore, n_valid, k)
                     gids = jnp.where(li >= 0, ids[li.clip(0)], PAD_ID)
                     return s, gids
 
@@ -395,12 +388,7 @@ class SearchEngine:
                 gscale = self._global_scale
                 kr = min(max(k, self.rescore_factor * k), self.padded_rows)
                 ids_dev = self.ids
-                residual = self.rescore_residual is not None
-                rescore_dev = (
-                    (self._res_codes_device, self._res_scales_device)
-                    if residual
-                    else self._rescore_device
-                )
+                rescore_dev = self._rescore_args()
                 row_block = self.row_block
                 interpret = self.pallas_interpret
                 n_valid = self.n_valid
@@ -410,12 +398,7 @@ class SearchEngine:
                         q, vectors, gscale, n_valid, m,
                         k=kr, row_block=row_block, interpret=interpret,
                     )
-                    if residual:
-                        s, li = device_rescore_residual(
-                            q, li, vectors, gscale, *rescore, n_valid, k=k
-                        )
-                    else:
-                        s, li = device_rescore(q, li, rescore, n_valid, k=k)
+                    s, li = self._device_rescore(q, li, vectors, rescore, n_valid, k)
                     gids = jnp.where(li >= 0, ids[li.clip(0)], PAD_ID)
                     return s, gids
 
@@ -450,15 +433,14 @@ class SearchEngine:
             kr = min(max(k, self.rescore_factor * k), self.rows_per_shard)
             row_block = self.row_block
             interpret = self.pallas_interpret
-            residual = self.rescore_residual is not None
-            if residual:
-                # capacity mode: rescore from the shard's scan codes +
-                # residual-code shard (two-level int8; no bf16 copy)
-                rescore_dev = (self._res_codes_device, self._res_scales_device)
-                rescore_specs = (P("shard", None), P("shard"))
-            else:
-                rescore_dev = (self._rescore_device,)
-                rescore_specs = (P("shard", None),)
+            rescore_dev = self._rescore_args()
+            # capacity mode shards BOTH levels: scan-code shard (corpus) +
+            # residual codes (rows, D) + residual scales (rows,)
+            rescore_specs = (
+                (P("shard", None), P("shard"))
+                if self.rescore_residual is not None
+                else (P("shard", None),)
+            )
 
             def shard_body_speed(q, corpus, ids_shard, *rescore_shard):
                 shard_idx = jax.lax.axis_index("shard")
@@ -469,14 +451,9 @@ class SearchEngine:
                     q, corpus, gscale, local_valid,
                     k=kr, row_block=row_block, interpret=interpret,
                 )
-                if residual:
-                    s, li = device_rescore_residual(
-                        q, li, corpus, gscale, *rescore_shard, local_valid, k=k
-                    )
-                else:
-                    s, li = device_rescore(
-                        q, li, rescore_shard[0], local_valid, k=k
-                    )
+                s, li = self._device_rescore(
+                    q, li, corpus, rescore_shard, local_valid, k
+                )
                 gids = jnp.where(li >= 0, ids_shard[li.clip(0)], PAD_ID)
                 all_s = jax.lax.all_gather(s, "shard", axis=1, tiled=True)
                 all_i = jax.lax.all_gather(gids, "shard", axis=1, tiled=True)
@@ -542,6 +519,25 @@ class SearchEngine:
         if with_bias:
             return jax.jit(sharded), False
         return jax.jit(lambda q: sharded(q, None)), False
+
+    def _rescore_args(self) -> tuple:
+        """Device operands for the on-device rescore, as a tuple so all
+        three speed paths pass the same pytree shape to jit/shard_map:
+        (res_codes, res_scales) in capacity mode, (bf16_copy,) otherwise."""
+        if self.rescore_residual is not None:
+            return (self._res_codes_device, self._res_scales_device)
+        return (self._rescore_device,)
+
+    def _device_rescore(self, q, li, vectors, rescore, n_valid, k: int):
+        """Rescore branch shared by the unfiltered/masked/sharded speed
+        paths. `vectors` are the (possibly shard-local) scan codes —
+        capacity mode reconstructs gscale*cg + s_r*cr from them plus the
+        residual operands; bf16 mode ignores them."""
+        if self.rescore_residual is not None:
+            return device_rescore_residual(
+                q, li, vectors, self._global_scale, *rescore, n_valid, k=k
+            )
+        return device_rescore(q, li, rescore[0], n_valid, k=k)
 
     def _get_search_fn(self, k: int, with_bias: bool) -> tuple[Callable, bool]:
         """(search fn, already_rescored). The speed path rescores on
