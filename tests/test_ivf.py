@@ -395,3 +395,88 @@ def test_calibrated_nprobe_trusted_by_engine(clustered_corpus, tmp_path):
     )
     # engine uses the calibrated value verbatim (no floor at 16)
     assert eng.ivf_nprobe == calib[0]
+
+
+def test_ivf_residual_capacity_mode(clustered_corpus):
+    """config.residual: IVF rescore from two-level int8 reconstruction
+    (no bf16 copy; 2 bytes/dim). Scores must be ~15-bit-exact inner
+    products and recall must match the bf16-rescore build."""
+    emb, q = clustered_corpus
+    idx_r = IVFIndex.build(
+        emb,
+        config=IndexConfig(ivf_nlist=50, dtype="int8", residual=True),
+        normalize=False,
+    )
+    assert idx_r.raw_flat is None and idx_r.res_flat is not None
+    assert idx_r.has_rescore
+    idx_b = IVFIndex.build(
+        emb, config=IndexConfig(ivf_nlist=50, dtype="int8"), normalize=False
+    )
+    # capacity mode is smaller than the bf16-copy build
+    assert idx_r.memory_bytes() < idx_b.memory_bytes()
+    _, ref = exact_topk(q, emb, k=10)
+    # XLA path
+    s, i = idx_r.search(q, k=10, nprobe=50, rescore_factor=8, use_pallas=False)
+    rec = recall_vs_exact(i, ref, k=10)
+    s_b, i_b = idx_b.search(q, k=10, nprobe=50, rescore_factor=8, use_pallas=False)
+    rec_b = recall_vs_exact(i_b, ref, k=10)
+    assert rec >= rec_b - 1e-9, (rec, rec_b)
+    # residual-rescored scores are MUCH closer to fp32 than bf16 grade
+    exp = np.take_along_axis(q @ emb.T, np.asarray(i), 1)
+    valid = np.asarray(i) >= 0
+    np.testing.assert_allclose(np.asarray(s)[valid], exp[valid], atol=5e-4)
+    # probe-major Pallas path (interpret on CPU)
+    s2, i2 = idx_r.search(q, k=10, nprobe=50, rescore_factor=8,
+                          use_pallas=True, interpret=True)
+    assert recall_vs_exact(i2, ref, k=10) >= 0.95
+    exp2 = np.take_along_axis(q @ emb.T, np.asarray(i2), 1)
+    valid2 = np.asarray(i2) >= 0
+    np.testing.assert_allclose(np.asarray(s2)[valid2], exp2[valid2], atol=5e-4)
+
+
+def test_ivf_residual_save_load_roundtrip(clustered_corpus, tmp_path):
+    emb, q = clustered_corpus
+    idx = IVFIndex.build(
+        emb,
+        config=IndexConfig(ivf_nlist=50, dtype="int8", residual=True),
+        normalize=False,
+    )
+    idx.save(tmp_path / "ivf_resid")
+    idx2 = IVFIndex.load(tmp_path / "ivf_resid")
+    assert idx2.res_flat is not None and idx2.res_scales_flat is not None
+    np.testing.assert_array_equal(idx2.res_flat, idx.res_flat)
+    np.testing.assert_array_equal(idx2.res_scales_flat, idx.res_scales_flat)
+    s1, i1 = idx.search(q, k=5, nprobe=20, use_pallas=False)
+    s2, i2 = idx2.search(q, k=5, nprobe=20, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_sharded_ivf_residual(pallas_scale_corpus):
+    """Sharded IVF in capacity mode: per-shard two-level rescore + ICI
+    merge matches the single-device residual path."""
+    from theoremsearch_tpu.core.config import MeshConfig
+    from theoremsearch_tpu.core.meshes import make_mesh
+
+    emb, q, _ = pallas_scale_corpus
+    idx = IVFIndex.build(
+        emb,
+        config=IndexConfig(
+            ivf_nlist=32, dtype="int8", ivf_assign2_margin=0.02, residual=True
+        ),
+        slab_rows=768,
+        normalize=False,
+    )
+    _, ref = exact_topk(q, emb, k=10)
+    mesh = make_mesh(MeshConfig(data=1, shard=4))
+    fn = idx.sharded_searcher(mesh, k=10, nprobe=8, rescore_factor=8, interpret=True)
+    s, i = fn(q)
+    rec = recall_vs_exact(np.asarray(i), np.asarray(ref), k=10)
+    assert rec >= 0.95, rec
+    s1, i1 = idx.search(q, k=10, nprobe=8, rescore_factor=8,
+                        use_pallas=True, interpret=True)
+    rec1 = recall_vs_exact(np.asarray(i1), np.asarray(ref), k=10)
+    assert abs(rec - rec1) <= 0.05, (rec, rec1)
+    # scores are near-fp32 products
+    exp = np.take_along_axis(q @ emb.T, np.asarray(i), 1)
+    valid = np.asarray(i) >= 0
+    np.testing.assert_allclose(np.asarray(s)[valid], exp[valid], atol=5e-4)

@@ -157,7 +157,10 @@ def cmd_build_ivf(args):
         cfg = cfg.replace(ivf_nlist=args.nlist)
     if cfg.ivf_nlist <= 0:
         cfg = cfg.replace(ivf_nlist=max(1, b.total_rows // 256))
-    b.config = cfg.replace(dtype="int8", int8_scale="global")
+    b.config = cfg.replace(
+        dtype="int8", int8_scale="global",
+        residual=bool(getattr(args, "residual", False) or cfg.residual),
+    )
     index, calib = b.finalize_ivf(
         calibrate_gate=args.calibrate_gate if args.calibrate else None,
     )
@@ -336,6 +339,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--spool", default="./spool")
     s.add_argument("--out", default="./ivf_index")
     s.add_argument("--nlist", type=int, default=0)
+    s.add_argument("--residual", action="store_true",
+                   help="2-bytes/dim capacity mode: rescore from two-level "
+                   "int8 residual codes instead of a bf16 copy")
     s.add_argument("--calibrate", action="store_true",
                    help="auto-pick the smallest nprobe holding the recall gate")
     s.add_argument("--calibrate-gate", type=float, default=0.99)

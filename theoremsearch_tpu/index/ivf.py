@@ -190,6 +190,13 @@ class IVFIndex:
     # rescoring restores exact-grade ranking. int8 + bf16 = 3 bytes/dim,
     # still under the reference's 4-byte fp32 pgvector rows
     raw_flat: np.ndarray | None = None   # (L*slab_rows + S, D) bf16
+    # capacity-mode alternative (config.residual): per-row int8 codes of
+    # the residual x - gscale*codes at the same flat positions; rescoring
+    # reconstructs gscale*cg + s_r*cr from the slab codes already in HBM
+    # (~15 effective bits at 2 bytes/dim total — same two-level scheme as
+    # the flat engine's device_rescore_residual)
+    res_flat: np.ndarray | None = None         # (L*slab_rows + S, D) int8
+    res_scales_flat: np.ndarray | None = None  # (L*slab_rows + S,) f32
     # int8 slabs use ONE corpus-wide scale (stored redundantly in
     # slab_scales for the XLA path); the Pallas probe-major path relies
     # on it so int32 scores rank directly (kernels/mips.py design notes)
@@ -293,10 +300,18 @@ class IVFIndex:
 
         if rescore is None:
             rescore = int8
+        residual = bool(cfg.residual)
+        if residual and not int8:
+            raise ValueError("config.residual requires dtype='int8' for IVF")
         global_scale = 0.0
+        rc = rs = None
         if int8:
             codes, global_scale = quantize_global_int8(emb)
             scales = np.full(n, global_scale, np.float32)
+            if residual:
+                from .quant import quantize_residual_int8
+
+                rc, rs = quantize_residual_int8(emb, codes, global_scale)
         else:
             codes, scales = emb.astype(np.float32), np.ones(n, np.float32)
 
@@ -305,8 +320,17 @@ class IVFIndex:
         slabs = np.zeros((nlist, slab_rows, d), codes.dtype)
         slab_scales = np.zeros((nlist, slab_rows), np.float32)
         slab_ids = np.full((nlist, slab_rows), PAD_ID, np.int32)
+        # residual replaces the bf16 copy (2 bytes/dim total instead of 3)
         slab_raw = (
-            np.zeros((nlist, slab_rows, d), ml_dtypes.bfloat16) if rescore else None
+            np.zeros((nlist, slab_rows, d), ml_dtypes.bfloat16)
+            if rescore and not residual
+            else None
+        )
+        slab_res = (
+            np.zeros((nlist, slab_rows, d), np.int8) if residual else None
+        )
+        slab_res_sc = (
+            np.zeros((nlist, slab_rows), np.float32) if residual else None
         )
         # pack cluster-major, best-affinity-first: when a cluster
         # overflows its slab, the rows cut are its most MARGINAL members
@@ -359,6 +383,9 @@ class IVFIndex:
             slab_ids[c, : len(keep)] = ids[keep]
             if slab_raw is not None:
                 slab_raw[c, : len(keep)] = emb[keep].astype(ml_dtypes.bfloat16)
+            if slab_res is not None:
+                slab_res[c, : len(keep)] = rc[keep]
+                slab_res_sc[c, : len(keep)] = rs[keep]
 
         sp = np.asarray(spill_rows, np.int64)
         # pad spill to a multiple of slab_rows so the Pallas probe path
@@ -370,7 +397,13 @@ class IVFIndex:
         spill_scales = np.concatenate([scales[sp], np.zeros(s_pad, np.float32)])
         spill_ids = np.concatenate([ids[sp], np.full(s_pad, PAD_ID, np.int32)])
         raw_flat = None
-        if rescore:
+        res_flat = res_scales_flat = None
+        if residual:
+            spill_res = np.concatenate([rc[sp], np.zeros((s_pad, d), np.int8)])
+            spill_res_sc = np.concatenate([rs[sp], np.zeros(s_pad, np.float32)])
+            res_flat = np.concatenate([slab_res.reshape(-1, d), spill_res])
+            res_scales_flat = np.concatenate([slab_res_sc.ravel(), spill_res_sc])
+        elif rescore:
             spill_raw = np.concatenate(
                 [emb[sp].astype(ml_dtypes.bfloat16), np.zeros((s_pad, d), ml_dtypes.bfloat16)]
             )
@@ -387,6 +420,8 @@ class IVFIndex:
             num_rows=n,
             config=cfg.replace(ivf_nlist=nlist),
             raw_flat=raw_flat,
+            res_flat=res_flat,
+            res_scales_flat=res_scales_flat,
             global_scale=global_scale,
         )
 
@@ -394,6 +429,12 @@ class IVFIndex:
 
     # lazily-built device arrays for the Pallas probe-major path
     _pallas_cache: dict | None = None
+
+    @property
+    def has_rescore(self) -> bool:
+        """True when exact rescoring data exists (bf16 copy or two-level
+        residual codes)."""
+        return self.raw_flat is not None or self.res_flat is not None
 
     def _pallas_arrays(self) -> dict:
         """Chunk view for the probe-major kernel: slabs + spill-as-chunks
@@ -413,6 +454,12 @@ class IVFIndex:
                     "slabs": jnp.asarray(slabs_all),
                     "ids_flat": jnp.asarray(ids_flat, jnp.int32),
                     "raw": jnp.asarray(self.raw_flat) if self.raw_flat is not None else None,
+                    "res": jnp.asarray(self.res_flat) if self.res_flat is not None else None,
+                    "res_scales": (
+                        jnp.asarray(self.res_scales_flat)
+                        if self.res_scales_flat is not None
+                        else None
+                    ),
                     "cents": jnp.asarray(self.centroids),
                     "n_spill_chunks": spill_chunks.shape[0],
                 },
@@ -445,7 +492,7 @@ class IVFIndex:
         R = self.slabs.shape[1]
         pallas_ok = (
             self.config.dtype == "int8"
-            and self.raw_flat is not None
+            and self.has_rescore
             and R % 128 == 0
         )
         if use_pallas is None:
@@ -472,6 +519,12 @@ class IVFIndex:
             jnp.asarray(self.spill_scales),
             jnp.asarray(self.spill_ids),
             jnp.asarray(self.raw_flat) if self.raw_flat is not None else None,
+            jnp.asarray(self.res_flat) if self.res_flat is not None else None,
+            (
+                jnp.asarray(self.res_scales_flat)
+                if self.res_scales_flat is not None
+                else None
+            ),
         )
         c_rescore = min(rescore_factor * k, nprobe * self.slabs.shape[1])
         for i in range(0, q.shape[0], query_chunk):
@@ -496,10 +549,10 @@ class IVFIndex:
         host round-trips — what serving loops and benches should call
         (search() wraps this with numpy in/out)."""
         R = self.slabs.shape[1]
-        if not (self.config.dtype == "int8" and self.raw_flat is not None and R % 128 == 0):
+        if not (self.config.dtype == "int8" and self.has_rescore and R % 128 == 0):
             raise ValueError(
-                "Pallas IVF path needs int8 + rescore copies + "
-                "slab_rows a multiple of 128"
+                "Pallas IVF path needs int8 + rescore data (bf16 copy or "
+                "residual codes) + slab_rows a multiple of 128"
             )
         nprobe = min(int(nprobe or self.config.ivf_nprobe), self.centroids.shape[0])
         pa = self._pallas_arrays()
@@ -509,7 +562,8 @@ class IVFIndex:
 
         def fn(q):
             return _ivf_search_pallas(
-                q, pa["cents"], pa["slabs"], pa["ids_flat"], pa["raw"], gscale,
+                q, pa["cents"], pa["slabs"], pa["ids_flat"], pa["raw"],
+                pa["res"], pa["res_scales"], gscale,
                 k=k, nprobe=nprobe, c_rescore=c_rescore, n_lists=n_lists,
                 n_spill_chunks=pa["n_spill_chunks"], interpret=interpret,
             )
@@ -535,9 +589,12 @@ class IVFIndex:
         C_local = L_per + sp_per + 1
         slabs_sh = np.zeros((n_shards, C_local, R, D), self.slabs.dtype)
         ids_sh = np.full((n_shards, C_local * R), PAD_ID, np.int32)
-        raw_sh = None
+        raw_sh = res_sh = res_sc_sh = None
         if self.raw_flat is not None:
             raw_sh = np.zeros((n_shards, C_local * R, D), self.raw_flat.dtype)
+        if self.res_flat is not None:
+            res_sh = np.zeros((n_shards, C_local * R, D), np.int8)
+            res_sc_sh = np.zeros((n_shards, C_local * R), np.float32)
         for s in range(n_shards):
             lists = range(s * L_per, min((s + 1) * L_per, L))
             for j, g in enumerate(lists):
@@ -545,6 +602,11 @@ class IVFIndex:
                 ids_sh[s, j * R : (j + 1) * R] = self.slab_ids[g]
                 if raw_sh is not None:
                     raw_sh[s, j * R : (j + 1) * R] = self.raw_flat[g * R : (g + 1) * R]
+                if res_sh is not None:
+                    res_sh[s, j * R : (j + 1) * R] = self.res_flat[g * R : (g + 1) * R]
+                    res_sc_sh[s, j * R : (j + 1) * R] = (
+                        self.res_scales_flat[g * R : (g + 1) * R]
+                    )
             for j, g in enumerate(range(s, n_sp, n_shards)):
                 lj = L_per + j
                 slabs_sh[s, lj] = spill_chunks[g]
@@ -553,8 +615,16 @@ class IVFIndex:
                     raw_sh[s, lj * R : (lj + 1) * R] = (
                         self.raw_flat[(L + g) * R : (L + g + 1) * R]
                     )
+                if res_sh is not None:
+                    res_sh[s, lj * R : (lj + 1) * R] = (
+                        self.res_flat[(L + g) * R : (L + g + 1) * R]
+                    )
+                    res_sc_sh[s, lj * R : (lj + 1) * R] = (
+                        self.res_scales_flat[(L + g) * R : (L + g + 1) * R]
+                    )
         return {
             "slabs": slabs_sh, "ids": ids_sh, "raw": raw_sh,
+            "res": res_sh, "res_scales": res_sc_sh,
             "L_per": L_per, "sp_per": sp_per, "C_local": C_local,
         }
 
@@ -587,9 +657,9 @@ class IVFIndex:
         from ..kernels.mips import ivf_probe_scores, _quantize_queries, merge_topk
 
         R = self.slabs.shape[1]
-        if not (self.config.dtype == "int8" and self.raw_flat is not None and R % 128 == 0):
+        if not (self.config.dtype == "int8" and self.has_rescore and R % 128 == 0):
             raise ValueError(
-                "sharded IVF needs int8 + rescore copies + slab_rows % 128 == 0"
+                "sharded IVF needs int8 + rescore data + slab_rows % 128 == 0"
             )
         n_shards = mesh.shape["shard"]
         nprobe = min(int(nprobe or self.config.ivf_nprobe), self.centroids.shape[0])
@@ -599,14 +669,25 @@ class IVFIndex:
         shard_leading = NamedSharding(mesh, P("shard"))
         slabs_d = jax.device_put(sa["slabs"], shard_leading)
         ids_d = jax.device_put(sa["ids"], shard_leading)
-        raw_d = jax.device_put(np.asarray(sa["raw"]), shard_leading)
+        residual = self.res_flat is not None
+        if residual:
+            rescore_d = (
+                jax.device_put(sa["res"], shard_leading),
+                jax.device_put(sa["res_scales"], shard_leading),
+            )
+            rescore_specs = (P("shard"), P("shard"))
+        else:
+            rescore_d = (jax.device_put(np.asarray(sa["raw"]), shard_leading),)
+            rescore_specs = (P("shard"),)
         cents_d = jax.device_put(self.centroids, NamedSharding(mesh, P(None, None)))
         n_lists = self.slabs.shape[0]
+        gscale = self.global_scale
         c_rescore = max(k, min(rescore_factor * k, nprobe * R))
 
-        def body(q, cents, slabs_l, ids_l, raw_l):
+        def body(q, cents, slabs_l, ids_l, *rescore_l):
             # leading shard dim of the locals is 1 inside shard_map
-            slabs_l, ids_l, raw_l = slabs_l[0], ids_l[0], raw_l[0]
+            slabs_l, ids_l = slabs_l[0], ids_l[0]
+            rescore_l = tuple(r[0] for r in rescore_l)
             b = q.shape[0]
             s_idx = jax.lax.axis_index("shard")
             coarse = jnp.dot(q, cents.T, preferred_element_type=jnp.float32)
@@ -640,12 +721,12 @@ class IVFIndex:
                 jnp.ones((kr, kr), bool), k=-1
             )[None]
             valid &= ~first_dup.any(axis=2)
-            rows = jnp.clip(slot, 0, raw_l.shape[0] - 1)
-            cvec = jnp.take(raw_l, rows, axis=0)
-            re_s = jax.lax.dot_general(
-                cvec, q.astype(cvec.dtype), (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
+            if residual:
+                re_s = _ivf_rescore(
+                    q, slot, slabs_l, None, rescore_l[0], rescore_l[1], gscale
+                )
+            else:
+                re_s = _ivf_rescore(q, slot, slabs_l, rescore_l[0], None, None, gscale)
             re_s = jnp.where(valid, re_s, -jnp.inf)
             top_s, sel = jax.lax.top_k(re_s, k)
             top_i = jnp.where(jnp.isfinite(top_s),
@@ -666,14 +747,17 @@ class IVFIndex:
         f = shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(None, None), P(None, None), P("shard"), P("shard"), P("shard")),
+            in_specs=(
+                P(None, None), P(None, None), P("shard"), P("shard"),
+                *rescore_specs,
+            ),
             out_specs=(P(None, None), P(None, None)),
             check_vma=False,
         )
         jf = jax.jit(f)
 
         def fn(q):
-            return jf(jnp.asarray(q, jnp.float32), cents_d, slabs_d, ids_d, raw_d)
+            return jf(jnp.asarray(q, jnp.float32), cents_d, slabs_d, ids_d, *rescore_d)
 
         return fn
 
@@ -693,6 +777,9 @@ class IVFIndex:
         )
         if self.raw_flat is not None:
             arrays["raw_flat"] = self.raw_flat.view(np.uint16)
+        if self.res_flat is not None:
+            arrays["res_flat"] = self.res_flat
+            arrays["res_scales_flat"] = self.res_scales_flat
         np.savez_compressed(path / "ivf.npz", **arrays)
         manifest = {
             "format": "ivf",
@@ -710,6 +797,8 @@ class IVFIndex:
         manifest = json.loads((path / "manifest.json").read_text())
         z = np.load(path / "ivf.npz")
         raw = z["raw_flat"].view(ml_dtypes.bfloat16) if "raw_flat" in z else None
+        res = z["res_flat"] if "res_flat" in z else None
+        res_sc = z["res_scales_flat"] if "res_scales_flat" in z else None
         return cls(
             centroids=z["centroids"],
             slabs=z["slabs"],
@@ -721,6 +810,8 @@ class IVFIndex:
             num_rows=manifest["num_rows"],
             config=IndexConfig.from_dict(manifest["config"]),
             raw_flat=raw,
+            res_flat=res,
+            res_scales_flat=res_sc,
             global_scale=float(manifest.get("global_scale", 0.0)),
         )
 
@@ -731,6 +822,9 @@ class IVFIndex:
         ]
         if self.raw_flat is not None:
             arrays.append(self.raw_flat)
+        if self.res_flat is not None:
+            arrays.append(self.res_flat)
+            arrays.append(self.res_scales_flat)
         return sum(a.nbytes for a in arrays)
 
 
@@ -807,7 +901,7 @@ def calibrate_nprobe(
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "c_rescore"))
 def _ivf_search_jit(
     q, centroids, slabs, slab_scales, slab_ids, spill, spill_scales, spill_ids,
-    raw_flat, *, k, nprobe, c_rescore
+    raw_flat, res_flat, res_scales_flat, *, k, nprobe, c_rescore
 ):
     b, d = q.shape
     slab_rows = slabs.shape[1]
@@ -840,20 +934,41 @@ def _ivf_search_jit(
     all_i = jnp.concatenate([flat_i, jnp.broadcast_to(spill_ids[None, :], (b, n_spill))], axis=1)
     all_p = jnp.concatenate([flat_p, sp_pos], axis=1)
 
-    if raw_flat is None:
+    if raw_flat is None and res_flat is None:
         top_s, sel = jax.lax.top_k(all_s, k)
         top_i = jnp.take_along_axis(all_i, sel, axis=1)
         return top_s, jnp.where(jnp.isfinite(top_s), top_i, PAD_ID)
 
-    # 4. bf16 rescoring of the oversampled candidate set
+    # 4. exact rescoring of the oversampled candidate set — from the bf16
+    # copy, or (capacity mode) the two-level int8 reconstruction
     c = max(c_rescore, k)
     cand_s, sel = jax.lax.top_k(all_s, c)
     cand_i = jnp.take_along_axis(all_i, sel, axis=1)                       # (B, C)
     cand_p = jnp.take_along_axis(all_p, sel, axis=1)
-    raw = raw_flat[cand_p]                                                 # (B, C, D) bf16
-    re_s = jnp.einsum(
-        "bcd,bd->bc", raw.astype(jnp.float32), q, preferred_element_type=jnp.float32
-    )
+    if raw_flat is not None:
+        raw = raw_flat[cand_p]                                             # (B, C, D) bf16
+        re_s = jnp.einsum(
+            "bcd,bd->bc", raw.astype(jnp.float32), q, preferred_element_type=jnp.float32
+        )
+    else:
+        # slab-major codes at the same flat positions (reshape is free)
+        codes_flat = jnp.concatenate(
+            [slabs.reshape(-1, slabs.shape[-1]), spill.astype(slabs.dtype)]
+        )
+        cp = jnp.clip(cand_p, 0, res_flat.shape[0] - 1)
+        cg = jnp.take(codes_flat, cp, axis=0).astype(jnp.float32)
+        cr = jnp.take(res_flat, cp, axis=0).astype(jnp.float32)
+        sr = jnp.take(res_scales_flat, cp, axis=0)
+        # gscale == slab_scales of any real row; recover it from the max
+        # (pad rows hold 0) so the jit signature stays unchanged
+        gs = jnp.max(slab_scales)
+        recon = gs * cg + sr[..., None] * cr
+        # HIGHEST: default TPU precision would truncate the ~15-bit
+        # reconstruction back to bf16 (see kernels/mips.py)
+        re_s = jnp.einsum(
+            "bcd,bd->bc", recon, q, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     re_s = jnp.where(jnp.isfinite(cand_s), re_s, -jnp.inf)
     top_s, sel2 = jax.lax.top_k(re_s, k)
     top_i = jnp.take_along_axis(cand_i, sel2, axis=1)
@@ -865,7 +980,8 @@ def _ivf_search_jit(
     static_argnames=("k", "nprobe", "c_rescore", "n_lists", "n_spill_chunks", "interpret"),
 )
 def _ivf_search_pallas(
-    q, centroids, slabs_all, ids_flat, raw_flat, global_scale,
+    q, centroids, slabs_all, ids_flat, raw_flat, res_flat, res_scales_flat,
+    global_scale,
     *, k, nprobe, c_rescore, n_lists, n_spill_chunks, interpret
 ):
     """Probe-major IVF search: coarse -> batch-deduped unique chunks ->
@@ -916,15 +1032,39 @@ def _ivf_search_pallas(
     )[None]
     valid &= ~first_dup.any(axis=2)
 
-    # 6. exact bf16 rescore of the surviving candidates
-    raw_n = raw_flat.shape[0]
-    rows = jnp.clip(slot, 0, raw_n - 1)
-    cvec = jnp.take(raw_flat, rows, axis=0)                        # (B, kr, D)
-    re_s = jax.lax.dot_general(
-        cvec, q.astype(cvec.dtype), (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+    # 6. exact rescore of the surviving candidates: bf16 copy, or the
+    # two-level int8 reconstruction (capacity mode — slab codes are
+    # already device-resident; only 1 extra byte/dim for the residual)
+    re_s = _ivf_rescore(
+        q, slot, slabs_all, raw_flat, res_flat, res_scales_flat, global_scale
     )
     re_s = jnp.where(valid, re_s, -jnp.inf)
     top_s, sel = jax.lax.top_k(re_s, k)
     top_i = jnp.take_along_axis(doc, sel, axis=1)
     return top_s, jnp.where(jnp.isfinite(top_s), top_i, PAD_ID)
+
+
+def _ivf_rescore(q, slot, slabs_all, raw_flat, res_flat, res_scales_flat, gscale):
+    """Shared rescore branch for the probe-major and sharded IVF paths.
+    slot are flat slab-major positions; slabs_all is the chunked code
+    view whose flattening aligns with raw_flat/res_flat positions."""
+    if raw_flat is not None:
+        rows = jnp.clip(slot, 0, raw_flat.shape[0] - 1)
+        cvec = jnp.take(raw_flat, rows, axis=0)                    # (B, kr, D)
+        return jax.lax.dot_general(
+            cvec, q.astype(cvec.dtype), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    rows = jnp.clip(slot, 0, res_flat.shape[0] - 1)
+    d = slabs_all.shape[-1]
+    cg = jnp.take(slabs_all.reshape(-1, d), rows, axis=0).astype(jnp.float32)
+    cr = jnp.take(res_flat, rows, axis=0).astype(jnp.float32)
+    sr = jnp.take(res_scales_flat, rows, axis=0)
+    recon = jnp.asarray(gscale, jnp.float32) * cg + sr[..., None] * cr
+    # HIGHEST: default TPU precision would truncate the ~15-bit
+    # reconstruction back to bf16 (see kernels/mips.py)
+    return jax.lax.dot_general(
+        recon, q.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
