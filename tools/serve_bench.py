@@ -75,8 +75,13 @@ def main():
     from theoremsearch_tpu.serve.scheduler import BatchScheduler
 
     on_tpu = jax.default_backend() not in ("cpu",)
+    # capacity-serving knobs: SERVE_ROWS scales the corpus (chunked
+    # on-device build), SERVE_MODE=residual serves from the 2-bytes/dim
+    # two-level index instead of the int8+bf16 copy
+    MODE = os.environ.get("SERVE_MODE", "bf16")
     if on_tpu:
         N, D, ROW_BLOCK, MAX_BATCH = 1_048_576, 1024, 4096, 512
+        N = int(os.environ.get("SERVE_ROWS", str(N)))
         enc_cfg = EncoderConfig(max_seq_len=64)
         LEVELS = (8, 32, 128, 512)
         RUN_S = float(os.environ.get("SERVE_RUN_S", "10.0"))
@@ -89,29 +94,82 @@ def main():
     key = jax.random.PRNGKey(0)
     kq, kc, kp = jax.random.split(key, 3)
 
-    # ---- corpus + index (generated and quantized on device) ----
-    _log(f"building corpus N={N} D={D}")
+    # ---- corpus + index (generated and quantized on device, CHUNKED so
+    # the fp32 corpus never materializes — required above ~1M rows) ----
+    _log(f"building corpus N={N} D={D} mode={MODE}")
+    import functools
 
-    @jax.jit
-    def gen(key):
-        x = jax.random.normal(key, (N, D), jnp.float32)
+    CHUNK = min(N, 262_144)
+    n_chunks = max(1, N // CHUNK)
+    keys = jax.random.split(kc, n_chunks)
+
+    @functools.partial(jax.jit, static_argnames=("rows",))
+    def gen_chunk(k, *, rows):
+        x = jax.random.normal(k, (rows, D), jnp.float32)
         return x / jnp.linalg.norm(x, axis=1, keepdims=True)
 
-    corpus = gen(kc)
-    gscale = float(jnp.max(jnp.abs(corpus)) / 127.0)
-    codes = np.asarray(jnp.clip(jnp.round(corpus / gscale), -127, 127).astype(jnp.int8))
+    absmax = 0.0
+    for c in range(n_chunks):
+        absmax = max(absmax, float(jnp.max(jnp.abs(gen_chunk(keys[c], rows=CHUNK)))))
+    gscale = absmax / 127.0
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def pack_codes(buf, x, start):
+        cg = jnp.clip(jnp.round(x / gscale), -127, 127).astype(jnp.int8)
+        return jax.lax.dynamic_update_slice(buf, cg, (start, 0))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def pack_bf16(buf, x, start):
+        return jax.lax.dynamic_update_slice(buf, x.astype(jnp.bfloat16), (start, 0))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def pack_res(rbuf, sbuf, x, start):
+        cg = jnp.clip(jnp.round(x / gscale), -127, 127).astype(jnp.int8)
+        resid = x - gscale * cg.astype(jnp.float32)
+        am = jnp.max(jnp.abs(resid), axis=1)
+        sc = jnp.where(am > 0, am / 127.0, 1.0).astype(jnp.float32)
+        cr = jnp.clip(jnp.round(resid / sc[:, None]), -127, 127).astype(jnp.int8)
+        return (
+            jax.lax.dynamic_update_slice(rbuf, cr, (start, 0)),
+            jax.lax.dynamic_update_slice(sbuf, sc, (start,)),
+        )
+
     import ml_dtypes
 
-    rescore = np.asarray(corpus.astype(jnp.bfloat16)).view(np.uint16).view(ml_dtypes.bfloat16)
-    del corpus
+    codes_d = jnp.zeros((N, D), jnp.int8)
+    if MODE == "residual":
+        res_d = jnp.zeros((N, D), jnp.int8)
+        rsc_d = jnp.zeros((N,), jnp.float32)
+    else:
+        bf16_d = jnp.zeros((N, D), jnp.bfloat16)
+    for c in range(n_chunks):
+        x = gen_chunk(keys[c], rows=CHUNK)
+        codes_d = pack_codes(codes_d, x, jnp.int32(c * CHUNK))
+        if MODE == "residual":
+            res_d, rsc_d = pack_res(res_d, rsc_d, x, jnp.int32(c * CHUNK))
+        else:
+            bf16_d = pack_bf16(bf16_d, x, jnp.int32(c * CHUNK))
+    codes = np.asarray(codes_d)
+    del codes_d
+    rescore = rescore_residual = None
+    if MODE == "residual":
+        rescore_residual = (np.asarray(res_d), np.asarray(rsc_d))
+        del res_d, rsc_d
+    else:
+        rescore = np.asarray(bf16_d).view(np.uint16).view(ml_dtypes.bfloat16)
+        del bf16_d
 
     idx = FlatIndex(
         vectors=codes,
         ids=np.arange(N, dtype=np.int64),
         scales=np.full(N, gscale, np.float32),
         num_rows=N,
-        config=IndexConfig(dim=D, dtype="int8", int8_scale="global", row_block=ROW_BLOCK),
+        config=IndexConfig(
+            dim=D, dtype="int8", int8_scale="global", row_block=ROW_BLOCK,
+            residual=MODE == "residual",
+        ),
         global_scale=gscale,
+        rescore_residual=rescore_residual,
     )
 
     # metadata for the filtered-traffic mix: years in CONTIGUOUS id
@@ -136,7 +194,7 @@ def main():
     engine = SearchEngine(
         idx, meta=meta, row_block=ROW_BLOCK, rescore_vectors=rescore,
         rescore_factor=4, use_pallas=on_tpu,
-    )
+    )  # residual mode: engine auto-adopts idx.rescore_residual
     assert not on_tpu or engine._speed_ok, "speed path must be active on TPU"
     _log("index on device; speed path active" if engine._speed_ok else "index on device")
 
@@ -294,8 +352,11 @@ def main():
     sched.shutdown()
 
     print(json.dumps({
-        "metric": "serving_e2e_1M" if on_tpu else "serving_e2e_cpu_smoke",
-        "corpus": N, "dim": D,
+        "metric": (
+            f"serving_e2e_{N // 1_048_576}M_{MODE}" if on_tpu
+            else "serving_e2e_cpu_smoke"
+        ),
+        "corpus": N, "dim": D, "index_mode": MODE,
         "encoder": f"{enc_cfg.num_layers}L-d{enc_cfg.hidden_size} (0.6B-class, random init)",
         "encoder_only_qps": round(enc_qps, 1),
         "scan_only_qps": round(scan_qps, 1),
