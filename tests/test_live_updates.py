@@ -1,0 +1,357 @@
+"""Live-update tests: upsert -> searchable-now semantics (the reference's
+pgvector behavior: a committed theorem_embedding row is visible to the
+next streamlit_app.py query). Adds land in the delta buffer, deletes
+tombstone via the masked scan, compact() folds into the packed index."""
+
+import numpy as np
+import pytest
+
+from theoremsearch_tpu.core import IndexConfig
+from theoremsearch_tpu.eval.oracle import l2_normalize
+from theoremsearch_tpu.index import FlatIndex
+from theoremsearch_tpu.search import CorpusMetadata, SearchEngine, SearchFilters
+
+
+def _norm(x):
+    return np.asarray(l2_normalize(np.asarray(x, np.float32)))
+
+
+@pytest.fixture()
+def small():
+    rng = np.random.default_rng(0)
+    emb = _norm(rng.standard_normal((600, 64)))
+    new = _norm(rng.standard_normal((20, 64)))
+    q = _norm(rng.standard_normal((9, 64)))
+    return emb, new, q
+
+
+def _meta_rows(n, start=0, year=2010):
+    return [
+        {
+            "paper_id": f"p{start + i}",
+            "paper_title": f"Paper {start + i}",
+            "authors": [f"A{(start + i) % 7}"],
+            "link": f"https://arxiv.org/abs/{start + i}",
+            "year": year,
+            "primary_category": "math.AG",
+            "journal_ref": None,
+            "citations": 3,
+            "theorem_name": "Theorem 1.",
+            "theorem_body": f"body {start + i}",
+            "slogan": f"slogan {start + i}",
+        }
+        for i in range(n)
+    ]
+
+
+def _fp32_engine(emb, meta=None, **kw):
+    idx = FlatIndex.build(
+        emb, config=IndexConfig(pad_multiple=128, dtype="float32"), normalize=False
+    )
+    return SearchEngine(idx, meta=meta, use_pallas=False, row_block=128, **kw)
+
+
+def _speed_engine(emb, meta=None):
+    idx = FlatIndex.build(
+        emb,
+        config=IndexConfig(pad_multiple=256, dtype="int8", int8_scale="global"),
+        normalize=False,
+    )
+    return SearchEngine(
+        idx, meta=meta, use_pallas=True, pallas_interpret=True, row_block=128,
+        rescore_vectors=emb, rescore_factor=8,
+    )
+
+
+def _oracle(q, live_vecs, live_ids, k):
+    s = q @ live_vecs.T
+    order = np.argsort(-s, axis=1)[:, :k]
+    return np.take_along_axis(s, order, 1), live_ids[order]
+
+
+def test_add_documents_searchable_immediately(small):
+    emb, new, q = small
+    eng = _fp32_engine(emb)
+    ids = eng.add_documents(new, normalize=False)
+    assert list(ids) == list(range(600, 620))
+    # each new doc is its own nearest neighbor
+    s, i = eng.search_vectors(new, k=1)
+    np.testing.assert_array_equal(i[:, 0], ids)
+    assert (s[:, 0] > 0.999).all()
+    # merged results match brute force over the combined corpus
+    allv = np.concatenate([emb, new])
+    all_ids = np.arange(620)
+    ref_s, ref_i = _oracle(q, allv, all_ids, 10)
+    s, i = eng.search_vectors(q, k=10)
+    np.testing.assert_array_equal(i, ref_i)
+    np.testing.assert_allclose(s, ref_s, atol=2e-3)  # delta rows are bf16
+    assert eng.num_live == 620
+
+
+def test_delete_main_and_delta(small):
+    emb, new, q = small
+    eng = _fp32_engine(emb)
+    ids = eng.add_documents(new[:5], normalize=False)
+    # delete 3 main docs and 2 delta docs
+    s0, i0 = eng.search_vectors(q, k=5)
+    victims = [int(i0[0, 0]), int(i0[0, 1]), 17, int(ids[0]), int(ids[3])]
+    assert eng.delete_documents(victims) == 5
+    assert eng.num_live == 600 + 5 - 5
+    s, i = eng.search_vectors(q, k=10)
+    live = set(range(600)) | {int(x) for x in ids}
+    live -= set(victims)
+    for row in i:
+        for d in row:
+            assert int(d) in live
+    # exact agreement with the oracle over live rows
+    allv = np.concatenate([emb, new[:5]])
+    keep = np.array(sorted(live))
+    ref_s, ref_i = _oracle(q, allv[keep], keep, 10)
+    np.testing.assert_array_equal(i, ref_i)
+
+
+def test_update_document_replaces_vector(small):
+    emb, new, q = small
+    eng = _fp32_engine(emb)
+    eng.update_document(42, new[0])
+    s, i = eng.search_vectors(new[0][None, :], k=1)
+    assert int(i[0, 0]) == 42
+    assert s[0, 0] > 0.999
+    # the old vector no longer matches doc 42
+    s2, i2 = eng.search_vectors(emb[42][None, :], k=1)
+    assert int(i2[0, 0]) != 42
+    assert eng.num_live == 600
+    # delete after update removes it
+    assert eng.delete_documents([42]) == 1
+    s3, i3 = eng.search_vectors(new[0][None, :], k=3)
+    assert 42 not in i3[0].tolist()
+
+
+def test_delta_docs_respect_filters_and_join(small):
+    emb, new, q = small
+    meta = CorpusMetadata.from_rows(_meta_rows(600, year=2005))
+    eng = _fp32_engine(emb, meta=meta)
+    ids = eng.add_documents(new[:4], meta_rows=_meta_rows(4, start=600, year=2021), normalize=False)
+    # year filter covering only the delta docs
+    f = SearchFilters(year_range=(2020, 2022))
+    s, i = eng.search_vectors(new[:4], k=2, filters=f)
+    np.testing.assert_array_equal(i[:, 0], ids)
+    # second slot has only 3 other passing docs -> valid ids
+    assert (i >= 600).all()
+    # year filter excluding the delta docs
+    f2 = SearchFilters(year_range=(2000, 2010))
+    s2, i2 = eng.search_vectors(new[:4], k=2, filters=f2)
+    assert (i2 < 600).all()
+    # metadata join works for delta docs (search() path)
+    rows = eng.search(new[0], SearchFilters(top_k=3))
+    assert rows[0]["doc_id"] == int(ids[0])
+    assert rows[0]["paper_title"] == "Paper 600"
+    assert rows[0]["theorem_slogan"] == "slogan 600"
+
+
+def test_add_requires_meta_rows_when_meta(small):
+    emb, new, _ = small
+    meta = CorpusMetadata.from_rows(_meta_rows(600))
+    eng = _fp32_engine(emb, meta=meta)
+    with pytest.raises(ValueError, match="meta_rows"):
+        eng.add_documents(new[:2])
+
+
+def test_speed_path_live_updates(small):
+    """The production path (global int8 + device rescore, pallas interpret)
+    merges delta adds and honors tombstones."""
+    emb, new, q = small
+    eng = _speed_engine(emb)
+    assert eng._speed_ok
+    ids = eng.add_documents(new, normalize=False)
+    s, i = eng.search_vectors(new[:8], k=1)
+    np.testing.assert_array_equal(i[:, 0], ids[:8])
+    # tombstone the top main hit of q[0]; it must vanish
+    s0, i0 = eng.search_vectors(q[:1], k=1)
+    victim = int(i0[0, 0])
+    eng.delete_documents([victim])
+    s1, i1 = eng.search_vectors(q[:1], k=10)
+    assert victim not in i1[0].tolist()
+    # still agrees with the live oracle at high recall
+    allv = np.concatenate([emb, new])
+    keep = np.array([d for d in range(620) if d != victim])
+    ref_s, ref_i = _oracle(q, allv[keep], keep, 10)
+    s2, i2 = eng.search_vectors(q, k=10)
+    hit = (i2[:, :, None] == ref_i[:, None, :]).any(2).mean()
+    assert hit >= 0.98
+
+
+def test_compact_folds_delta(small):
+    emb, new, q = small
+    eng = _speed_engine(emb)
+    ids = eng.add_documents(new, normalize=False)
+    eng.delete_documents([7, int(ids[2])])
+    s_before, i_before = eng.search_vectors(q, k=10)
+    folded = eng.compact()
+    assert folded == 19  # 20 added, 1 delta row deleted
+    assert eng._delta is None or eng._delta.n == 0
+    assert eng._speed_ok  # arange ids preserved
+    # the deleted delta doc folds as a tombstoned gap row (ids stay dense)
+    assert eng.n_valid == 620
+    s_after, i_after = eng.search_vectors(q, k=10)
+    np.testing.assert_array_equal(i_before, i_after)
+    np.testing.assert_allclose(s_before, s_after, atol=2e-3)
+    # main tombstone survives compaction
+    assert 7 not in i_after.flatten().tolist()
+    assert eng.num_live == 600 + 20 - 2
+    # engine stays mutable after compaction
+    ids2 = eng.add_documents(new[:2], normalize=False)
+    s, i = eng.search_vectors(new[:2], k=1)
+    np.testing.assert_array_equal(i[:, 0], ids2)
+
+
+def test_update_then_compact_keeps_arange(small):
+    """Updated docs fold back into their original row: no duplicate ids,
+    speed path stays active."""
+    emb, new, q = small
+    eng = _speed_engine(emb)
+    eng.update_document(100, new[0])
+    eng.add_documents(new[1:3], normalize=False)
+    assert eng.compact() == 3
+    assert eng._speed_ok
+    assert eng.n_valid == 602           # update did NOT append
+    ids_h = np.asarray(eng.index.ids[:602])
+    np.testing.assert_array_equal(ids_h, np.arange(602))
+    # updated vector lives at doc 100
+    s, i = eng.search_vectors(new[0][None, :], k=1)
+    assert int(i[0, 0]) == 100
+    # doc 100 is NOT tombstoned after folding
+    assert eng.num_live == 602
+
+
+def test_compact_residual_mode(small):
+    emb, new, q = small
+    idx = FlatIndex.build(
+        emb,
+        config=IndexConfig(
+            pad_multiple=256, dtype="int8", int8_scale="global", residual=True
+        ),
+        normalize=False,
+    )
+    eng = SearchEngine(
+        idx, use_pallas=True, pallas_interpret=True, row_block=128, rescore_factor=8
+    )
+    assert eng.rescore_residual is not None
+    ids = eng.add_documents(new[:6], normalize=False)
+    s, i = eng.search_vectors(new[:6], k=1)
+    np.testing.assert_array_equal(i[:, 0], ids)
+    assert eng.compact() == 6
+    assert eng.rescore_residual[0].shape[0] == 606
+    s2, i2 = eng.search_vectors(new[:6], k=1)
+    np.testing.assert_array_equal(i2[:, 0], ids)
+
+
+def test_all_main_deleted_serves_from_delta():
+    rng = np.random.default_rng(3)
+    emb = _norm(rng.standard_normal((64, 32)))
+    new = _norm(rng.standard_normal((3, 32)))
+    eng = _fp32_engine(emb)
+    ids = eng.add_documents(new, normalize=False)
+    eng.delete_documents(list(range(64)))
+    s, i = eng.search_vectors(new, k=5)
+    assert set(i[:, 0].tolist()) == {int(x) for x in ids}
+    # only 3 live docs: slots beyond are PAD
+    assert (i[:, 3:] == -1).all()
+
+
+def test_delta_capacity_growth():
+    rng = np.random.default_rng(4)
+    emb = _norm(rng.standard_normal((128, 16)))
+    eng = _fp32_engine(emb)
+    a = _norm(rng.standard_normal((900, 16)))
+    b = _norm(rng.standard_normal((300, 16)))
+    eng.add_documents(a, normalize=False)     # within _MIN_CAP
+    eng.add_documents(b, normalize=False)     # crosses the 1024 boundary
+    assert eng._delta.cap == 2048
+    assert eng.num_live == 128 + 1200
+    qs = np.concatenate([a[895:], b[:3]])
+    s, i = eng.search_vectors(qs, k=1)
+    np.testing.assert_array_equal(
+        i[:, 0], np.array([1023, 1024, 1025, 1026, 1027, 128 + 900, 128 + 901, 128 + 902])
+    )
+
+
+def test_mesh_engine_rejects_mutation(small):
+    emb, new, _ = small
+    from theoremsearch_tpu.core import MeshConfig, make_mesh
+
+    idx = FlatIndex.build(
+        emb, config=IndexConfig(pad_multiple=128, dtype="float32"), normalize=False
+    )
+    eng = SearchEngine(idx, mesh=make_mesh(MeshConfig(data=1, shard=8)),
+                       use_pallas=False, row_block=128)
+    with pytest.raises(ValueError, match="single-chip"):
+        eng.add_documents(new[:1])
+
+
+def test_service_and_http_live_updates(small):
+    emb, _, _ = small
+    import json
+    import urllib.request
+
+    from theoremsearch_tpu.serve.app import SearchService
+    from theoremsearch_tpu.serve.http_api import SearchServer
+
+    meta = CorpusMetadata.from_rows(_meta_rows(600))
+    eng = _fp32_engine(emb, meta=meta)
+
+    def encode(texts):
+        rng = np.random.default_rng(abs(hash(tuple(texts))) % 2**31)
+        return _norm(rng.standard_normal((len(texts), 64)))
+
+    svc = SearchService(eng, encode)
+    n0 = svc.load_theorem_count()
+    server = SearchServer(svc).start()
+    try:
+        url = f"http://127.0.0.1:{server.port}"
+        body = json.dumps(
+            {"documents": _meta_rows(2, start=600, year=2024)}
+        ).encode()
+        r = urllib.request.urlopen(
+            urllib.request.Request(url + "/documents", data=body,
+                                   headers={"Content-Type": "application/json"})
+        )
+        out = json.loads(r.read())
+        assert out["doc_ids"] == [600, 601]
+        # count reflects the upsert
+        health = json.loads(urllib.request.urlopen(url + "/health").read())
+        assert health["corpus"] == n0 + 2
+        # the new docs join/search (slogan text is what got encoded)
+        res = json.loads(urllib.request.urlopen(
+            urllib.request.Request(
+                url + "/search",
+                data=json.dumps({"query": "slogan 600", "top_k": 3}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+        ).read())
+        assert len(res["results"]) == 3
+        # delete one over HTTP
+        rd = json.loads(urllib.request.urlopen(
+            urllib.request.Request(
+                url + "/documents/delete",
+                data=json.dumps({"doc_ids": [600]}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+        ).read())
+        assert rd["deleted"] == 1
+        health = json.loads(urllib.request.urlopen(url + "/health").read())
+        assert health["corpus"] == n0 + 1
+    finally:
+        server.stop()
+
+
+def test_vector_only_custom_meta_none(small):
+    """Vector-only serving (meta=None): ids are assigned sequentially from
+    max(existing)+1 and joins return bare dicts."""
+    emb, new, _ = small
+    eng = _fp32_engine(emb)
+    ids1 = eng.add_documents(new[:2], normalize=False)
+    ids2 = eng.add_documents(new[2:4], normalize=False)
+    assert list(ids1) == [600, 601] and list(ids2) == [602, 603]
+    rows = eng._join(np.array([602]), np.array([0.5]))
+    assert rows[0]["doc_id"] == 602

@@ -1,6 +1,7 @@
 from .metadata import CorpusMetadata
 from .filters import SearchFilters, compile_filter_mask, infer_type, parse_paper_filter
 from .engine import SearchEngine
+from .delta import DeltaBuffer
 
 __all__ = [
     "CorpusMetadata",
@@ -9,4 +10,5 @@ __all__ = [
     "infer_type",
     "parse_paper_filter",
     "SearchEngine",
+    "DeltaBuffer",
 ]

@@ -313,6 +313,398 @@ class SearchEngine:
                 "IVFIndex.sharded_searcher"
             )
 
+        # ---- live updates (search/delta.py): upsert -> searchable ----
+        # Matches the reference's behavior where a pgvector upsert is
+        # visible to the next query (generate_embeddings/__main__.py:84-99).
+        # Adds land in a device delta buffer merged into every query;
+        # deletes tombstone main rows through the masked-scan path.
+        self.index = index
+        self._delta = None                     # DeltaBuffer, lazy
+        self._delta_meta_rows: list = []       # meta of delta docs, in order
+        self._tombstone = None                 # (num_rows,) bool, True = deleted
+        self._tomb_epoch = 0                   # bumps on main-row deletes
+        self._deleted_ids: set[int] = set()
+        self._tomb_mask_cache: dict[tuple, tuple] = {}
+        self._delta_bias_cache: dict[tuple, Any] = {}
+        self._live_lock = threading.Lock()
+        self._main_id_sorted = None            # lazy id->row map (custom ids)
+        self._main_id_order = None
+        ids_h = self._host_ids[: self.n_valid]
+        self._main_ids_arange = bool(
+            np.array_equal(ids_h, np.arange(self.n_valid, dtype=ids_h.dtype))
+        )
+        self._next_doc_id = (
+            int(ids_h.max()) + 1 if self.n_valid else 0
+        )
+        # compact() re-runs __init__ with the folded index
+        self._ctor = dict(
+            meta=meta, mesh=mesh, config=config, use_pallas=use_pallas,
+            row_block=row_block, rescore_factor=rescore_factor,
+            pallas_interpret=pallas_interpret, ivf_max_batch=ivf_max_batch,
+        )
+
+    # ------------------------------------------------------------------
+    # live updates (upsert -> searchable, like the reference's pgvector)
+    # ------------------------------------------------------------------
+
+    def _require_mutable(self) -> None:
+        if self.mesh is not None:
+            raise ValueError(
+                "live updates are single-chip; rebuild multi-chip shards "
+                "through IndexBuilder and re-create the engine"
+            )
+
+    def _doc_row(self, doc_id: int) -> int | None:
+        """Main-index row of a doc id, or None if absent."""
+        if self._main_ids_arange:
+            return int(doc_id) if 0 <= doc_id < self.n_valid else None
+        if self._main_id_sorted is None:
+            ids_h = self._host_ids[: self.n_valid]
+            order = np.argsort(ids_h)
+            self._main_id_sorted = ids_h[order]
+            self._main_id_order = order
+        pos = int(np.searchsorted(self._main_id_sorted, doc_id))
+        if pos < self._main_id_sorted.shape[0] and self._main_id_sorted[pos] == doc_id:
+            return int(self._main_id_order[pos])
+        return None
+
+    def _normalize_rows(self, embeddings) -> np.ndarray:
+        emb = np.asarray(embeddings, np.float32)
+        if emb.ndim == 1:
+            emb = emb[None, :]
+        if emb.shape[1] != self.dim:
+            raise ValueError(f"embeddings must be (m, {self.dim})")
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        return emb / np.maximum(norms, 1e-12)
+
+    def add_documents(
+        self,
+        embeddings: np.ndarray,
+        meta_rows: list[dict] | None = None,
+        normalize: bool = True,
+    ) -> np.ndarray:
+        """Append new documents; they are searchable by the NEXT query.
+        Returns the assigned doc ids (sequential). With metadata serving,
+        meta_rows (one dict per doc, CorpusMetadata.from_rows spec) is
+        required so filters and joins cover the new docs."""
+        self._require_mutable()
+        emb = self._normalize_rows(embeddings) if normalize else np.asarray(
+            embeddings, np.float32
+        )
+        m = emb.shape[0]
+        with self._live_lock:
+            if self.meta is not None:
+                if meta_rows is None or len(meta_rows) != m:
+                    raise ValueError(
+                        "metadata serving requires one meta_rows dict per doc"
+                    )
+                ids_arr = len(self.meta) + np.arange(m, dtype=np.int64)
+                self.meta.extend(meta_rows)
+                self._delta_meta_rows.extend(meta_rows)
+                self._next_doc_id = max(self._next_doc_id, int(ids_arr[-1]) + 1)
+            else:
+                ids_arr = self._next_doc_id + np.arange(m, dtype=np.int64)
+                self._next_doc_id += m
+            if self._delta is None:
+                from .delta import DeltaBuffer
+
+                self._delta = DeltaBuffer(self.dim)
+            self._delta.add(emb, ids_arr)
+            self._delta_bias_cache.clear()
+        return ids_arr
+
+    def update_document(
+        self, doc_id: int, embedding: np.ndarray, meta_row: dict | None = None
+    ) -> None:
+        """Upsert an EXISTING doc id: tombstone its current row and insert
+        the new vector into the delta under the same id (pgvector
+        ON CONFLICT UPDATE semantics). meta_row keys, when given,
+        overwrite that doc's columns."""
+        self._require_mutable()
+        emb = self._normalize_rows(embedding)
+        with self._live_lock:
+            if not self._delete_locked([int(doc_id)]):
+                raise KeyError(f"doc id {doc_id} is not live")
+            if self.meta is not None:
+                if meta_row:
+                    self.meta.update_row(int(doc_id), meta_row)
+                self._delta_meta_rows.append(self.meta.row_as_dict(int(doc_id)))
+            if self._delta is None:
+                from .delta import DeltaBuffer
+
+                self._delta = DeltaBuffer(self.dim)
+            self._delta.add(emb, np.array([doc_id], np.int64))
+            self._deleted_ids.discard(int(doc_id))
+            self._delta_bias_cache.clear()
+
+    def delete_documents(self, doc_ids) -> int:
+        """Tombstone docs by id; returns how many were live. Main-index
+        rows are masked out of every subsequent scan (the filtered-path
+        machinery); delta rows get a -inf bias. Storage is reclaimed by
+        an offline full rebuild, not by delete."""
+        self._require_mutable()
+        with self._live_lock:
+            return self._delete_locked([int(d) for d in np.atleast_1d(doc_ids)])
+
+    def _delete_locked(self, doc_ids: list[int]) -> int:
+        killed_delta: list[int] = []
+        main_hit = False
+        n = 0
+        for d in doc_ids:
+            if self._delta is not None:
+                r = self._delta.row_of(d)
+                if r is not None:
+                    killed_delta.append(r)
+                    self._deleted_ids.add(d)
+                    n += 1
+                    continue
+            row = self._doc_row(d)
+            if row is not None and not (
+                self._tombstone is not None and self._tombstone[row]
+            ):
+                if self._tombstone is None:
+                    self._tombstone = np.zeros(self.n_valid, bool)
+                self._tombstone[row] = True
+                self._deleted_ids.add(d)
+                main_hit = True
+                n += 1
+        if killed_delta:
+            self._delta.kill_rows(killed_delta)
+        if main_hit:
+            self._tomb_epoch += 1
+            self._tomb_mask_cache.clear()
+        return n
+
+    @property
+    def num_live(self) -> int:
+        """Documents a query can currently return."""
+        d = self._delta.n_live if self._delta is not None else 0
+        t = int(self._tombstone.sum()) if self._tombstone is not None else 0
+        return self.n_valid - t + d
+
+    def compact(self) -> int:
+        """Fold live delta rows into the packed main index (re-quantized
+        with the index's own scheme — global scale preserved so scores
+        stay comparable) and rebuild the device state. Tombstoned main
+        rows remain masked (append-only storage; reclaim space with a
+        full IndexBuilder rebuild). Returns rows folded in.
+
+        An admin operation: it recompiles the scan programs for the new
+        padded size. The IVF route (if any) is dropped — its lists do not
+        cover the new rows; rebuild with IndexBuilder.finalize_ivf."""
+        self._require_mutable()
+        with self._live_lock:
+            if self._delta is None or self._delta.n == 0:
+                return 0
+            emb_all, ids_all = self._delta.live_rows()
+            # docs whose id already has a main row (live upserts) are
+            # written back IN PLACE and un-tombstoned — appending them
+            # would duplicate the id and break the speed path's
+            # ids==arange contract; only genuinely new ids append
+            upd_rows, upd_j, app_j = [], [], []
+            for j, d in enumerate(ids_all):
+                r = self._doc_row(int(d))
+                if r is not None:
+                    upd_rows.append(r)
+                    upd_j.append(j)
+                else:
+                    app_j.append(j)
+            m_total = ids_all.shape[0]
+            idx, cfg = self.index, self.index.config
+            old_n = self.n_valid
+            # new ids are assigned sequentially from old_n, but deletes may
+            # have punched gaps; fold the DENSE range [old_n, hi) with
+            # tombstoned zero-rows in the gaps so ids stay == arange (the
+            # speed path's contract)
+            app_ids = ids_all[app_j].astype(np.int64)
+            hi = int(app_ids.max()) + 1 if app_ids.size else old_n
+            m = hi - old_n
+            emb = np.zeros((m, self.dim), np.float32)
+            emb[app_ids - old_n] = emb_all[app_j]
+            gap = np.ones(m, bool)
+            gap[app_ids - old_n] = False
+            new_ids = np.arange(old_n, hi, dtype=np.int64)
+            ids_cat = np.concatenate([idx.ids[:old_n], new_ids])
+
+            def _quant(x):
+                if cfg.dtype != "int8":
+                    return x.astype(idx.vectors.dtype), None
+                if x.shape[0] == 0:
+                    return np.zeros((0, self.dim), np.int8), np.zeros(0, np.float32)
+                if cfg.int8_scale == "global":
+                    g = np.float32(idx.global_scale)
+                    return (
+                        np.clip(np.round(x / g), -127, 127).astype(np.int8),
+                        np.full(x.shape[0], g, np.float32),
+                    )
+                from ..index.quant import quantize_int8
+
+                return quantize_int8(x)
+
+            codes_new, sc_new = _quant(emb)
+            vecs_cat = np.concatenate([idx.vectors[:old_n], codes_new])
+            sc_cat = (
+                np.concatenate([idx.scales[:old_n], sc_new])
+                if idx.scales is not None
+                else None
+            )
+            res_cat = None
+            if idx.rescore_residual is not None:
+                from ..index.quant import quantize_residual_int8
+
+                rc_new, rs_new = quantize_residual_int8(
+                    emb, codes_new, float(idx.global_scale)
+                ) if m else (np.zeros((0, self.dim), np.int8), np.zeros(0, np.float32))
+                rc, rs = idx.rescore_residual
+                res_cat = (
+                    np.concatenate([rc[:old_n], rc_new]),
+                    np.concatenate([rs[:old_n], rs_new]),
+                )
+            rescore_vec = None
+            if self.rescore_vectors is not None:
+                rescore_vec = np.concatenate(
+                    [self.rescore_vectors, emb.astype(self.rescore_vectors.dtype)]
+                )
+            tomb = self._tombstone
+            if upd_rows:
+                emb_u = emb_all[upd_j]
+                codes_u, sc_u = _quant(emb_u)
+                vecs_cat[upd_rows] = codes_u
+                if sc_cat is not None and sc_u is not None:
+                    sc_cat[upd_rows] = sc_u
+                if res_cat is not None:
+                    from ..index.quant import quantize_residual_int8
+
+                    rc_u, rs_u = quantize_residual_int8(
+                        emb_u, codes_u, float(idx.global_scale)
+                    )
+                    res_cat[0][upd_rows] = rc_u
+                    res_cat[1][upd_rows] = rs_u
+                if rescore_vec is not None:
+                    rescore_vec[upd_rows] = emb_u.astype(rescore_vec.dtype)
+                if tomb is not None:
+                    tomb[upd_rows] = False   # the id is live again, in place
+            new_index = FlatIndex(
+                vectors=vecs_cat,
+                ids=ids_cat,
+                scales=sc_cat,
+                num_rows=old_n + m,
+                config=cfg,
+                global_scale=idx.global_scale,
+                rescore_residual=res_cat,
+            )
+            deleted = set(self._deleted_ids)
+            ctor = dict(self._ctor)
+            if self.ivf is not None:
+                import warnings
+
+                warnings.warn(
+                    "compact() drops the IVF route: its lists do not "
+                    "cover the folded rows; rebuild via finalize_ivf",
+                    stacklevel=2,
+                )
+            lock = self._live_lock   # __init__ makes a fresh one; keep the
+            self.__init__(  # noqa: PLC2801 — deliberate in-place rebuild
+                new_index,
+                rescore_vectors=rescore_vec,
+                rescore_residual=res_cat,
+                **ctor,
+            )
+            self._live_lock = lock   # ...one this thread is holding
+            # restore tombstones over the (grown) row space; gap rows
+            # (delta docs deleted before folding) stay tombstoned
+            new_tomb = np.concatenate(
+                [tomb if tomb is not None else np.zeros(old_n, bool), gap]
+            )
+            if new_tomb.any():
+                self._tombstone = new_tomb
+                self._tomb_epoch = 1
+                self._deleted_ids = deleted
+            return m_total
+
+    def _mask_device_entry(self, mask: np.ndarray) -> tuple:
+        """(np mask, device int8 mask | f32 bias) for the active path."""
+        if self._speed_ok:
+            mask_host = np.zeros(self.padded_rows, np.int8)
+            mask_host[: mask.shape[0]] = mask
+            return (mask, jnp.asarray(mask_host))
+        bias_host = np.where(mask, 0.0, NEG_INF).astype(np.float32)
+        pad = self.padded_rows - bias_host.shape[0]
+        if pad:
+            bias_host = np.concatenate(
+                [bias_host, np.full(pad, NEG_INF, np.float32)]
+            )
+        bias = jnp.asarray(bias_host)
+        if self._bias_sharding is not None:
+            bias = jax.device_put(bias, self._bias_sharding)
+        return (mask, bias)
+
+    def _combined_mask_inputs(self, filters: SearchFilters | None):
+        """User filter mask combined with delete tombstones, device-cached.
+        Returns (np bool mask | None, device mask/bias | None) over MAIN
+        index rows."""
+        if self._tombstone is None:
+            if filters is None:
+                return None, None
+            return self._filter_device_inputs(filters)
+        from .filters import filter_key
+
+        fkey = filter_key(filters) if filters is not None else ()
+        key = (fkey, self._tomb_epoch)
+        with self._filter_cache_lock:
+            hit = self._tomb_mask_cache.get(key)
+        if hit is not None:
+            return hit
+        user = None
+        if filters is not None and fkey != ():
+            if self.meta is None:
+                raise ValueError("filters require CorpusMetadata")
+            user = compile_filter_mask(filters, self.meta)
+        alive = ~self._tombstone
+        if user is None:
+            mask = alive
+        else:
+            # user mask covers len(meta) docs (incl. delta); main rows
+            # are doc ids [0, n_valid) in the filtered path's id==row
+            # contract
+            mask = user[: self.n_valid] & alive
+        entry = self._mask_device_entry(mask)
+        with self._filter_cache_lock:
+            if len(self._tomb_mask_cache) >= 64:
+                self._tomb_mask_cache.pop(next(iter(self._tomb_mask_cache)))
+            self._tomb_mask_cache[key] = entry
+        return entry
+
+    def _delta_filter_bias(self, filters: SearchFilters | None, delta):
+        """Per-delta-row f32 bias (0 pass / -inf fail) for the user's
+        filters, or None when no filtering applies. Computed over the
+        SMALL delta metadata view only."""
+        if filters is None or self.meta is None:
+            return None
+        from .filters import filter_key
+
+        fkey = filter_key(filters)
+        if fkey == ():
+            return None
+        key = (fkey, delta.n)
+        with self._filter_cache_lock:
+            hit = self._delta_bias_cache.get(key)
+        if hit is not None:
+            return hit[0]
+        view = CorpusMetadata.from_rows(self._delta_meta_rows[: delta.n])
+        mask = compile_filter_mask(filters, view)
+        if mask is None:
+            bias = None
+        else:
+            bias_host = np.full(delta.cap, NEG_INF, np.float32)
+            bias_host[: delta.n] = np.where(mask, 0.0, NEG_INF)
+            bias = jnp.asarray(bias_host)
+        with self._filter_cache_lock:
+            if len(self._delta_bias_cache) >= 64:
+                self._delta_bias_cache.pop(next(iter(self._delta_bias_cache)))
+            self._delta_bias_cache[key] = (bias,)
+        return bias
+
     def _ivf_fn(self, k: int) -> Callable:
         if k not in self._ivf_fns:
             self._ivf_fns[k] = self.ivf.device_searcher(
@@ -595,6 +987,11 @@ class SearchEngine:
         if self.meta is None:
             raise ValueError("filters require CorpusMetadata")
         mask = compile_filter_mask(filters, self.meta)
+        if mask is not None:
+            # meta can outgrow the packed index (live-added docs); main
+            # rows are doc ids [0, n_valid) — delta rows get their own
+            # bias from _delta_filter_bias
+            mask = mask[: self.n_valid]
         if mask is None:
             entry = (None, None)
         elif self._speed_ok:
@@ -641,21 +1038,27 @@ class SearchEngine:
         k_dev = min(max(k_fetch, 1), self.rows_per_shard)
         q, b = self._pad_queries(query_vecs)
 
-        mask = bias_dev = None
-        if filters is not None:
-            mask, dev = self._filter_device_inputs(filters)
-            if mask is not None:
-                bias_dev = dev
+        mask, dev = self._combined_mask_inputs(filters)
+        bias_dev = dev if mask is not None else None
+
+        # live-update delta: snapshot under the lock so in-flight queries
+        # keep a consistent (buffer, bias) view across mutations
+        delta_run = delta_bias = None
+        with self._live_lock:
+            delta = self._delta
+            if delta is not None and delta.n_live > 0:
+                delta_run = delta.searcher(min(k, delta.cap))
+                delta_bias = self._delta_filter_bias(filters, delta)
 
         rescored_on_device = False
-        if mask is None and self.ivf is not None and b <= self.ivf_max_batch:
+        s = i = None
+        if mask is not None and not np.any(mask):
+            # nothing in the MAIN index passes (e.g. empty source set,
+            # or every row tombstoned) — the delta may still score
+            pass
+        elif mask is None and self.ivf is not None and b <= self.ivf_max_batch:
             s, i = self._ivf_fn(k)(q)   # rescores on device internally
             rescored_on_device = True
-        elif mask is not None and not np.any(mask):
-            # nothing passes (e.g. empty source set): resolve host-side
-            empty_s = np.full((b, k), NEG_INF, np.float32)
-            empty_i = np.full((b, k), PAD_ID, np.int32)
-            return lambda: (empty_s, empty_i)
         elif mask is None:
             # speed path builds for the FINAL k (it oversamples inside)
             fn_k = k if (self._speed_ok or self._sharded_speed_ok) else k_dev
@@ -670,17 +1073,42 @@ class SearchEngine:
             fn, rescored_on_device = self._get_search_fn(k_dev, with_bias=True)
             s, i = fn(q, bias_dev)
 
+        ds = di = None
+        if delta_run is not None:
+            ds, di = delta_run(q, delta_bias)
+
         on_device = rescored_on_device
 
         def finalize() -> tuple[np.ndarray, np.ndarray]:
-            # ONE device->host transfer for both outputs: each pull pays
+            # ONE device->host transfer for all outputs: each pull pays
             # a full round trip on a remote-attached chip, and resolver
             # throughput is round-trip-bound at small batch sizes
-            s_h, i_h = jax.device_get((s, i))
-            s_h, i_h = s_h[:b], i_h[:b]
-            if do_rescore and not on_device:
-                s_h, i_h = self._rescore(np.asarray(q)[:b], s_h, i_h, k)
-            s2, i2 = s_h[:, :k], i_h[:, :k]
+            if s is None and ds is None:
+                empty_s = np.full((b, k), NEG_INF, np.float32)
+                return empty_s, np.full((b, k), PAD_ID, np.int32)
+            if s is None:
+                ds_h, di_h = jax.device_get((ds, di))
+                s2 = np.full((b, k), NEG_INF, np.float32)
+                i2 = np.full((b, k), PAD_ID, np.int32)
+            else:
+                if ds is not None:
+                    s_h, i_h, ds_h, di_h = jax.device_get((s, i, ds, di))
+                else:
+                    s_h, i_h = jax.device_get((s, i))
+                s_h, i_h = s_h[:b], i_h[:b]
+                if do_rescore and not on_device:
+                    s_h, i_h = self._rescore(np.asarray(q)[:b], s_h, i_h, k)
+                s2, i2 = s_h[:, :k], i_h[:, :k]
+            if ds is not None:
+                # merge the delta's exact fp32 top-k with the main top-k
+                ds2 = ds_h[:b].astype(np.float32)
+                di2 = di_h[:b].astype(i2.dtype)
+                ds2 = np.where(di2 >= 0, ds2, NEG_INF)
+                all_s = np.concatenate([s2.astype(np.float32), ds2], axis=1)
+                all_i = np.concatenate([i2, di2], axis=1)
+                sel = np.argsort(-all_s, axis=1, kind="stable")[:, :k]
+                s2 = np.take_along_axis(all_s, sel, 1)
+                i2 = np.take_along_axis(all_i, sel, 1)
             # -inf scores mean "fewer than k docs pass the filter"
             return s2, np.where(np.isfinite(s2), i2, PAD_ID)
 

@@ -82,6 +82,51 @@ class CorpusMetadata:
     def theorem_count(self) -> int:
         return len(self)
 
+    # ---------------- live updates ----------------
+
+    def extend(self, rows: Sequence[dict[str, Any]]) -> None:
+        """Append docs (live-update path): doc ids len(self)..len(self)+m-1.
+        Same row spec as from_rows."""
+        add = CorpusMetadata.from_rows(rows)
+        for name in (
+            "paper_id", "paper_title", "authors", "link", "primary_category",
+            "journal_ref", "summary", "theorem_name", "theorem_body", "slogan",
+        ):
+            getattr(self, name).extend(getattr(add, name))
+        self.year = np.concatenate([self.year, add.year])
+        self.citations = np.concatenate([self.citations, add.citations])
+
+    def update_row(self, doc_id: int, row: dict[str, Any]) -> None:
+        """Overwrite one doc's columns in place (live upsert of an
+        existing doc id). Keys absent from `row` keep their value."""
+        one = CorpusMetadata.from_rows([row])
+        for name in (
+            "paper_id", "paper_title", "authors", "link", "primary_category",
+            "journal_ref", "summary", "theorem_name", "theorem_body", "slogan",
+        ):
+            if name in row:
+                getattr(self, name)[doc_id] = getattr(one, name)[0]
+        if "year" in row:
+            self.year[doc_id] = one.year[0]
+        if "citations" in row:
+            self.citations[doc_id] = one.citations[0]
+
+    def row_as_dict(self, doc_id: int) -> dict[str, Any]:
+        return {
+            "paper_id": self.paper_id[doc_id],
+            "paper_title": self.paper_title[doc_id],
+            "authors": self.authors[doc_id],
+            "link": self.link[doc_id],
+            "year": int(self.year[doc_id]),
+            "primary_category": self.primary_category[doc_id],
+            "journal_ref": self.journal_ref[doc_id],
+            "citations": int(self.citations[doc_id]),
+            "summary": self.summary[doc_id],
+            "theorem_name": self.theorem_name[doc_id],
+            "theorem_body": self.theorem_body[doc_id],
+            "slogan": self.slogan[doc_id],
+        }
+
     # ---------------- persistence ----------------
 
     def save(self, path: str | Path) -> None:

@@ -64,7 +64,9 @@ class SearchService:
     # ---------------- facets ----------------
 
     def load_theorem_count(self) -> int:
-        return self._facets.get("count", lambda: self.engine.n_valid)
+        # num_live tracks live adds/deletes (the reference counts the
+        # live theorem table); invalidated on every mutation
+        return self._facets.get("count", lambda: self.engine.num_live)
 
     def load_authors(self) -> list[str]:
         meta = self.engine.meta
@@ -115,6 +117,32 @@ class SearchService:
         QPS target depends on, SURVEY.md §7.4)."""
         qvecs = np.asarray(self.encode(list(queries)))
         return self.engine.search_vectors(qvecs, k=k, filters=filters)
+
+    # ---------------- live updates ----------------
+
+    def index_documents(self, docs: Sequence[dict]) -> list[int]:
+        """Upsert new theorems into the LIVE index: encode each doc's
+        slogan (the reference embeds slogans — generate_embeddings feeds
+        theorem_slogan rows) and add to the engine's delta buffer. The
+        docs are searchable by the next query. Returns assigned doc ids."""
+        texts = [
+            d.get("slogan") or d.get("theorem_body") or d.get("theorem_name") or ""
+            for d in docs
+        ]
+        emb = np.asarray(self.encode(list(texts)))
+        meta_rows = list(docs) if self.engine.meta is not None else None
+        ids = self.engine.add_documents(emb, meta_rows=meta_rows)
+        self._facets._store.pop("count", None)   # theorem_count changed
+        return [int(i) for i in ids]
+
+    def delete_documents(self, doc_ids: Sequence[int]) -> int:
+        """Tombstone docs by id; they stop appearing immediately."""
+        n = self.engine.delete_documents(list(doc_ids))
+        self._facets._store.pop("count", None)
+        return n
+
+    def load_live_count(self) -> int:
+        return self.engine.num_live
 
     # ---------------- feedback ----------------
 

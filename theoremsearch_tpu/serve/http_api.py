@@ -5,6 +5,10 @@ deployment needs a programmatic surface. Stdlib-only (no extra deps):
 
     POST /search   {"query": str, "top_k": int, "citation_weight": float,
                     "filters": {...same keys as the UI dict...}}
+    POST /documents         {"documents": [{...meta columns + slogan...}]}
+                            -> {"doc_ids": [...]} (live upsert; searchable
+                            by the next query)
+    POST /documents/delete  {"doc_ids": [...]} -> {"deleted": N}
     GET  /facets   -> {"authors": [...], "tags_per_source": {...},
                        "theorem_count": N}
     GET  /health   -> {"status": "ok", "corpus": N}
@@ -54,21 +58,36 @@ def make_handler(service: SearchService):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/search":
-                self._send(404, {"error": "not found"})
-                return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                query = req.get("query", "")
-                ui = dict(req.get("filters") or {})
-                if "top_k" in req:
-                    ui["top_k"] = req["top_k"]
-                if "citation_weight" in req:
-                    ui["citation_weight"] = req["citation_weight"]
-                filters = _filters_from_ui(ui)
-                rows = service.search_and_display(query, filters)
-                self._send(200, {"query": query, "results": rows})
+                if self.path == "/search":
+                    query = req.get("query", "")
+                    ui = dict(req.get("filters") or {})
+                    if "top_k" in req:
+                        ui["top_k"] = req["top_k"]
+                    if "citation_weight" in req:
+                        ui["citation_weight"] = req["citation_weight"]
+                    filters = _filters_from_ui(ui)
+                    rows = service.search_and_display(query, filters)
+                    self._send(200, {"query": query, "results": rows})
+                elif self.path == "/documents":
+                    # live upsert: {"documents": [{slogan, theorem_name,
+                    # paper_title, year, ...}, ...]} -> assigned doc ids,
+                    # searchable by the next query (the reference's
+                    # pgvector-upsert visibility)
+                    docs = req.get("documents") or []
+                    if not isinstance(docs, list) or not docs:
+                        self._send(400, {"error": "documents must be a non-empty list"})
+                        return
+                    ids = service.index_documents(docs)
+                    self._send(200, {"doc_ids": ids})
+                elif self.path == "/documents/delete":
+                    ids = req.get("doc_ids") or []
+                    n = service.delete_documents([int(i) for i in ids])
+                    self._send(200, {"deleted": n})
+                else:
+                    self._send(404, {"error": "not found"})
             except json.JSONDecodeError:
                 self._send(400, {"error": "invalid JSON body"})
             except SchedulerOverloaded as e:
