@@ -199,7 +199,8 @@ def make_search_server(args):
     from .serve.scheduler import BatchScheduler
 
     be = _batched_encoder(args)
-    engine = build_engine_from_catalog(_catalog(args), be.encode, args.spool)
+    cat = _catalog(args)
+    engine = build_engine_from_catalog(cat, be.encode, args.spool)
     sched = None
     if not args.no_batching:
         sched = BatchScheduler(
@@ -210,6 +211,27 @@ def make_search_server(args):
             max_pending=args.max_pending or None,
         )
     svc = SearchService(engine, be.encode, scheduler=sched)
+    refresh_s = getattr(args, "refresh_interval", 0.0) or 0.0
+    if refresh_s > 0:
+        # continuous ingest->searchable loop: newly sloganed theorems in
+        # the catalog become live search results without a restart
+        import threading
+        import time as _time
+
+        from .pipeline import refresh_engine_from_catalog
+
+        def _poll():
+            while True:
+                _time.sleep(refresh_s)
+                try:
+                    n = refresh_engine_from_catalog(cat, engine, be.encode)
+                    if n:
+                        print(f"[refresh] {n} new docs live "
+                              f"(corpus {engine.num_live})")
+                except Exception as e:  # noqa: BLE001 — keep serving
+                    print(f"[refresh] error: {e}")
+
+        threading.Thread(target=_poll, daemon=True, name="catalog-refresh").start()
     return SearchServer(svc, host=args.host, port=args.port), sched
 
 
@@ -366,6 +388,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--max-wait-ms", type=float, default=8.0)
     s.add_argument("--max-pending", type=int, default=2048,
                    help="admission-control bound (0 = unbounded); beyond it requests get HTTP 429")
+    s.add_argument("--refresh-interval", type=float, default=0.0,
+                   help="poll the catalog every N seconds for new slogans and "
+                        "add them to the live index (0 = off)")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("eval")

@@ -59,10 +59,16 @@ def corpus_metadata_from_catalog(catalog: Catalog, slogan_ids: np.ndarray) -> Co
     """Join paper+theorem+slogan rows for the indexed slogan ids, in index
     order (the metadata side of the latest-slogan CTE join,
     streamlit_app.py:253-279)."""
+    return CorpusMetadata.from_rows(slogan_meta_rows(catalog, slogan_ids))
+
+
+def slogan_meta_rows(catalog: Catalog, slogan_ids: np.ndarray) -> list[dict]:
+    """Metadata column dicts for slogan ids (shared by the index-build
+    join above and the live-refresh path below)."""
     import json as _json
 
     rows = []
-    for sid in slogan_ids.tolist():
+    for sid in np.asarray(slogan_ids).tolist():
         r = catalog.conn.execute(
             "SELECT p.paper_id, p.title, p.authors, p.link, p.last_updated,"
             " p.journal_ref, p.primary_category, p.citations, p.summary,"
@@ -98,7 +104,48 @@ def corpus_metadata_from_catalog(catalog: Catalog, slogan_ids: np.ndarray) -> Co
                 "slogan": r[11] or "",
             }
         )
-    return CorpusMetadata.from_rows(rows)
+    return rows
+
+
+def refresh_engine_from_catalog(
+    catalog: Catalog,
+    engine: SearchEngine,
+    encode_fn: Callable[[list[str]], np.ndarray],
+    embedder: str = "qwen",
+    page_size: int = 256,
+) -> int:
+    """Live refresh of a RUNNING engine: embed every latest-slogan that
+    has no vector yet and add it to the engine's delta buffer — the doc
+    is searchable by the next query. This closes the continuous
+    ingest->searchable loop the reference gets for free from pgvector
+    (generate_embeddings/__main__.py upserts feeding streamlit_app.py's
+    live table scan). Idempotent via the embedding_manifest NOT-EXISTS
+    queue; returns docs added."""
+    added = 0
+    for page in catalog.slogans_missing_embedding(embedder, page_size):
+        rows = [dict(r) for r in page]
+        texts = [r["slogan"] or "" for r in rows]
+        sids = np.array([r["slogan_id"] for r in rows], np.int64)
+        emb = np.asarray(encode_fn(texts), np.float32)
+        meta_rows = (
+            slogan_meta_rows(catalog, sids) if engine.meta is not None else None
+        )
+        engine.add_documents(emb, meta_rows=meta_rows)
+        catalog.upsert_rows(
+            "embedding_manifest",
+            [
+                {
+                    "embedder": embedder,
+                    "slogan_id": int(sid),
+                    "shard": "live-delta",
+                    "row": -1,
+                }
+                for sid in sids
+            ],
+            ["embedder", "slogan_id"],
+        )
+        added += len(rows)
+    return added
 
 
 def build_engine_from_catalog(
