@@ -355,3 +355,55 @@ def test_vector_only_custom_meta_none(small):
     assert list(ids1) == [600, 601] and list(ids2) == [602, 603]
     rows = eng._join(np.array([602]), np.array([0.5]))
     assert rows[0]["doc_id"] == 602
+
+
+def test_scheduler_concurrent_with_mutations(small):
+    """Queries batched through the scheduler while another thread adds and
+    deletes docs: every response is internally consistent (no crashes, no
+    tombstoned ids returned after the delete completes, added docs
+    findable afterwards)."""
+    import threading
+
+    from theoremsearch_tpu.serve.scheduler import BatchScheduler
+
+    emb, new, q = small
+    eng = _fp32_engine(emb)
+    sched = BatchScheduler(eng, max_batch=32, max_wait_ms=5)
+    stop = threading.Event()
+    errors = []
+
+    def mutate():
+        try:
+            for r in range(6):
+                eng.add_documents(new[3 * r : 3 * r + 3], normalize=False)
+                eng.delete_documents([r * 40, r * 40 + 1])
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+        finally:
+            stop.set()
+
+    def query(i):
+        try:
+            while not stop.is_set():
+                s, ids = sched.search(q[i % len(q)], k=5)
+                assert ids.shape == (5,)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    mt = threading.Thread(target=mutate)
+    qs = [threading.Thread(target=query, args=(i,)) for i in range(4)]
+    for t in qs:
+        t.start()
+    mt.start()
+    mt.join()
+    for t in qs:
+        t.join()
+    sched.shutdown()
+    assert not errors, errors
+    # steady state: all 18 added docs live, 12 deleted gone
+    assert eng.num_live == 600 + 18 - 12
+    s, i = eng.search_vectors(new[:18], k=1)
+    assert (i[:, 0] >= 600).all()
+    s2, i2 = eng.search_vectors(q, k=10)
+    dead = {r * 40 for r in range(6)} | {r * 40 + 1 for r in range(6)}
+    assert not (set(int(x) for x in i2.flatten()) & dead)
