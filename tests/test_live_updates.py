@@ -407,3 +407,28 @@ def test_scheduler_concurrent_with_mutations(small):
     s2, i2 = eng.search_vectors(q, k=10)
     dead = {r * 40 for r in range(6)} | {r * 40 + 1 for r in range(6)}
     assert not (set(int(x) for x in i2.flatten()) & dead)
+
+
+def test_compact_custom_ids(small):
+    """Custom-id corpora: new ids continue from max+1; compaction's dense
+    fold must anchor at the delta's base id, not at num_rows."""
+    emb, new, _ = small
+    idx = FlatIndex.build(
+        emb,
+        ids=np.arange(1000, 1600, dtype=np.int64),
+        config=IndexConfig(pad_multiple=128, dtype="float32"),
+        normalize=False,
+    )
+    eng = SearchEngine(idx, use_pallas=False, row_block=128)
+    ids = eng.add_documents(new[:4], normalize=False)
+    assert list(ids) == [1600, 1601, 1602, 1603]
+    eng.delete_documents([1601])
+    assert eng.compact() == 3
+    # dense fold: rows for 1600..1603, gap at 1601 tombstoned
+    assert eng.n_valid == 604
+    assert eng.num_live == 603
+    s, i = eng.search_vectors(new[:4], k=1)
+    assert i[0, 0] == 1600 and i[2, 0] == 1602 and i[3, 0] == 1603
+    assert i[1, 0] != 1601
+    # delete by custom id still works post-compact
+    assert eng.delete_documents([1000]) == 1

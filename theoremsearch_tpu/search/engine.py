@@ -512,18 +512,20 @@ class SearchEngine:
             m_total = ids_all.shape[0]
             idx, cfg = self.index, self.index.config
             old_n = self.n_valid
-            # new ids are assigned sequentially from old_n, but deletes may
-            # have punched gaps; fold the DENSE range [old_n, hi) with
-            # tombstoned zero-rows in the gaps so ids stay == arange (the
-            # speed path's contract)
+            # new ids are assigned sequentially (from len(meta) / max+1),
+            # but deletes may have punched gaps; fold the DENSE id range
+            # [base, hi) with tombstoned zero-rows in the gaps so arange
+            # corpora keep ids == row (the speed path's contract). For
+            # custom-id corpora base is max_id+1, not old_n.
             app_ids = ids_all[app_j].astype(np.int64)
-            hi = int(app_ids.max()) + 1 if app_ids.size else old_n
-            m = hi - old_n
+            base = int(app_ids.min()) if app_ids.size else old_n
+            hi = int(app_ids.max()) + 1 if app_ids.size else base
+            m = hi - base
             emb = np.zeros((m, self.dim), np.float32)
-            emb[app_ids - old_n] = emb_all[app_j]
+            emb[app_ids - base] = emb_all[app_j]
             gap = np.ones(m, bool)
-            gap[app_ids - old_n] = False
-            new_ids = np.arange(old_n, hi, dtype=np.int64)
+            gap[app_ids - base] = False
+            new_ids = np.arange(base, hi, dtype=np.int64)
             ids_cat = np.concatenate([idx.ids[:old_n], new_ids])
 
             def _quant(x):
