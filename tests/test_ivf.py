@@ -480,3 +480,36 @@ def test_sharded_ivf_residual(pallas_scale_corpus):
     exp = np.take_along_axis(q @ emb.T, np.asarray(i), 1)
     valid = np.asarray(i) >= 0
     np.testing.assert_allclose(np.asarray(s)[valid], exp[valid], atol=5e-4)
+
+
+def test_engine_ivf_route_with_live_updates(pallas_scale_corpus):
+    """Live adds merge into IVF-routed queries (the IVF lists don't cover
+    the delta, the merge does); a delete pushes queries onto the masked
+    flat scan and the tombstoned doc vanishes."""
+    from theoremsearch_tpu.index import FlatIndex
+    from theoremsearch_tpu.search import SearchEngine
+
+    emb, q, idx = pallas_scale_corpus
+    flat = FlatIndex.build(
+        emb, config=IndexConfig(pad_multiple=1024, dtype="float32"),
+        normalize=False,
+    )
+    eng = SearchEngine(
+        flat, use_pallas=True, pallas_interpret=True, row_block=128,
+        ivf_index=idx, ivf_nprobe=8, rescore_factor=8,
+    )
+    rng = np.random.default_rng(9)
+    new = np.asarray(l2_normalize(rng.standard_normal((4, 128)).astype(np.float32)))
+    ids = eng.add_documents(new, normalize=False)
+    # B=4 <= ivf_max_batch: this is the IVF route + delta merge
+    s, i = eng.search_vectors(new, k=1)
+    np.testing.assert_array_equal(i[:, 0], ids)
+    # tombstones disable the IVF route (masks don't compose with coarse
+    # probing); the flat masked path serves and excludes the victim
+    s0, i0 = eng.search_vectors(q[:1], k=1)
+    victim = int(i0[0, 0])
+    eng.delete_documents([victim])
+    s1, i1 = eng.search_vectors(q[:1], k=10)
+    assert victim not in i1[0].tolist()
+    s2, i2 = eng.search_vectors(new, k=1)
+    np.testing.assert_array_equal(i2[:, 0], ids)
