@@ -88,3 +88,42 @@ def test_refresh_makes_new_docs_searchable(tmp_path):
 
     # second refresh: idempotent
     assert refresh_engine_from_catalog(cat, engine, _hash_encode) == 0
+
+
+def test_refresh_with_builder_is_durable(tmp_path):
+    """Refreshes that spool through the engine's IndexBuilder survive a
+    restart: the manifest marks the slogans embedded (so the NOT-EXISTS
+    queue never retries them), and the rebuild packs the spooled vectors
+    into the main index — without the builder those docs would silently
+    vanish from the next boot."""
+    cat = Catalog()
+    sources = {}
+    for i, topic in enumerate(["prime gaps", "modular forms"]):
+        _add_paper(cat, sources, f"2401.{i:05d}", topic)
+    parse_papers(cat, source_fetcher=lambda pid: sources[pid], timeout_s=30)
+    generate_slogans(cat, load_prompt("body-only-v1"), OfflineStubClient())
+
+    from theoremsearch_tpu.index import IndexBuilder
+
+    spool = str(tmp_path / "spool")
+    engine = build_engine_from_catalog(cat, _hash_encode, spool, use_pallas=False)
+    assert engine.n_valid == 2
+
+    _add_paper(cat, sources, "2407.99999", "tropical geometry", year="2025-06-01")
+    parse_papers(cat, source_fetcher=lambda pid: sources[pid], timeout_s=30)
+    generate_slogans(cat, load_prompt("body-only-v1"), OfflineStubClient())
+
+    # durable path: re-open the same spool the engine was built from
+    added = refresh_engine_from_catalog(
+        cat, engine, _hash_encode, builder=IndexBuilder(spool)
+    )
+    assert added == 1 and engine.num_live == 3
+
+    # "restart": rebuild from the same catalog + spool. The manifest says
+    # nothing is missing, so the new doc must come from the spooled batch.
+    engine2 = build_engine_from_catalog(cat, _hash_encode, spool, use_pallas=False)
+    assert engine2.n_valid == 3
+    rows = engine2.search(
+        _hash_encode(["tropical geometry"])[0], SearchFilters(top_k=1)
+    )
+    assert rows[0]["paper_title"] == "A paper on tropical geometry"

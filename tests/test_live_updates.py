@@ -409,6 +409,70 @@ def test_scheduler_concurrent_with_mutations(small):
     assert not (set(int(x) for x in i2.flatten()) & dead)
 
 
+def test_compact_after_deleting_lowest_new_id(small):
+    """Deleting the LOWEST new id before compacting must not shift the
+    dense fold's base: the base anchors at the lowest id ever assigned to
+    the delta (dead rows included), so surviving docs keep ids == row and
+    the dead id folds as a tombstoned gap row."""
+    emb, new, q = small
+    eng = _speed_engine(emb)
+    ids = eng.add_documents(new[:5], normalize=False)   # 600..604
+    eng.delete_documents([int(ids[0])])                 # kill 600
+    s_before, i_before = eng.search_vectors(q, k=10)
+    assert eng.compact() == 4
+    assert eng._speed_ok                                # arange preserved
+    assert eng.n_valid == 605 and eng.num_live == 604
+    np.testing.assert_array_equal(
+        np.asarray(eng.index.ids[:605]), np.arange(605)
+    )
+    s_after, i_after = eng.search_vectors(q, k=10)
+    np.testing.assert_array_equal(i_before, i_after)
+    # survivors sit at their original ids; 600 stays dead
+    s, i = eng.search_vectors(new[:5], k=1)
+    np.testing.assert_array_equal(i[1:5, 0], ids[1:5])
+    assert int(i[0, 0]) != 600
+
+
+def test_compact_all_delta_deleted_is_noop(small):
+    """Every delta row deleted before compact(): nothing to fold, so the
+    expensive rebuild (re-upload + scan recompile) is skipped; main
+    tombstones and results are untouched and the engine stays mutable."""
+    emb, new, q = small
+    eng = _speed_engine(emb)
+    ids = eng.add_documents(new[:3], normalize=False)
+    eng.delete_documents([int(x) for x in ids] + [5])
+    s_before, i_before = eng.search_vectors(q, k=10)
+    vecs_before = eng.vectors
+    assert eng.compact() == 0
+    assert eng._delta is None
+    assert eng.n_valid == 600                 # no gap rows folded
+    assert eng.vectors is vecs_before         # rebuild/re-upload skipped
+    s_after, i_after = eng.search_vectors(q, k=10)
+    np.testing.assert_array_equal(i_before, i_after)
+    assert eng.num_live == 599 and 5 not in i_after.flatten().tolist()
+    # id minting is monotonic: the dead ids are never reused
+    ids2 = eng.add_documents(new[3:5], normalize=False)
+    assert list(ids2) == [603, 604]
+    s2, i2 = eng.search_vectors(new[3:5], k=1)
+    np.testing.assert_array_equal(i2[:, 0], ids2)
+
+
+def test_add_with_meta_requires_arange_ids(small):
+    """Metadata serving indexes columns by doc id; live adds against a
+    custom-id corpus would mint colliding ids from len(meta) — rejected."""
+    emb, new, _ = small
+    idx = FlatIndex.build(
+        emb,
+        ids=np.arange(1000, 1600, dtype=np.int64),
+        config=IndexConfig(pad_multiple=128, dtype="float32"),
+        normalize=False,
+    )
+    meta = CorpusMetadata.from_rows(_meta_rows(600))
+    eng = SearchEngine(idx, meta=meta, use_pallas=False, row_block=128)
+    with pytest.raises(ValueError, match="row-order doc ids"):
+        eng.add_documents(new[:2], meta_rows=_meta_rows(2, 600), normalize=False)
+
+
 def test_compact_custom_ids(small):
     """Custom-id corpora: new ids continue from max+1; compaction's dense
     fold must anchor at the delta's base id, not at num_rows."""

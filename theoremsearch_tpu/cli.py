@@ -218,13 +218,21 @@ def make_search_server(args):
         import threading
         import time as _time
 
+        from .index import IndexBuilder
         from .pipeline import refresh_engine_from_catalog
+
+        # re-open the spool the engine was built from so live-refreshed
+        # vectors are durable: the manifest marks them embedded, and the
+        # next restart's finalize() packs them into the main index
+        spool = IndexBuilder(args.spool)
 
         def _poll():
             while True:
                 _time.sleep(refresh_s)
                 try:
-                    n = refresh_engine_from_catalog(cat, engine, be.encode)
+                    n = refresh_engine_from_catalog(
+                        cat, engine, be.encode, builder=spool
+                    )
                     if n:
                         print(f"[refresh] {n} new docs live "
                               f"(corpus {engine.num_live})")

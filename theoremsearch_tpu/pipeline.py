@@ -113,6 +113,7 @@ def refresh_engine_from_catalog(
     encode_fn: Callable[[list[str]], np.ndarray],
     embedder: str = "qwen",
     page_size: int = 256,
+    builder: IndexBuilder | None = None,
 ) -> int:
     """Live refresh of a RUNNING engine: embed every latest-slogan that
     has no vector yet and add it to the engine's delta buffer — the doc
@@ -120,8 +121,15 @@ def refresh_engine_from_catalog(
     ingest->searchable loop the reference gets for free from pgvector
     (generate_embeddings/__main__.py upserts feeding streamlit_app.py's
     live table scan). Idempotent via the embedding_manifest NOT-EXISTS
-    queue; returns docs added."""
+    queue; returns docs added.
+
+    builder: the spool IndexBuilder the engine was built from. REQUIRED
+    for durability — the manifest marks these slogans embedded, so
+    without spooling their vectors a restart would rebuild the index
+    WITHOUT them and the NOT-EXISTS queue would never retry them. Pass
+    None only for a throwaway in-memory engine."""
     added = 0
+    shard = builder.dir.name if builder is not None else "live-delta"
     for page in catalog.slogans_missing_embedding(embedder, page_size):
         rows = [dict(r) for r in page]
         texts = [r["slogan"] or "" for r in rows]
@@ -130,6 +138,8 @@ def refresh_engine_from_catalog(
         meta_rows = (
             slogan_meta_rows(catalog, sids) if engine.meta is not None else None
         )
+        if builder is not None:
+            builder.add(sids, emb)   # durable: next rebuild packs them
         engine.add_documents(emb, meta_rows=meta_rows)
         catalog.upsert_rows(
             "embedding_manifest",
@@ -137,7 +147,7 @@ def refresh_engine_from_catalog(
                 {
                     "embedder": embedder,
                     "slogan_id": int(sid),
-                    "shard": "live-delta",
+                    "shard": shard,
                     "row": -1,
                 }
                 for sid in sids

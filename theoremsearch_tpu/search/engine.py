@@ -398,6 +398,14 @@ class SearchEngine:
                     raise ValueError(
                         "metadata serving requires one meta_rows dict per doc"
                     )
+                if not self._main_ids_arange:
+                    # metadata serving indexes columns BY doc id (and the
+                    # filter path assumes id == row); new ids minted from
+                    # len(meta) could collide with live custom ids
+                    raise ValueError(
+                        "live adds with metadata require row-order doc ids "
+                        "(ids == arange); rebuild the corpus id-ordered"
+                    )
                 ids_arr = len(self.meta) + np.arange(m, dtype=np.int64)
                 self.meta.extend(meta_rows)
                 self._delta_meta_rows.extend(meta_rows)
@@ -494,9 +502,10 @@ class SearchEngine:
         cover the new rows; rebuild with IndexBuilder.finalize_ivf."""
         self._require_mutable()
         with self._live_lock:
-            if self._delta is None or self._delta.n == 0:
+            delta = self._delta
+            if delta is None or delta.n == 0:
                 return 0
-            emb_all, ids_all = self._delta.live_rows()
+            emb_all, ids_all = delta.live_rows()
             # docs whose id already has a main row (live upserts) are
             # written back IN PLACE and un-tombstoned — appending them
             # would duplicate the id and break the speed path's
@@ -510,16 +519,36 @@ class SearchEngine:
                 else:
                     app_j.append(j)
             m_total = ids_all.shape[0]
+            if not upd_rows and not app_j:
+                # every delta row was deleted and none touched a main
+                # row: nothing to fold — skip the expensive rebuild
+                # (device re-upload + scan-program recompile)
+                delta.reset()
+                self._delta = None
+                self._delta_meta_rows = []
+                self._delta_bias_cache.clear()
+                return 0
             idx, cfg = self.index, self.index.config
             old_n = self.n_valid
-            # new ids are assigned sequentially (from len(meta) / max+1),
+            # New ids were assigned sequentially (from len(meta) / max+1),
             # but deletes may have punched gaps; fold the DENSE id range
-            # [base, hi) with tombstoned zero-rows in the gaps so arange
-            # corpora keep ids == row (the speed path's contract). For
-            # custom-id corpora base is max_id+1, not old_n.
+            # with tombstoned zero-rows in the gaps so arange corpora keep
+            # ids == row (the speed path + filter contract). The range is
+            # computed over ALL new ids ever assigned to the delta — dead
+            # rows included — so deleting e.g. the LOWEST new id before
+            # compacting cannot shift the base and misalign every row.
+            all_delta_ids = delta.ids[: delta.n]
+            new_all = np.array(
+                [
+                    int(d)
+                    for d in np.unique(all_delta_ids)
+                    if self._doc_row(int(d)) is None
+                ],
+                np.int64,
+            )
             app_ids = ids_all[app_j].astype(np.int64)
-            base = int(app_ids.min()) if app_ids.size else old_n
-            hi = int(app_ids.max()) + 1 if app_ids.size else base
+            base = int(new_all.min()) if new_all.size else old_n
+            hi = int(new_all.max()) + 1 if new_all.size else base
             m = hi - base
             emb = np.zeros((m, self.dim), np.float32)
             emb[app_ids - base] = emb_all[app_j]
@@ -661,7 +690,8 @@ class SearchEngine:
         if filters is not None and fkey != ():
             if self.meta is None:
                 raise ValueError("filters require CorpusMetadata")
-            user = compile_filter_mask(filters, self.meta)
+            with self._live_lock:   # see _filter_device_inputs
+                user = compile_filter_mask(filters, self.meta)
         alive = ~self._tombstone
         if user is None:
             mask = alive
@@ -988,29 +1018,16 @@ class SearchEngine:
             return hit
         if self.meta is None:
             raise ValueError("filters require CorpusMetadata")
-        mask = compile_filter_mask(filters, self.meta)
+        with self._live_lock:
+            # live adds extend meta column-by-column; compiling a mask
+            # against a half-extended meta raises on shape mismatch
+            mask = compile_filter_mask(filters, self.meta)
         if mask is not None:
             # meta can outgrow the packed index (live-added docs); main
             # rows are doc ids [0, n_valid) — delta rows get their own
             # bias from _delta_filter_bias
             mask = mask[: self.n_valid]
-        if mask is None:
-            entry = (None, None)
-        elif self._speed_ok:
-            mask_host = np.zeros(self.padded_rows, np.int8)
-            mask_host[: mask.shape[0]] = mask
-            entry = (mask, jnp.asarray(mask_host))
-        else:
-            bias_host = np.where(mask, 0.0, NEG_INF).astype(np.float32)
-            pad = self.padded_rows - bias_host.shape[0]
-            if pad:
-                bias_host = np.concatenate(
-                    [bias_host, np.full(pad, NEG_INF, np.float32)]
-                )
-            bias = jnp.asarray(bias_host)
-            if self._bias_sharding is not None:
-                bias = jax.device_put(bias, self._bias_sharding)
-            entry = (mask, bias)
+        entry = (None, None) if mask is None else self._mask_device_entry(mask)
         with self._filter_cache_lock:
             if len(self._filter_cache) >= 64:
                 self._filter_cache.pop(next(iter(self._filter_cache)))
