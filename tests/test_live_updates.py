@@ -496,3 +496,58 @@ def test_compact_custom_ids(small):
     assert i[1, 0] != 1601
     # delete by custom id still works post-compact
     assert eng.delete_documents([1000]) == 1
+
+
+def test_tombstone_overfetch_stays_on_fast_path(small):
+    """Deletes must not push unfiltered queries onto the ~2.3x-slower
+    masked scan: the engine over-fetches k+margin on the fast unfiltered
+    path and drops dead ids on host — exact vs the oracle, and the
+    tombstone mask cache (masked-path machinery) is never populated."""
+    emb, new, q = small
+    eng = _fp32_engine(emb)
+    rng = np.random.default_rng(1)
+    victims = rng.choice(600, size=30, replace=False).tolist()
+    assert eng.delete_documents(victims) == 30
+    s, i = eng.search_vectors(q, k=10)
+    keep = np.array(sorted(set(range(600)) - set(victims)))
+    ref_s, ref_i = _oracle(q, emb[keep], keep, 10)
+    np.testing.assert_array_equal(i, ref_i)
+    np.testing.assert_allclose(s, ref_s, atol=2e-3)
+    assert eng._tomb_mask_cache == {}
+    # a FILTERED query still routes through the combined mask (the
+    # over-fetch drop does not compose with user filters)
+    meta = CorpusMetadata.from_rows(_meta_rows(600))
+    eng2 = _fp32_engine(emb, meta=meta)
+    eng2.delete_documents(victims)
+    flt = SearchFilters(top_k=5, year_range=(2005, 2020))
+    s2, i2 = eng2.search_vectors(q, k=5, filters=flt)
+    assert eng2._tomb_mask_cache  # masked path used
+    for row in i2:
+        for d in row:
+            assert int(d) not in victims
+
+
+def test_tombstone_overfetch_fallback_exact():
+    """Adversarial deletes: when >margin of a query's best k+margin docs
+    are ALL deleted, the over-fetch window is exhausted and the engine
+    must detect it and fall back to the exact masked scan."""
+    rng = np.random.default_rng(7)
+    d = 32
+    q0 = _norm(rng.standard_normal((1, d)))
+    near = _norm(q0 + 0.001 * rng.standard_normal((70, d)))   # best 70
+    mid = _norm(q0 + 0.9 * rng.standard_normal((40, d)))
+    far = _norm(rng.standard_normal((400, d)))
+    emb = np.concatenate([near, mid, far])
+    eng = _fp32_engine(emb)
+    assert eng.delete_documents(list(range(70))) == 70   # > margin of 64
+    s, i = eng.search_vectors(q0, k=5)
+    keep = np.arange(70, emb.shape[0])
+    ref_s, ref_i = _oracle(q0, emb[keep], keep, 5)
+    np.testing.assert_array_equal(i, ref_i)
+    assert eng._tomb_mask_cache  # proof the masked fallback ran
+    # non-adversarial query against the same engine stays on the fast
+    # path and is still exact
+    q1 = _norm(rng.standard_normal((4, d)))
+    s1, i1 = eng.search_vectors(q1, k=5)
+    ref_s1, ref_i1 = _oracle(q1, emb[keep], keep, 5)
+    np.testing.assert_array_equal(i1, ref_i1)
