@@ -551,3 +551,66 @@ def test_tombstone_overfetch_fallback_exact():
     s1, i1 = eng.search_vectors(q1, k=5)
     ref_s1, ref_i1 = _oracle(q1, emb[keep], keep, 5)
     np.testing.assert_array_equal(i1, ref_i1)
+
+
+def test_broad_filter_overfetch_matches_masked_path(small):
+    """A filter passing >=50% of rows rides the fast unfiltered path
+    (k+margin over-fetch + host mask drop) instead of compiling the
+    masked-scan program — and returns exactly what the masked path
+    returns."""
+    emb, new, q = small
+    # years 2000..2009 cyclically over 600 docs -> (2000, 2007) passes 80%
+    rows = _meta_rows(600)
+    for i, r in enumerate(rows):
+        r["year"] = 2000 + (i % 10)
+    meta = CorpusMetadata.from_rows(rows)
+    eng = _fp32_engine(emb, meta=meta)
+    broad = SearchFilters(top_k=10, year_range=(2000, 2007))
+    s, i = eng.search_vectors(q, k=10, filters=broad)
+    masked_keys = [kk for kk in eng._search_fn_cache if kk[1] in ("mask", True)]
+    assert not masked_keys, "broad filter should not build a masked program"
+    # exact agreement with the forced masked path
+    s_ref, i_ref = eng.search_vectors_async(
+        q, 10, broad, _force_masked=True
+    )()
+    np.testing.assert_array_equal(i, i_ref)
+    np.testing.assert_allclose(s, s_ref, atol=2e-3)
+    # all results actually pass the filter
+    years = np.array([r["year"] for r in rows])
+    assert ((years[i] >= 2000) & (years[i] <= 2007)).all()
+    # a NARROW filter (20% pass) still routes through the masked scan
+    narrow = SearchFilters(top_k=10, year_range=(2008, 2009))
+    s2, i2 = eng.search_vectors(q, k=10, filters=narrow)
+    assert any(kk[1] in ("mask", True) for kk in eng._search_fn_cache)
+    assert ((years[i2] >= 2008) & (years[i2] <= 2009)).all()
+
+
+def test_broad_filter_overfetch_with_tombstones_and_delta(small):
+    """Broad filter + deletes + live adds compose: the combined mask
+    (filter AND alive) drives the host drop; delta rows get their own
+    filter bias."""
+    emb, new, q = small
+    rows = _meta_rows(600)
+    for i, r in enumerate(rows):
+        r["year"] = 2000 + (i % 10)
+    meta = CorpusMetadata.from_rows(rows)
+    eng = _fp32_engine(emb, meta=meta)
+    ids = eng.add_documents(new[:4], meta_rows=_meta_rows(4, start=600, year=2003),
+                            normalize=False)
+    victims = list(range(0, 60))
+    eng.delete_documents(victims)
+    broad = SearchFilters(top_k=10, year_range=(2000, 2007))
+    s, i = eng.search_vectors(q, k=10, filters=broad)
+    years = np.array([r["year"] for r in rows] + [2003] * 4)
+    flat = i.flatten()
+    flat = flat[flat >= 0]
+    assert not (set(flat.tolist()) & set(victims))
+    assert ((years[flat] >= 2000) & (years[flat] <= 2007)).all()
+    # oracle over live+passing docs (main + the 4 delta docs)
+    allv = np.concatenate([emb, new[:4]])
+    passing = np.array(
+        [d for d in range(604)
+         if d not in set(victims) and 2000 <= years[d] <= 2007]
+    )
+    ref_s, ref_i = _oracle(q, allv[passing], passing, 10)
+    np.testing.assert_array_equal(i, ref_i)

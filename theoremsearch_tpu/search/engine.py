@@ -42,15 +42,22 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-# Over-fetch margin for the tombstone drop-on-host path (see
-# search_vectors_async): unfiltered queries against an index with deleted
-# rows fetch k+margin on the FAST unfiltered path and drop dead ids on
-# host. Exact whenever a query's top-(k+margin) window holds <= margin
-# dead docs — guaranteed outright while few docs are deleted, verified
-# per batch otherwise, with the masked scan as the exact fallback. 64
-# keeps the extra device top-k/rescore width small while making the
-# fallback require >64 of a query's best 74 docs to all be deleted.
+# Over-fetch margin for the drop-on-host paths (see search_vectors_async):
+# queries that would otherwise pay the ~2.3x-slower masked scan — because
+# rows are tombstoned, or because a BROAD user filter is active — fetch
+# k+margin on the FAST unfiltered path and drop non-passing ids on host.
+# Exact whenever a query's top-(k+margin) window holds <= margin dropped
+# docs — guaranteed outright while few docs are deleted, verified per
+# batch otherwise, with the masked scan as the exact fallback. 64 keeps
+# the extra device top-k/rescore width small while making the fallback
+# require >64 of a query's best 74 docs to all fail the mask.
 _TOMB_OVERFETCH = 64
+# Minimum mask pass-rate for routing a FILTERED query through the
+# over-fetch path: at >=50% passing, a k+64 window holds ~37 failing
+# docs in expectation (std ~4.3), so exhausting the 64-doc margin — the
+# masked-scan fallback — is a many-sigma event; below it, the masked
+# scan's selectivity pays for itself.
+_OVERFETCH_MIN_PASS = 0.5
 
 
 class SearchEngine:
@@ -1088,25 +1095,40 @@ class SearchEngine:
             self.rescore_vectors is not None or self.rescore_residual is not None
         )
 
-        # tombstones + no user filter -> stay on the FAST unfiltered
-        # path: fetch k+margin, drop dead ids on host in finalize()
-        tomb_drop = None
+        # tombstones or a BROAD user filter -> stay on the FAST unfiltered
+        # path: fetch k+margin, drop non-passing ids on host in finalize()
+        tomb_drop = drop_mask = None
         margin = 0
         k_q = k
+        overfetch_ok = (
+            not _force_masked and self.mesh is None and self.n_valid > k
+        )
         if (
-            not _force_masked
+            overfetch_ok
             and self._tombstone is not None
-            and self.mesh is None
             and (filters is None or filter_key(filters) == ())
         ):
-            margin = min(_TOMB_OVERFETCH, max(self.n_valid - k, 0))
-            if margin > 0:
-                tomb_drop = self._tomb_ids_snapshot()
-                k_q = k + margin
-        if tomb_drop is None:
-            mask, dev = self._combined_mask_inputs(filters)
-        else:
+            # deletes only: drop against the (small) tombstoned-id set,
+            # never materializing a row mask at all
+            margin = min(_TOMB_OVERFETCH, self.n_valid - k)
+            tomb_drop = self._tomb_ids_snapshot()
+            k_q = k + margin
             mask = dev = None
+        else:
+            mask, dev = self._combined_mask_inputs(filters)
+            if (
+                overfetch_ok
+                and mask is not None
+                and float(np.mean(mask)) >= _OVERFETCH_MIN_PASS
+            ):
+                # broad filter: host drop via mask[id] lookup (the
+                # filtered-path contract is id == row). The IVF route is
+                # NOT taken below (mask handling keeps it exact-class);
+                # the plain speed path serves k+margin instead.
+                margin = min(_TOMB_OVERFETCH, self.n_valid - k)
+                drop_mask = mask
+                k_q = k + margin
+                mask = dev = None
         k_fetch = k_q * self.rescore_factor if do_rescore else k_q
         k_dev = min(max(k_fetch, 1), self.rows_per_shard)
         q, b = self._pad_queries(query_vecs)
@@ -1128,7 +1150,12 @@ class SearchEngine:
             # nothing in the MAIN index passes (e.g. empty source set,
             # or every row tombstoned) — the delta may still score
             pass
-        elif mask is None and self.ivf is not None and b <= self.ivf_max_batch:
+        elif (
+            mask is None
+            and drop_mask is None    # filtered queries stay exact-class
+            and self.ivf is not None
+            and b <= self.ivf_max_batch
+        ):
             s, i = self._ivf_fn(k_q)(q)   # rescores on device internally
             rescored_on_device = True
         elif mask is None:
@@ -1170,18 +1197,25 @@ class SearchEngine:
                 s_h, i_h = s_h[:b], i_h[:b]
                 if do_rescore and not on_device:
                     s_h, i_h = self._rescore(np.asarray(q)[:b], s_h, i_h, k_q)
-                if tomb_drop is not None:
-                    dead = np.isin(i_h[:, :k_q], tomb_drop)
+                if tomb_drop is not None or drop_mask is not None:
+                    idsw = i_h[:, :k_q]
+                    if tomb_drop is not None:
+                        dead = np.isin(idsw, tomb_drop)
+                        guaranteed = tomb_drop.size <= margin
+                    else:
+                        safe = np.clip(idsw, 0, drop_mask.shape[0] - 1)
+                        dead = ~drop_mask[safe] & (idsw >= 0)
+                        guaranteed = False
                     if dead.any():
                         if (
-                            tomb_drop.size > margin
+                            not guaranteed
                             and int(dead.sum(axis=1).max()) > margin
                         ):
-                            # some query's whole over-fetch window is dead
-                            # docs — exactness no longer guaranteed; re-run
-                            # the batch through the exact masked path (rare:
-                            # needs >margin of a query's best k+margin docs
-                            # all deleted)
+                            # some query's whole over-fetch window is
+                            # non-passing docs — exactness no longer
+                            # guaranteed; re-run the batch through the
+                            # exact masked path (rare: needs >margin of a
+                            # query's best k+margin docs to all fail)
                             return self.search_vectors_async(
                                 query_vecs, k, filters, _force_masked=True
                             )()
