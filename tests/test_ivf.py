@@ -484,8 +484,9 @@ def test_sharded_ivf_residual(pallas_scale_corpus):
 
 def test_engine_ivf_route_with_live_updates(pallas_scale_corpus):
     """Live adds merge into IVF-routed queries (the IVF lists don't cover
-    the delta, the merge does); a delete pushes queries onto the masked
-    flat scan and the tombstoned doc vanishes."""
+    the delta, the merge does); a delete keeps the IVF route — the engine
+    over-fetches k+margin and drops tombstoned ids on host — and the
+    tombstoned doc vanishes."""
     from theoremsearch_tpu.index import FlatIndex
     from theoremsearch_tpu.search import SearchEngine
 
@@ -504,8 +505,8 @@ def test_engine_ivf_route_with_live_updates(pallas_scale_corpus):
     # B=4 <= ivf_max_batch: this is the IVF route + delta merge
     s, i = eng.search_vectors(new, k=1)
     np.testing.assert_array_equal(i[:, 0], ids)
-    # tombstones disable the IVF route (masks don't compose with coarse
-    # probing); the flat masked path serves and excludes the victim
+    # tombstones do NOT disable the IVF route: the over-fetch drop keeps
+    # deletes in the same approximation class as unfiltered IVF queries
     s0, i0 = eng.search_vectors(q[:1], k=1)
     victim = int(i0[0, 0])
     eng.delete_documents([victim])

@@ -297,8 +297,11 @@ class SearchEngine:
 
         # optional IVF route for UNFILTERED single-chip queries: the
         # low-latency knob (probe-major Pallas path, IVF_BENCH). Filtered
-        # queries always use the flat masked scan — a filter mask does
-        # not compose with coarse probing without recall loss.
+        # queries never probe — a filter mask does not compose with
+        # coarse probing without recall loss; they use the flat masked
+        # scan, or (broad filters, >=50% pass) the flat speed path with
+        # k+margin over-fetch and a host mask drop. Deletes alone keep
+        # the IVF route (over-fetch + host drop of tombstoned ids).
         self.ivf = ivf_index
         # default nprobe 16 holds the 0.99 gate on EASY geometry only
         # (well-separated clusters, in-distribution queries). Measured
