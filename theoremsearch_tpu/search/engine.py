@@ -729,6 +729,30 @@ class SearchEngine:
             self._tomb_mask_cache[key] = entry
         return entry
 
+    def warm_overfetch(self, batch_sizes=(1,), k: int | None = None) -> None:
+        """Pre-compile the k+margin over-fetch programs (one per query
+        batch bucket) so the FIRST delete or broad filter doesn't stall
+        serving behind a device compile (30-120 s on a remote-attached
+        chip). Production deployments that expect live mutations should
+        call this at startup alongside their regular bucket warming."""
+        k = k or self.config.top_k
+        margin = min(_TOMB_OVERFETCH, max(self.n_valid - k, 0))
+        if margin == 0 or self.mesh is not None:
+            return
+        k_q = k + margin
+        do_rescore = (
+            self.rescore_vectors is not None or self.rescore_residual is not None
+        )
+        k_fetch = k_q * self.rescore_factor if do_rescore else k_q
+        k_dev = min(max(k_fetch, 1), self.rows_per_shard)
+        fn_k = k_q if (self._speed_ok or self._sharded_speed_ok) else k_dev
+        fn, _ = self._get_search_fn(fn_k, with_bias=False)
+        for b in batch_sizes:
+            q, _ = self._pad_queries(np.zeros((b, self.dim), np.float32))
+            jax.block_until_ready(fn(q))
+            if self.ivf is not None and b <= self.ivf_max_batch:
+                jax.block_until_ready(self._ivf_fn(k_q)(q))
+
     def _tomb_ids_snapshot(self) -> np.ndarray:
         """Doc ids whose MAIN row is tombstoned (sorted int64, cached per
         delete epoch). The over-fetch path compares retrieved ids against

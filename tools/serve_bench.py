@@ -250,6 +250,8 @@ def main():
                 engine.search_vectors_async(
                     encoder.encode_device(queries[: b - 3]), k=10
                 )()
+        # over-fetch programs (deletes / broad filters ride these)
+        engine.warm_overfetch(batch_sizes=(8, 16, 32, 64, 128, 256, 512), k=10)
     _log("batch buckets warmed")
 
     # ---- end-to-end under concurrency ----
