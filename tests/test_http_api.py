@@ -227,7 +227,7 @@ def test_cli_serve_command_end_to_end(tmp_path):
     args = Namespace(
         catalog=str(tmp_path / "cat.db"), spool=str(tmp_path / "spool"),
         model_dir=None, host="127.0.0.1", port=0, no_batching=False,
-        max_batch=16, max_wait_ms=5.0, max_pending=64,
+        max_batch=16, max_wait_ms=5.0, max_pending=64, warm=True,
     )
     srv, sched = make_search_server(args)
     srv.start()

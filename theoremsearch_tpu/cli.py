@@ -211,6 +211,20 @@ def make_search_server(args):
             max_pending=args.max_pending or None,
         )
     svc = SearchService(engine, be.encode, scheduler=sched)
+    if getattr(args, "warm", False):
+        # compile every program serving can hit BEFORE taking traffic:
+        # pow2 query buckets through the production path, plus the
+        # k+margin over-fetch programs that deletes/broad filters ride
+        import numpy as _np
+
+        buckets = [b for b in (1, 8, 32, 128) if b <= args.max_batch]
+        buckets.append(args.max_batch)
+        for b in buckets:
+            engine.search_vectors(
+                _np.zeros((b, engine.dim), _np.float32), k=engine.config.top_k
+            )
+        engine.warm_overfetch(batch_sizes=tuple(buckets))
+        print(f"[warm] scan programs compiled for buckets {buckets}")
     refresh_s = getattr(args, "refresh_interval", 0.0) or 0.0
     if refresh_s > 0:
         # continuous ingest->searchable loop: newly sloganed theorems in
@@ -399,6 +413,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--refresh-interval", type=float, default=0.0,
                    help="poll the catalog every N seconds for new slogans and "
                         "add them to the live index (0 = off)")
+    s.add_argument("--warm", action="store_true",
+                   help="pre-compile the scan programs (pow2 batch buckets "
+                        "plus the delete/broad-filter over-fetch variants) "
+                        "before accepting traffic — avoids 30-120s mid-run "
+                        "compile stalls on a remote-attached chip")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("eval")
