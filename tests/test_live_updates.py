@@ -614,3 +614,33 @@ def test_broad_filter_overfetch_with_tombstones_and_delta(small):
     )
     ref_s, ref_i = _oracle(q, allv[passing], passing, 10)
     np.testing.assert_array_equal(i, ref_i)
+
+
+def test_full_search_citation_rerank_with_deletes_and_broad_filter(small):
+    """The complete serving path — pool retrieval (k=max(50,10k)),
+    citation-weighted rerank, metadata join — composes with live deletes
+    and a broad filter riding the over-fetch path: no deleted or
+    non-passing doc reaches the ranked results."""
+    emb, new, q = small
+    rows = _meta_rows(600)
+    for i, r in enumerate(rows):
+        r["year"] = 2000 + (i % 10)
+        r["citations"] = (i * 7) % 500
+    meta = CorpusMetadata.from_rows(rows)
+    eng = _fp32_engine(emb, meta=meta)
+    victims = list(range(100, 160))
+    eng.delete_documents(victims)
+    flt = SearchFilters(top_k=10, year_range=(2000, 2007), citation_weight=0.3)
+    assert eng.search_pool_k(flt) == 100  # rerank pool max(50, 10*k)
+    res = eng.search(q[0], filters=flt)
+    assert len(res) == 10
+    years = np.array([r["year"] for r in rows])
+    for r in res:
+        d = r["doc_id"]
+        assert d not in victims
+        assert 2000 <= years[d] <= 2007
+        assert "paper_title" in r and "similarity" in r
+    # reranked order: sim + w*ln(1+citations) descending
+    key = [r["similarity"] + 0.3 * np.log1p(rows[r["doc_id"]]["citations"])
+           for r in res]
+    assert all(key[i] >= key[i + 1] - 1e-6 for i in range(len(key) - 1))
