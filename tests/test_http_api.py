@@ -73,6 +73,16 @@ def test_health_and_facets(server):
     assert code == 200 and len(facets["authors"]) == 5
 
 
+def test_metrics_without_scheduler(server):
+    # direct (unscheduled) service still exposes the corpus gauge
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/metrics", timeout=10
+    ) as r:
+        text = r.read().decode()
+    assert "theoremsearch_corpus_rows 300" in text
+    assert "theoremsearch_requests_total" not in text
+
+
 def test_search_endpoint(server):
     code, res = _post(server, "/search", {"query": "subject 7", "top_k": 4})
     assert code == 200
@@ -182,6 +192,17 @@ def test_scheduler_routed_service_and_admission_control():
         except urllib.error.HTTPError as e:
             code = e.code
         assert code == 429
+        assert tiny.stats()["shed"] >= 1  # 429s are counted
+
+        # /metrics exposes the scheduler counters in Prometheus text format
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/metrics", timeout=10
+        ) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert "theoremsearch_corpus_rows 512" in text
+        assert "theoremsearch_shed_total" in text
+        assert "theoremsearch_inflight" in text
     finally:
         srv.stop()
         tiny.shutdown()

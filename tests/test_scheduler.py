@@ -59,6 +59,11 @@ def test_concurrent_submits_batched_and_correct(engine):
     stats = sched.stats()
     assert stats["queries"] == 40
     assert stats["avg_batch"] > 2.0  # concurrency actually batched
+    # metrics surface: every resolved request left a latency sample and
+    # the inflight gauge drained back to zero
+    assert stats["inflight"] == 0 and stats["shed"] == 0 and stats["errors"] == 0
+    lat = stats["latency_ms"]
+    assert 0.0 <= lat[0.5] <= lat[0.95] <= lat[0.99]
     sched.shutdown()
 
 

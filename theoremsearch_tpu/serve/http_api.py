@@ -12,6 +12,10 @@ deployment needs a programmatic surface. Stdlib-only (no extra deps):
     GET  /facets   -> {"authors": [...], "tags_per_source": {...},
                        "theorem_count": N}
     GET  /health   -> {"status": "ok", "corpus": N}
+    GET  /metrics  -> Prometheus text exposition: request/batch/shed/error
+                      counters, inflight + coalesce-held gauges, and
+                      latency quantiles from the scheduler (when the
+                      service runs one)
 
 Concurrent requests share the TPU through SearchService; batching across
 connections comes from the ThreadingHTTPServer handing vectors to the
@@ -42,9 +46,51 @@ def make_handler(service: SearchService):
         def log_message(self, *args):  # quiet
             pass
 
+        def _send_metrics(self) -> None:
+            lines = [
+                "# TYPE theoremsearch_corpus_rows gauge",
+                f"theoremsearch_corpus_rows {service.load_theorem_count()}",
+            ]
+            sched = getattr(service, "scheduler", None)
+            if sched is not None:
+                s = sched.stats()
+                for name, key in (
+                    ("requests", "queries"),
+                    ("batches", "batches"),
+                    ("shed", "shed"),
+                    ("errors", "errors"),
+                ):
+                    lines += [
+                        f"# TYPE theoremsearch_{name}_total counter",
+                        f"theoremsearch_{name}_total {s[key]}",
+                    ]
+                lines += [
+                    "# TYPE theoremsearch_inflight gauge",
+                    f"theoremsearch_inflight {s['inflight']}",
+                    "# TYPE theoremsearch_coalesce_held gauge",
+                    f"theoremsearch_coalesce_held {s['held']}",
+                    "# TYPE theoremsearch_avg_batch gauge",
+                    f"theoremsearch_avg_batch {s['avg_batch']:.3f}",
+                ]
+                lat = s.get("latency_ms") or {}
+                if lat:
+                    lines.append("# TYPE theoremsearch_latency_ms summary")
+                    lines += [
+                        f'theoremsearch_latency_ms{{quantile="{q}"}} {v:.3f}'
+                        for q, v in lat.items()
+                    ]
+            body = ("\n".join(lines) + "\n").encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, {"status": "ok", "corpus": service.load_theorem_count()})
+            elif self.path == "/metrics":
+                self._send_metrics()
             elif self.path == "/facets":
                 self._send(
                     200,

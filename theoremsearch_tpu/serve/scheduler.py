@@ -15,8 +15,10 @@ filter signature, since the filter mask is a per-scan input.
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Any
@@ -42,6 +44,7 @@ class _Request:
     filters: SearchFilters | None
     text: str | None = None
     future: Future = field(default_factory=Future)
+    t_submit: float = field(default_factory=time.monotonic)
 
 
 class BatchScheduler:
@@ -87,7 +90,11 @@ class BatchScheduler:
         self._inflight = 0
         self._inflight_lock = threading.Lock()
         self._q: "queue.Queue[_Request | None]" = queue.Queue()
-        self._stats = {"batches": 0, "queries": 0}
+        self._stats = {"batches": 0, "queries": 0, "shed": 0, "errors": 0}
+        # bounded ring of recent end-to-end latencies (submit -> future
+        # resolved), sampled for the stats()/metrics percentiles
+        self._latencies: collections.deque[float] = collections.deque(maxlen=4096)
+        self._stats_lock = threading.Lock()
         # pipelined resolution: the dispatch thread enqueues device work
         # and a finalizer; a POOL of resolver threads performs the host
         # syncs. Each sync pays a fixed device->host round trip (~30-60ms
@@ -125,6 +132,8 @@ class BatchScheduler:
             return
         with self._inflight_lock:
             if self._inflight >= self.max_pending:
+                with self._stats_lock:
+                    self._stats["shed"] += 1
                 raise SchedulerOverloaded(
                     f"{self._inflight} requests in flight "
                     f"(max_pending={self.max_pending})"
@@ -153,8 +162,18 @@ class BatchScheduler:
         return self.submit(query_vec, k, filters).result(timeout)
 
     def stats(self) -> dict[str, Any]:
-        s = dict(self._stats)
+        with self._stats_lock:
+            s = dict(self._stats)
+            lat = sorted(self._latencies)
         s["avg_batch"] = s["queries"] / s["batches"] if s["batches"] else 0.0
+        with self._inflight_lock:
+            s["inflight"] = self._inflight
+        s["held"] = sum(len(v) for v in list(self._held.values()))
+        if lat:
+            s["latency_ms"] = {
+                q: 1000.0 * lat[min(len(lat) - 1, int(q * len(lat)))]
+                for q in (0.5, 0.95, 0.99)
+            }
         return s
 
     def shutdown(self) -> None:
@@ -277,6 +296,8 @@ class BatchScheduler:
             try:
                 enc = self.encode_fn([r.text for r in text_reqs])
             except Exception as e:  # noqa: BLE001
+                with self._stats_lock:
+                    self._stats["errors"] += len(text_reqs)
                 for r in text_reqs:
                     if not r.future.done():
                         r.future.set_exception(e)
@@ -314,11 +335,14 @@ class BatchScheduler:
                 n_groups += 1
                 n_queries += len(reqs_ord)
             except Exception as e:  # noqa: BLE001
+                with self._stats_lock:
+                    self._stats["errors"] += len(reqs_ord)
                 for r in reqs_ord:
                     if not r.future.done():
                         r.future.set_exception(e)
-        self._stats["batches"] += n_groups
-        self._stats["queries"] += n_queries
+        with self._stats_lock:
+            self._stats["batches"] += n_groups
+            self._stats["queries"] += n_queries
 
     @staticmethod
     def _group_queries(enc, rows: list[int], n_text_total: int, vecs):
@@ -400,9 +424,14 @@ class BatchScheduler:
             reqs, fin = item
             try:
                 scores, ids = fin()
+                now = time.monotonic()
                 for i, r in enumerate(reqs):
                     r.future.set_result((scores[i, : r.k], ids[i, : r.k]))
+                with self._stats_lock:
+                    self._latencies.extend(now - r.t_submit for r in reqs)
             except Exception as e:  # noqa: BLE001
+                with self._stats_lock:
+                    self._stats["errors"] += len(reqs)
                 for r in reqs:
                     if not r.future.done():
                         r.future.set_exception(e)
