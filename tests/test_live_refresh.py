@@ -127,3 +127,69 @@ def test_refresh_with_builder_is_durable(tmp_path):
         _hash_encode(["tropical geometry"])[0], SearchFilters(top_k=1)
     )
     assert rows[0]["paper_title"] == "A paper on tropical geometry"
+
+
+def test_serve_refresh_thread_end_to_end(tmp_path):
+    """`serve --refresh-interval` polls the catalog from a BACKGROUND
+    thread. sqlite connections are bound to their creating thread, so
+    the poll thread must open its own Catalog — regression for the bug
+    where it borrowed the main thread's connection, every poll raised
+    ProgrammingError into the broad except, and live refresh silently
+    never worked in the exact deployment path built for it."""
+    import json
+    import time
+    import urllib.request
+    from argparse import Namespace
+
+    from theoremsearch_tpu.cli import make_search_server
+
+    db = str(tmp_path / "cat.db")
+    cat = Catalog(db)
+    sources = {}
+    for i, topic in enumerate(["prime gaps", "modular forms", "elliptic curves"]):
+        _add_paper(cat, sources, f"2401.{i:05d}", topic)
+    parse_papers(cat, source_fetcher=lambda pid: sources[pid], timeout_s=30)
+    generate_slogans(cat, load_prompt("body-only-v1"), OfflineStubClient())
+
+    args = Namespace(
+        catalog=db, spool=str(tmp_path / "spool"), model_dir=None,
+        host="127.0.0.1", port=0, no_batching=False, max_batch=16,
+        max_wait_ms=5.0, max_pending=64, warm=False, refresh_interval=0.2,
+    )
+    srv, sched = make_search_server(args)
+    srv.start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def corpus():
+            with urllib.request.urlopen(base + "/health", timeout=30) as r:
+                return json.loads(r.read())["corpus"]
+
+        assert corpus() == 3
+        # a new sloganed paper lands in the catalog AFTER serving started
+        _add_paper(cat, sources, "2407.99999", "tropical geometry")
+        parse_papers(cat, source_fetcher=lambda pid: sources[pid], timeout_s=30)
+        generate_slogans(cat, load_prompt("body-only-v1"), OfflineStubClient())
+
+        deadline = time.time() + 30
+        n = corpus()
+        while n < 4 and time.time() < deadline:
+            time.sleep(0.25)
+            n = corpus()
+        assert n == 4, "refresh thread never picked up the new doc"
+        # and it is actually searchable through the serving path (the
+        # random-init encoder gives no ranking guarantee; with top_k=4
+        # over 4 docs, presence proves the delta doc is served)
+        body = json.dumps({"query": "tropical geometry", "top_k": 4}).encode()
+        req = urllib.request.Request(
+            base + "/search", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert "2407.99999" in [r["paper_id"] for r in out["results"]]
+    finally:
+        srv.stop()
+        if sched is not None:
+            sched.shutdown()
+        cat.close()

@@ -433,20 +433,21 @@ def test_compact_after_deleting_lowest_new_id(small):
     assert int(i[0, 0]) != 600
 
 
-def test_compact_all_delta_deleted_is_noop(small):
-    """Every delta row deleted before compact(): nothing to fold, so the
-    expensive rebuild (re-upload + scan recompile) is skipped; main
-    tombstones and results are untouched and the engine stays mutable."""
+def test_compact_all_delta_deleted_folds_gap(small):
+    """Every delta row deleted before compact(): the assigned-but-dead
+    ids must still fold in as tombstoned gap rows. Discarding them (the
+    old early-return shortcut) made the NEXT compact anchor its dense
+    id range past the gap, producing non-arange ids — breaking the
+    speed path, filter row==id alignment, and future live adds."""
     emb, new, q = small
     eng = _speed_engine(emb)
     ids = eng.add_documents(new[:3], normalize=False)
     eng.delete_documents([int(x) for x in ids] + [5])
     s_before, i_before = eng.search_vectors(q, k=10)
-    vecs_before = eng.vectors
-    assert eng.compact() == 0
+    assert eng.compact() == 0                 # zero LIVE rows folded...
     assert eng._delta is None
-    assert eng.n_valid == 600                 # no gap rows folded
-    assert eng.vectors is vecs_before         # rebuild/re-upload skipped
+    assert eng.n_valid == 603                 # ...but dead ids fold as gaps
+    assert eng._main_ids_arange
     s_after, i_after = eng.search_vectors(q, k=10)
     np.testing.assert_array_equal(i_before, i_after)
     assert eng.num_live == 599 and 5 not in i_after.flatten().tolist()
@@ -455,6 +456,68 @@ def test_compact_all_delta_deleted_is_noop(small):
     assert list(ids2) == [603, 604]
     s2, i2 = eng.search_vectors(new[3:5], k=1)
     np.testing.assert_array_equal(i2[:, 0], ids2)
+    # REGRESSION (r3 self-review): a SECOND compact after new adds must
+    # keep ids == arange and the engine fully functional
+    assert eng.compact() == 2
+    assert eng._main_ids_arange and eng.n_valid == 605
+    s3, i3 = eng.search_vectors(new[3:5], k=1)
+    np.testing.assert_array_equal(i3[:, 0], ids2)
+    ids3 = eng.add_documents(new[5:6], normalize=False)
+    assert list(ids3) == [605]
+    _, i4 = eng.search_vectors(new[5:6], k=1)
+    assert int(i4[0, 0]) == 605
+
+
+def test_compact_concurrent_with_queries(small):
+    """compact() rebuilds the engine IN PLACE; a query dispatched
+    concurrently must never observe half-swapped state (old-shape mask
+    vs new programs -> XLA shape errors / wrong merges). The dispatch
+    path holds the live-update RLock end-to-end, so this loop is a
+    race detector: any interleaving bug surfaces as an exception."""
+    import threading
+
+    emb, new, q = small
+    eng = _fp32_engine(emb)
+    errs: list[Exception] = []
+    stop = threading.Event()
+
+    def hammer():
+        while not stop.is_set():
+            try:
+                s, i = eng.search_vectors(q, k=5)
+                assert i.shape == (9, 5) and (i >= 0).all()
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+                return
+
+    t = threading.Thread(target=hammer)
+    t.start()
+    try:
+        for j in range(4):
+            eng.add_documents(new[5 * j : 5 * j + 5], normalize=False)
+            assert eng.compact() == 5
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert not errs, errs
+    assert eng.n_valid == 620 and eng._main_ids_arange
+
+
+def test_compact_update_then_delete_is_noop(small):
+    """A delta holding only updates of main rows that then got deleted
+    has no new ids and nothing to fold: compact() skips the expensive
+    rebuild (re-upload + scan recompile) and tombstones stay correct."""
+    emb, new, q = small
+    eng = _speed_engine(emb)
+    eng.update_document(5, new[0])
+    eng.delete_documents([5])
+    vecs_before = eng.vectors
+    assert eng.compact() == 0
+    assert eng._delta is None
+    assert eng.n_valid == 600 and eng.vectors is vecs_before
+    assert eng.num_live == 599
+    _, i = eng.search_vectors(q, k=10)
+    assert 5 not in i.flatten().tolist()
 
 
 def test_add_with_meta_requires_arange_ids(small):

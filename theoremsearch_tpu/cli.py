@@ -219,12 +219,20 @@ def make_search_server(args):
 
         buckets = [b for b in (1, 8, 32, 128) if b <= args.max_batch]
         buckets.append(args.max_batch)
+        # citation-weighted requests retrieve the rerank POOL, not top_k
+        # (search_pool_k -> max(50, 10*top_k)) — warm that k too, or the
+        # first weighted query stalls behind the compile --warm exists
+        # to prevent
+        cfg = engine.config
+        pool_k = max(cfg.rerank_min_pool, cfg.rerank_pool_multiple * cfg.top_k)
         for b in buckets:
-            engine.search_vectors(
-                _np.zeros((b, engine.dim), _np.float32), k=engine.config.top_k
-            )
+            for k in (cfg.top_k, min(pool_k, engine.n_valid)):
+                engine.search_vectors(_np.zeros((b, engine.dim), _np.float32), k=k)
         engine.warm_overfetch(batch_sizes=tuple(buckets))
-        print(f"[warm] scan programs compiled for buckets {buckets}")
+        if pool_k < engine.n_valid:
+            engine.warm_overfetch(batch_sizes=tuple(buckets), k=pool_k)
+        print(f"[warm] scan programs compiled for buckets {buckets}, "
+              f"k in ({cfg.top_k}, {pool_k})")
     refresh_s = getattr(args, "refresh_interval", 0.0) or 0.0
     if refresh_s > 0:
         # continuous ingest->searchable loop: newly sloganed theorems in
@@ -241,11 +249,16 @@ def make_search_server(args):
         spool = IndexBuilder(args.spool)
 
         def _poll():
+            # sqlite connections are bound to their creating thread
+            # (check_same_thread): the main thread's Catalog would raise
+            # ProgrammingError on every poll — open one HERE, so the
+            # refresh thread owns its own connection
+            pcat = _catalog(args)
             while True:
                 _time.sleep(refresh_s)
                 try:
                     n = refresh_engine_from_catalog(
-                        cat, engine, be.encode, builder=spool
+                        pcat, engine, be.encode, builder=spool
                     )
                     if n:
                         print(f"[refresh] {n} new docs live "

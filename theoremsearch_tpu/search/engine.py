@@ -224,7 +224,12 @@ class SearchEngine:
         self._filter_cache: dict[tuple, tuple] = {}
         import threading
 
-        self._filter_cache_lock = threading.Lock()
+        # compact() re-runs __init__ IN PLACE while holding these locks /
+        # while other threads may be blocked on them — never replace an
+        # existing lock object, or a dispatcher blocked on the old lock
+        # races a fresh unlocked one against the half-built engine
+        if not hasattr(self, "_filter_cache_lock"):
+            self._filter_cache_lock = threading.Lock()
 
         # speed path (single chip, unfiltered, global-scale int8 index +
         # rescore copies): fused maxima scan -> on-device exact rescore.
@@ -344,11 +349,14 @@ class SearchEngine:
         self._delta_meta_rows: list = []       # meta of delta docs, in order
         self._tombstone = None                 # (num_rows,) bool, True = deleted
         self._tomb_epoch = 0                   # bumps on main-row deletes
-        self._deleted_ids: set[int] = set()
         self._tomb_mask_cache: dict[tuple, tuple] = {}
         self._tomb_ids_cache: tuple | None = None      # (epoch, sorted ids)
         self._delta_bias_cache: dict[tuple, Any] = {}
-        self._live_lock = threading.Lock()
+        # RLock: search_vectors_async holds it across its whole dispatch
+        # (so compact() can't swap engine state under an in-flight
+        # program build) and re-enters it in the mask/snapshot helpers
+        if not hasattr(self, "_live_lock"):
+            self._live_lock = threading.RLock()
         self._main_id_sorted = None            # lazy id->row map (custom ids)
         self._main_id_order = None
         ids_h = self._host_ids[: self.n_valid]
@@ -464,7 +472,6 @@ class SearchEngine:
 
                 self._delta = DeltaBuffer(self.dim)
             self._delta.add(emb, np.array([doc_id], np.int64))
-            self._deleted_ids.discard(int(doc_id))
             self._delta_bias_cache.clear()
 
     def delete_documents(self, doc_ids) -> int:
@@ -485,7 +492,6 @@ class SearchEngine:
                 r = self._delta.row_of(d)
                 if r is not None:
                     killed_delta.append(r)
-                    self._deleted_ids.add(d)
                     n += 1
                     continue
             row = self._doc_row(d)
@@ -495,7 +501,6 @@ class SearchEngine:
                 if self._tombstone is None:
                     self._tombstone = np.zeros(self.n_valid, bool)
                 self._tombstone[row] = True
-                self._deleted_ids.add(d)
                 main_hit = True
                 n += 1
         if killed_delta:
@@ -541,15 +546,6 @@ class SearchEngine:
                 else:
                     app_j.append(j)
             m_total = ids_all.shape[0]
-            if not upd_rows and not app_j:
-                # every delta row was deleted and none touched a main
-                # row: nothing to fold — skip the expensive rebuild
-                # (device re-upload + scan-program recompile)
-                delta.reset()
-                self._delta = None
-                self._delta_meta_rows = []
-                self._delta_bias_cache.clear()
-                return 0
             idx, cfg = self.index, self.index.config
             old_n = self.n_valid
             # New ids were assigned sequentially (from len(meta) / max+1),
@@ -568,6 +564,21 @@ class SearchEngine:
                 ],
                 np.int64,
             )
+            if not upd_rows and not app_j and new_all.size == 0:
+                # every delta row was an update of a main row that then
+                # got deleted, and NO new ids were ever assigned: nothing
+                # to fold and no id-range gap to record — skip the
+                # expensive rebuild (device re-upload + scan recompile).
+                # When new ids WERE assigned (new_all non-empty), the
+                # fold below must still run even with zero live rows:
+                # discarding the dead-id range here would make the NEXT
+                # compact anchor its dense range past the gap and break
+                # ids == arange (filters, speed path, future adds).
+                delta.reset()
+                self._delta = None
+                self._delta_meta_rows = []
+                self._delta_bias_cache.clear()
+                return 0
             app_ids = ids_all[app_j].astype(np.int64)
             base = int(new_all.min()) if new_all.size else old_n
             hi = int(new_all.max()) + 1 if new_all.size else base
@@ -646,7 +657,6 @@ class SearchEngine:
                 global_scale=idx.global_scale,
                 rescore_residual=res_cat,
             )
-            deleted = set(self._deleted_ids)
             ctor = dict(self._ctor)
             if self.ivf is not None:
                 import warnings
@@ -656,14 +666,15 @@ class SearchEngine:
                     "cover the folded rows; rebuild via finalize_ivf",
                     stacklevel=2,
                 )
-            lock = self._live_lock   # __init__ makes a fresh one; keep the
+            # __init__ keeps the existing lock objects (hasattr guards),
+            # so the RLock this thread holds stays the engine's lock and
+            # concurrent dispatchers stay blocked on it throughout
             self.__init__(  # noqa: PLC2801 — deliberate in-place rebuild
                 new_index,
                 rescore_vectors=rescore_vec,
                 rescore_residual=res_cat,
                 **ctor,
             )
-            self._live_lock = lock   # ...one this thread is holding
             # restore tombstones over the (grown) row space; gap rows
             # (delta docs deleted before folding) stay tombstoned
             new_tomb = np.concatenate(
@@ -672,15 +683,18 @@ class SearchEngine:
             if new_tomb.any():
                 self._tombstone = new_tomb
                 self._tomb_epoch = 1
-                self._deleted_ids = deleted
             return m_total
 
     def _mask_device_entry(self, mask: np.ndarray) -> tuple:
-        """(np mask, device int8 mask | f32 bias) for the active path."""
+        """(np mask, device int8 mask | f32 bias, pass rate) for the
+        active path. The pass rate is computed once here — the broad-
+        filter routing decision must not rescan an O(N) mask on the
+        scheduler's dispatch thread per batch."""
+        pass_rate = float(np.mean(mask)) if mask.size else 0.0
         if self._speed_ok:
             mask_host = np.zeros(self.padded_rows, np.int8)
             mask_host[: mask.shape[0]] = mask
-            return (mask, jnp.asarray(mask_host))
+            return (mask, jnp.asarray(mask_host), pass_rate)
         bias_host = np.where(mask, 0.0, NEG_INF).astype(np.float32)
         pad = self.padded_rows - bias_host.shape[0]
         if pad:
@@ -690,15 +704,15 @@ class SearchEngine:
         bias = jnp.asarray(bias_host)
         if self._bias_sharding is not None:
             bias = jax.device_put(bias, self._bias_sharding)
-        return (mask, bias)
+        return (mask, bias, pass_rate)
 
     def _combined_mask_inputs(self, filters: SearchFilters | None):
         """User filter mask combined with delete tombstones, device-cached.
-        Returns (np bool mask | None, device mask/bias | None) over MAIN
-        index rows."""
+        Returns (np bool mask | None, device mask/bias | None, pass rate)
+        over MAIN index rows."""
         if self._tombstone is None:
             if filters is None:
-                return None, None
+                return None, None, 0.0
             return self._filter_device_inputs(filters)
         from .filters import filter_key
 
@@ -1076,7 +1090,7 @@ class SearchEngine:
 
         key = filter_key(filters)
         if key == ():
-            return None, None
+            return None, None, 0.0
         with self._filter_cache_lock:
             hit = self._filter_cache.get(key)
         if hit is not None:
@@ -1092,7 +1106,7 @@ class SearchEngine:
             # rows are doc ids [0, n_valid) — delta rows get their own
             # bias from _delta_filter_bias
             mask = mask[: self.n_valid]
-        entry = (None, None) if mask is None else self._mask_device_entry(mask)
+        entry = (None, None, 0.0) if mask is None else self._mask_device_entry(mask)
         with self._filter_cache_lock:
             if len(self._filter_cache) >= 64:
                 self._filter_cache.pop(next(iter(self._filter_cache)))
@@ -1116,7 +1130,22 @@ class SearchEngine:
         cached on device per filter signature, so a filtered group costs
         the same dispatch as an unfiltered one. Tombstoned (deleted) rows
         cost unfiltered queries only a k+64 over-fetch plus a host id
-        drop, not the ~2.3x-slower masked scan (`_TOMB_OVERFETCH`)."""
+        drop, not the ~2.3x-slower masked scan (`_TOMB_OVERFETCH`).
+
+        The whole dispatch runs under the live-update RLock: a compact()
+        or mutation on another thread cannot swap n_valid / tombstones /
+        programs out from under a partially-built dispatch. The returned
+        finalize() runs lock-free (it only touches the snapshot)."""
+        with self._live_lock:
+            return self._dispatch_search_async(query_vecs, k, filters, _force_masked)
+
+    def _dispatch_search_async(
+        self,
+        query_vecs: np.ndarray | jax.Array,
+        k: int | None,
+        filters: SearchFilters | None,
+        _force_masked: bool,
+    ):
         k = k or self.config.top_k
         do_rescore = (
             self.rescore_vectors is not None or self.rescore_residual is not None
@@ -1142,11 +1171,11 @@ class SearchEngine:
             k_q = k + margin
             mask = dev = None
         else:
-            mask, dev = self._combined_mask_inputs(filters)
+            mask, dev, pass_rate = self._combined_mask_inputs(filters)
             if (
                 overfetch_ok
                 and mask is not None
-                and float(np.mean(mask)) >= _OVERFETCH_MIN_PASS
+                and pass_rate >= _OVERFETCH_MIN_PASS
             ):
                 # broad filter: host drop via mask[id] lookup (the
                 # filtered-path contract is id == row). The IVF route is

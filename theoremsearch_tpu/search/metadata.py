@@ -17,6 +17,16 @@ from typing import Any, Sequence
 
 import numpy as np
 
+# Single source of truth for the column names: extend/update_row/
+# row_as_dict/save all iterate these, so adding a column means editing
+# the dataclass and these tuples only — not four hand-written lists
+# that would silently skip it.
+_LIST_COLUMNS = (
+    "paper_id", "paper_title", "authors", "link", "primary_category",
+    "journal_ref", "summary", "theorem_name", "theorem_body", "slogan",
+)
+_NUM_COLUMNS = ("year", "citations")
+
 
 @dataclass
 class CorpusMetadata:
@@ -88,63 +98,39 @@ class CorpusMetadata:
         """Append docs (live-update path): doc ids len(self)..len(self)+m-1.
         Same row spec as from_rows."""
         add = CorpusMetadata.from_rows(rows)
-        for name in (
-            "paper_id", "paper_title", "authors", "link", "primary_category",
-            "journal_ref", "summary", "theorem_name", "theorem_body", "slogan",
-        ):
+        for name in _LIST_COLUMNS:
             getattr(self, name).extend(getattr(add, name))
-        self.year = np.concatenate([self.year, add.year])
-        self.citations = np.concatenate([self.citations, add.citations])
+        for name in _NUM_COLUMNS:
+            setattr(
+                self, name, np.concatenate([getattr(self, name), getattr(add, name)])
+            )
 
     def update_row(self, doc_id: int, row: dict[str, Any]) -> None:
         """Overwrite one doc's columns in place (live upsert of an
         existing doc id). Keys absent from `row` keep their value."""
         one = CorpusMetadata.from_rows([row])
-        for name in (
-            "paper_id", "paper_title", "authors", "link", "primary_category",
-            "journal_ref", "summary", "theorem_name", "theorem_body", "slogan",
-        ):
+        for name in _LIST_COLUMNS:
             if name in row:
                 getattr(self, name)[doc_id] = getattr(one, name)[0]
-        if "year" in row:
-            self.year[doc_id] = one.year[0]
-        if "citations" in row:
-            self.citations[doc_id] = one.citations[0]
+        for name in _NUM_COLUMNS:
+            if name in row:
+                getattr(self, name)[doc_id] = getattr(one, name)[0]
 
     def row_as_dict(self, doc_id: int) -> dict[str, Any]:
-        return {
-            "paper_id": self.paper_id[doc_id],
-            "paper_title": self.paper_title[doc_id],
-            "authors": self.authors[doc_id],
-            "link": self.link[doc_id],
-            "year": int(self.year[doc_id]),
-            "primary_category": self.primary_category[doc_id],
-            "journal_ref": self.journal_ref[doc_id],
-            "citations": int(self.citations[doc_id]),
-            "summary": self.summary[doc_id],
-            "theorem_name": self.theorem_name[doc_id],
-            "theorem_body": self.theorem_body[doc_id],
-            "slogan": self.slogan[doc_id],
-        }
+        out = {name: getattr(self, name)[doc_id] for name in _LIST_COLUMNS}
+        out.update({name: int(getattr(self, name)[doc_id]) for name in _NUM_COLUMNS})
+        return out
 
     # ---------------- persistence ----------------
 
     def save(self, path: str | Path) -> None:
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
-        np.savez_compressed(path / "meta_num.npz", year=self.year, citations=self.citations)
-        cols: dict[str, Any] = {
-            "paper_id": self.paper_id,
-            "paper_title": self.paper_title,
-            "authors": self.authors,
-            "link": self.link,
-            "primary_category": self.primary_category,
-            "journal_ref": self.journal_ref,
-            "summary": self.summary,
-            "theorem_name": self.theorem_name,
-            "theorem_body": self.theorem_body,
-            "slogan": self.slogan,
-        }
+        np.savez_compressed(
+            path / "meta_num.npz",
+            **{name: getattr(self, name) for name in _NUM_COLUMNS},
+        )
+        cols = {name: getattr(self, name) for name in _LIST_COLUMNS}
         with open(path / "meta_str.json", "w", encoding="utf-8") as f:
             json.dump(cols, f)
 
@@ -154,7 +140,7 @@ class CorpusMetadata:
         num = np.load(path / "meta_num.npz")
         with open(path / "meta_str.json", encoding="utf-8") as f:
             cols = json.load(f)
-        return cls(year=num["year"], citations=num["citations"], **cols)
+        return cls(**{name: num[name] for name in _NUM_COLUMNS}, **cols)
 
     # ---------------- builders ----------------
 

@@ -64,9 +64,12 @@ class SearchService:
     # ---------------- facets ----------------
 
     def load_theorem_count(self) -> int:
-        # num_live tracks live adds/deletes (the reference counts the
-        # live theorem table); invalidated on every mutation
-        return self._facets.get("count", lambda: self.engine.num_live)
+        # num_live is an in-memory property tracking live adds/deletes
+        # (the reference counts the live theorem table) — read it
+        # directly rather than TTL-caching: mutations that bypass this
+        # service (the CLI's catalog-refresh thread mutates the engine)
+        # would otherwise leave /health and /metrics stale for 24h
+        return self.engine.num_live
 
     def load_authors(self) -> list[str]:
         meta = self.engine.meta
@@ -132,14 +135,11 @@ class SearchService:
         emb = np.asarray(self.encode(list(texts)))
         meta_rows = list(docs) if self.engine.meta is not None else None
         ids = self.engine.add_documents(emb, meta_rows=meta_rows)
-        self._facets._store.pop("count", None)   # theorem_count changed
         return [int(i) for i in ids]
 
     def delete_documents(self, doc_ids: Sequence[int]) -> int:
         """Tombstone docs by id; they stop appearing immediately."""
-        n = self.engine.delete_documents(list(doc_ids))
-        self._facets._store.pop("count", None)
-        return n
+        return self.engine.delete_documents(list(doc_ids))
 
     def load_live_count(self) -> int:
         return self.engine.num_live
