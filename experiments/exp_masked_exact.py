@@ -69,8 +69,13 @@ q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
 
 @jax.jit
 def exact_masked(qc, corpus, m):
+    # precision=HIGHEST: TPU fp32 matmuls default to bf16-truncated
+    # operands; a bf16-grade reference correlates with the bf16-rescore
+    # pipelines under test and overstates their recall (eval/oracle.py)
     s = jax.lax.dot_general(
-        qc, corpus, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qc, corpus, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     s = jnp.where(m[None, :], s, -jnp.inf)
     return jax.lax.top_k(s, K)[1]

@@ -81,17 +81,23 @@ void ts_quantize_int8(const float* x, int64_t n, int64_t d, int8_t* codes, float
 // Global absolute max over (n, d) f32 (threaded reduction) — pass 1 of
 // global-scale quantization.
 float ts_absmax(const float* x, int64_t n, int64_t d) {
+    if (n <= 0 || d <= 0) return 0.0f;   // empty input: chunk below would
+                                         // be 0 and lo/chunk would SIGFPE
     unsigned hw = std::thread::hardware_concurrency();
     int64_t workers = std::max<int64_t>(1, std::min<int64_t>(hw ? hw : 4, n));
+    int64_t chunk = std::max<int64_t>(1, (n + workers - 1) / workers);
     std::vector<float> part(workers, 0.0f);
     parallel_rows(n, [&](int64_t lo, int64_t hi) {
         float m = 0.0f;
         const float* p = x + lo * d;
         const float* end = x + hi * d;
         for (; p < end; ++p) m = std::max(m, std::fabs(*p));
-        // slot by chunk index (same partition as parallel_rows)
-        int64_t chunk = (n + workers - 1) / workers;
-        part[lo / chunk] = m;
+        // one exclusive slot per worker range (parallel_rows hands each
+        // worker a single [w*chunk, ...) range); the clamp only guards
+        // indexing. If parallel_rows ever moves to finer-grained chunks,
+        // slots would be shared and this needs an atomic max instead.
+        int64_t slot = std::min<int64_t>(workers - 1, lo / chunk);
+        part[slot] = std::max(part[slot], m);
     });
     float m = 0.0f;
     for (float v : part) m = std::max(m, v);

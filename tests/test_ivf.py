@@ -356,6 +356,30 @@ def test_builder_finalize_ivf(clustered_corpus, tmp_path):
     assert recall_vs_exact(found, np.asarray(ref), k=10) >= 0.9
 
 
+def test_finalize_ivf_uncleared_gate_not_stamped_calibrated(
+    clustered_corpus, tmp_path
+):
+    """When no nprobe candidate clears the gate, calibrate_nprobe returns
+    its best effort — finalize_ivf must record it UNCALIBRATED (and warn)
+    rather than stamping a below-gate config as trusted, which the engine
+    would then use verbatim."""
+    import warnings
+
+    from theoremsearch_tpu.index.builder import IndexBuilder
+
+    emb, _ = clustered_corpus
+    b = IndexBuilder(tmp_path / "spool", IndexConfig(
+        ivf_nlist=32, dtype="int8", int8_scale="global", ivf_assign2_margin=0.02,
+    ))
+    b.add(np.arange(emb.shape[0], dtype=np.int64), emb)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        index, calib = b.finalize_ivf(calibrate_gate=1.01)  # unclearable
+    assert calib is not None and calib[1] < 1.01
+    assert not index.config.ivf_nprobe_calibrated
+    assert any("did not clear" in str(x.message) for x in w)
+
+
 def test_checkpoint_invalidated_by_different_corpus(clustered_corpus, tmp_path):
     """A same-shape corpus with DIFFERENT contents must not reuse a stale
     checkpoint (the keys carry a content fingerprint)."""

@@ -78,3 +78,15 @@ def test_quantize_global_int8_native_and_fallback():
     codes2, scale2 = native.quantize_global_int8(x, scale=ref_scale * 2)
     assert scale2 == ref_scale * 2
     assert int(np.abs(codes2).max()) <= 64
+
+
+def test_quantize_global_int8_empty_input():
+    """Empty (0, D) input: ts_absmax used to compute chunk = 0 and die on
+    integer division-by-zero (SIGFPE kills the process, not catchable) —
+    regression for the n<=0 early return."""
+    import numpy as np
+
+    from theoremsearch_tpu.utils import native
+
+    codes, scale = native.quantize_global_int8(np.zeros((0, 64), np.float32))
+    assert codes.shape == (0, 64) and scale == 1.0

@@ -137,8 +137,24 @@ class IndexBuilder:
             calib = calibrate_nprobe(
                 index, emb, gate=calibrate_gate, ids=ids, interpret=interpret
             )
+            # the trusted flag means "this nprobe CLEARED the gate" —
+            # calibrate_nprobe returns its best candidate even when no
+            # candidate clears (structureless corpora can need more than
+            # the largest candidate probes); stamping that as calibrated
+            # would make the engine trust a below-gate config verbatim
+            cleared = float(calib[1]) >= float(calibrate_gate)
+            if not cleared:
+                import warnings
+
+                warnings.warn(
+                    f"nprobe calibration did not clear the {calibrate_gate} "
+                    f"recall gate (best: nprobe={calib[0]} at "
+                    f"recall={calib[1]:.4f}); recording it UNCALIBRATED — "
+                    "prefer the flat scan on this corpus",
+                    stacklevel=2,
+                )
             index.config = index.config.replace(
-                ivf_nprobe=int(calib[0]), ivf_nprobe_calibrated=True
+                ivf_nprobe=int(calib[0]), ivf_nprobe_calibrated=cleared
             )
         return index, calib
 

@@ -870,7 +870,17 @@ def calibrate_nprobe(
         top_i = np.full((len(rows), k), -1, np.int64)
         qd = jnp.asarray(q)
         for i in range(0, n, step):
-            s = np.asarray(jnp.dot(qd, jnp.asarray(emb[i : i + step]).T))
+            # precision=HIGHEST: TPU fp32 matmuls default to bf16-truncated
+            # operands, which flips near-ties in the reference top-k and
+            # corrupts the very gate this calibration exists to hold
+            # (eval/oracle.py documents the pitfall)
+            s = np.asarray(
+                jnp.dot(
+                    qd,
+                    jnp.asarray(emb[i : i + step]).T,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            )
             cs = np.concatenate([top_s, s], axis=1)
             ci = np.concatenate(
                 [top_i, np.broadcast_to(np.arange(i, i + s.shape[1]), s.shape)], axis=1

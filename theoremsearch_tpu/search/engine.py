@@ -1156,6 +1156,7 @@ class SearchEngine:
         tomb_drop = drop_mask = None
         margin = 0
         k_q = k
+        pass_rate = 0.0
         overfetch_ok = (
             not _force_masked and self.mesh is None and self.n_valid > k
         )
@@ -1202,7 +1203,9 @@ class SearchEngine:
 
         rescored_on_device = False
         s = i = None
-        if mask is not None and not np.any(mask):
+        if mask is not None and pass_rate == 0.0:
+            # pass_rate is cached with the mask entry — rescanning the
+            # O(N) host mask per dispatch would burn the dispatch thread
             # nothing in the MAIN index passes (e.g. empty source set,
             # or every row tombstoned) — the delta may still score
             pass
@@ -1322,13 +1325,16 @@ class SearchEngine:
         if self.rescore_vectors is not None:
             cand = self.rescore_vectors[safe].astype(np.float32)    # (B, C, D)
         else:
-            # capacity mode fallback: reconstruct gscale*cg + s_r*cr on host
+            # capacity mode fallback: two-level reconstruction on host —
+            # the ONE formula lives in quant.dequantize_residual_int8
+            # (device twin: kernels/mips.py device_rescore_residual)
+            from ..index.quant import dequantize_residual_int8
+
             rc, rs = self.rescore_residual
-            cand = np.float32(self._global_scale) * self._host_codes[
-                safe
-            ].astype(np.float32) + rs[safe][:, :, None] * rc[safe].astype(
-                np.float32
-            )
+            flat = safe.reshape(-1)
+            cand = dequantize_residual_int8(
+                self._host_codes[flat], self._global_scale, rc[flat], rs[flat]
+            ).reshape(*safe.shape, -1)
         re_s = np.einsum("bcd,bd->bc", cand, q.astype(np.float32))
         re_s = np.where((ids >= 0) & np.isfinite(s), re_s, -np.inf)
         sel = np.argsort(-re_s, axis=1, kind="stable")[:, :k]
