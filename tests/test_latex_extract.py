@@ -249,3 +249,37 @@ def test_optional_default_arg_macro():
     out = expand_macros(r"\greet{Bob} \greet[Ann]{Cid}", table)
     assert "Hello World and Bob" in out
     assert "Hello Ann and Cid" in out
+
+
+def test_restatable_numbers_on_inner_env():
+    """thm-restate: \\begin{restatable}{theorem}{cmd} numbers on theorem's
+    counter, interleaved with plain theorem environments."""
+    doc = r"""
+\newtheorem{theorem}{Theorem}[section]
+\begin{document}
+\section{Intro}
+\begin{theorem} plain first \end{theorem}
+\begin{restatable}[Main]{theorem}{mainthm}
+\label{thm:main} Every restatable theorem is extracted once.
+\end{restatable}
+Later we recall it: \mainthm*
+\end{document}"""
+    thms = extract_theorems(doc)
+    assert len(thms) == 2                       # the \mainthm* use is a macro
+    assert thms[0].name == "Theorem 1.1."
+    assert thms[1].name == "Theorem 1.2. (Main)"
+    assert thms[1].label == "thm:main"
+    assert "extracted once" in thms[1].body
+    assert "mainthm" not in thms[1].body        # command arg stripped
+
+
+def test_restatable_starred_unnumbered():
+    doc = r"""
+\newtheorem{theorem}{Theorem}
+\begin{document}
+\begin{restatable*}{theorem}{foo} unnumbered body \end{restatable*}
+\begin{theorem} counted \end{theorem}
+\end{document}"""
+    thms = extract_theorems(doc)
+    assert thms[0].name == "Theorem"            # no counter step
+    assert thms[1].name == "Theorem 1."         # starred form didn't consume 1

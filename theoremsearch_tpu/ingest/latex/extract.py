@@ -27,7 +27,7 @@ from dataclasses import dataclass
 from .declarations import Declaration, collect_declarations, newenvironment_regions
 from .macros import expand_macros
 from .numbering import CounterTree
-from .scanner import find_env_spans, strip_comments
+from .scanner import find_env_spans, read_group, skip_ws, strip_comments
 
 DEFAULT_THEOREM_ENVS = [
     "theorem",
@@ -117,7 +117,30 @@ def extract_theorems(src: str, expand: bool = True) -> list[Theorem]:
     spans = []
     for env in envs:
         for start, end, body, note in find_env_spans(scan_src, env):
-            spans.append((start, end, env, body, note))
+            spans.append((start, end, env, body, note, False))
+
+    # thm-restate wrapper (parity-plus: common in real arXiv sources and
+    # missed by the reference's extractor, which only knows the four
+    # declaration commands of extract_from_tex.py:20-48):
+    #   \begin{restatable}[note]{thmenv}{\command} body \end{restatable}
+    # numbers on thmenv's counter; restatable* is unnumbered. The
+    # \command re-statement sites are macro uses, so the theorem is
+    # extracted exactly once.
+    for start, end, body, note in find_env_spans(scan_src, "restatable"):
+        starred = bool(re.match(r"\\begin\s*\{restatable\*", scan_src[start:]))
+        j = skip_ws(body, 0)
+        g = read_group(body, j)
+        if g is None:
+            continue
+        thm_env, j = g
+        g = read_group(body, skip_ws(body, j))
+        if g is None:
+            continue
+        _cmd, j = g
+        thm_env = thm_env.strip().lstrip("\\")
+        if thm_env:
+            spans.append((start, end, thm_env, body[j:], note, starred))
+
     spans.sort()
     # drop spans nested inside another theorem span (e.g. a remark quoted
     # inside a proof environment that itself sits in a theorem)
@@ -145,8 +168,14 @@ def extract_theorems(src: str, expand: bool = True) -> list[Theorem]:
         elif kind in _SECTION_LEVELS:
             tree.step_structural(kind)
         else:
-            start, end, env, body, note = payload
-            name = tree.begin_env(env, note)
+            start, end, env, body, note, unnumbered = payload
+            if unnumbered:
+                # restatable*: caption only, no counter step
+                if env not in tree.envs:
+                    tree.define_env(env)
+                name = tree.envs[env].caption + (f" ({note})" if note else "")
+            else:
+                name = tree.begin_env(env, note)
             label = None
             m = _LABEL_RE.search(body)
             if m:
