@@ -283,3 +283,33 @@ def test_restatable_starred_unnumbered():
     thms = extract_theorems(doc)
     assert thms[0].name == "Theorem"            # no counter step
     assert thms[1].name == "Theorem 1."         # starred form didn't consume 1
+
+
+def test_extractor_never_crashes_on_adversarial_soup():
+    """Pathological TeX is the ingest pipeline's daily diet (the reference
+    wraps every parse in a kill-able child for this reason). The extractor
+    itself must never raise on garbage: unbalanced braces/environments,
+    truncated declarations, comment/verbatim edge cases, macro bombs."""
+    import random
+
+    rng = random.Random(0)
+    tokens = [
+        r"\begin{theorem}", r"\end{theorem}", r"\begin{restatable}",
+        r"\end{restatable}", "{", "}", "[", "]", "$", "%", "\\\\",
+        r"\newtheorem", r"\newtheorem{", r"\newtheorem{t}{T}[",
+        r"\declaretheorem[name=", r"\label{", r"\label{x}",
+        r"\newcommand{\a}{\a}", r"\def\b{\b\b}", r"\begin{verbatim}",
+        r"\end{verbatim}", r"\section{", r"\appendix", "text ", "\n\n",
+        r"\begin{restatable*}{theorem}", r"\input{x}", "\x00", "é",
+    ]
+    for trial in range(60):
+        doc = "".join(rng.choice(tokens) for _ in range(rng.randrange(5, 120)))
+        out = extract_theorems(doc)          # must not raise
+        assert isinstance(out, list)
+    # truncated real-ish document
+    good = (
+        "\\newtheorem{theorem}{Theorem}\\begin{document}"
+        "\\begin{theorem} ok \\end{theorem}\\end{document}"
+    )
+    for cut in range(0, len(good), 7):
+        assert isinstance(extract_theorems(good[:cut]), list)
