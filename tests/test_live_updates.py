@@ -707,3 +707,76 @@ def test_full_search_citation_rerank_with_deletes_and_broad_filter(small):
     key = [r["similarity"] + 0.3 * np.log1p(rows[r["doc_id"]]["citations"])
            for r in res]
     assert all(key[i] >= key[i + 1] - 1e-6 for i in range(len(key) - 1))
+
+
+def test_add_1d_vector_without_normalize(small):
+    """A single (D,) vector with normalize=False must become ONE doc —
+    regression: the unvalidated branch minted D ids and broadcast the
+    vector into D garbage documents."""
+    emb, new, _ = small
+    eng = _fp32_engine(emb)
+    ids = eng.add_documents(new[0], normalize=False)   # 1-D input
+    assert list(ids) == [600]
+    assert eng.num_live == 601
+    _, i = eng.search_vectors(new[0], k=1)
+    assert int(i[0, 0]) == 600
+
+
+def test_update_with_meta_requires_arange_before_mutation(small):
+    """update_document on a custom-id corpus with metadata must raise
+    BEFORE tombstoning (non-atomic update would permanently lose the
+    doc: delete lands, meta step raises)."""
+    emb, new, _ = small
+    idx = FlatIndex.build(
+        emb, ids=np.arange(1000, 1600, dtype=np.int64),
+        config=IndexConfig(pad_multiple=128, dtype="float32"), normalize=False,
+    )
+    meta = CorpusMetadata.from_rows(
+        [{"paper_id": f"p{i}", "paper_title": "T", "authors": [], "link": "",
+          "year": 2020, "primary_category": "math.NT", "journal_ref": None,
+          "citations": 0} for i in range(600)]
+    )
+    eng = SearchEngine(idx, meta=meta, use_pallas=False, row_block=128)
+    with pytest.raises(ValueError, match="row-order"):
+        eng.update_document(1005, new[0])
+    assert eng.num_live == 600                     # nothing was tombstoned
+    _, i = eng.search_vectors(emb[5], k=1)
+    assert int(i[0, 0]) == 1005                    # doc still live
+
+
+def test_filtered_search_requires_arange_ids(small):
+    """Filter masks index rows by doc id (id == row == meta position);
+    on a custom-id corpus that lookup is silently wrong — must raise."""
+    emb, _, q = small
+    idx = FlatIndex.build(
+        emb, ids=np.arange(1000, 1600, dtype=np.int64),
+        config=IndexConfig(pad_multiple=128, dtype="float32"), normalize=False,
+    )
+    meta = CorpusMetadata.from_rows(
+        [{"paper_id": f"p{i}", "paper_title": "T", "authors": [], "link": "",
+          "year": 2020, "primary_category": "math.NT", "journal_ref": None,
+          "citations": 0} for i in range(600)]
+    )
+    eng = SearchEngine(idx, meta=meta, use_pallas=False, row_block=128)
+    with pytest.raises(ValueError, match="row-order"):
+        eng.search_vectors(q, k=5, filters=SearchFilters(tags=["math.NT"]))
+    # unfiltered stays fine on custom ids
+    s, i = eng.search_vectors(q, k=5)
+    assert (i >= 1000).all()
+
+
+def test_heavily_deleted_corpus_stays_exact(small):
+    """With most of the corpus tombstoned (live fraction below the
+    over-fetch threshold), queries route to the masked scan and stay
+    exact — no over-fetch re-run storm, no dead ids returned."""
+    emb, _, q = small
+    eng = _fp32_engine(emb)
+    dead = list(range(0, 540))                     # 90% deleted
+    assert eng.delete_documents(dead) == 540
+    s, i = eng.search_vectors(q, k=10)
+    live_ids = set(range(540, 600))
+    flat = [int(x) for x in i.flatten() if x >= 0]
+    assert flat and set(flat) <= live_ids
+    live_vecs, live_arr = emb[540:], np.arange(540, 600)
+    ref_s, ref_i = _oracle(np.asarray(q), live_vecs, live_arr, 10)
+    np.testing.assert_array_equal(i, ref_i)

@@ -398,12 +398,16 @@ class SearchEngine:
             return int(self._main_id_order[pos])
         return None
 
-    def _normalize_rows(self, embeddings) -> np.ndarray:
+    def _as_rows(self, embeddings) -> np.ndarray:
         emb = np.asarray(embeddings, np.float32)
         if emb.ndim == 1:
             emb = emb[None, :]
-        if emb.shape[1] != self.dim:
+        if emb.ndim != 2 or emb.shape[1] != self.dim:
             raise ValueError(f"embeddings must be (m, {self.dim})")
+        return emb
+
+    def _normalize_rows(self, embeddings) -> np.ndarray:
+        emb = self._as_rows(embeddings)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         return emb / np.maximum(norms, 1e-12)
 
@@ -418,8 +422,10 @@ class SearchEngine:
         meta_rows (one dict per doc, CorpusMetadata.from_rows spec) is
         required so filters and joins cover the new docs."""
         self._require_mutable()
-        emb = self._normalize_rows(embeddings) if normalize else np.asarray(
-            embeddings, np.float32
+        # the unnormalized branch still needs the shape validation: a 1-D
+        # (D,) vector would otherwise mint D doc ids and broadcast-corrupt
+        emb = self._normalize_rows(embeddings) if normalize else self._as_rows(
+            embeddings
         )
         m = emb.shape[0]
         with self._live_lock:
@@ -461,6 +467,15 @@ class SearchEngine:
         self._require_mutable()
         emb = self._normalize_rows(embedding)
         with self._live_lock:
+            if self.meta is not None and not self._main_ids_arange:
+                # same contract as add_documents: metadata columns are
+                # indexed BY doc id. Checked BEFORE any mutation — the
+                # delete must not land if the meta step would raise
+                # (non-atomic update = permanently tombstoned doc)
+                raise ValueError(
+                    "live updates with metadata require row-order doc ids "
+                    "(ids == arange); rebuild the corpus id-ordered"
+                )
             if not self._delete_locked([int(doc_id)]):
                 raise KeyError(f"doc id {doc_id} is not live")
             if self.meta is not None:
@@ -685,6 +700,18 @@ class SearchEngine:
                 self._tomb_epoch = 1
             return m_total
 
+    def _require_arange_for_filters(self) -> None:
+        """The whole filtered machinery (mask applied as a per-ROW
+        bias, user[:n_valid] slice, drop_mask[doc_id] host lookup, and
+        the metadata join) assumes ids == row == meta position. On a
+        custom-id corpus those lookups would be silently WRONG — raise
+        instead (matching the live-add contract)."""
+        if not self._main_ids_arange:
+            raise ValueError(
+                "filtered search requires row-order doc ids "
+                "(ids == arange); rebuild the corpus id-ordered"
+            )
+
     def _mask_device_entry(self, mask: np.ndarray) -> tuple:
         """(np mask, device int8 mask | f32 bias, pass rate) for the
         active path. The pass rate is computed once here — the broad-
@@ -726,6 +753,7 @@ class SearchEngine:
         if filters is not None and fkey != ():
             if self.meta is None:
                 raise ValueError("filters require CorpusMetadata")
+            self._require_arange_for_filters()
             with self._live_lock:   # see _filter_device_inputs
                 user = compile_filter_mask(filters, self.meta)
         alive = ~self._tombstone
@@ -749,23 +777,25 @@ class SearchEngine:
         serving behind a device compile (30-120 s on a remote-attached
         chip). Production deployments that expect live mutations should
         call this at startup alongside their regular bucket warming."""
-        k = k or self.config.top_k
-        margin = min(_TOMB_OVERFETCH, max(self.n_valid - k, 0))
-        if margin == 0 or self.mesh is not None:
-            return
-        k_q = k + margin
-        do_rescore = (
-            self.rescore_vectors is not None or self.rescore_residual is not None
-        )
-        k_fetch = k_q * self.rescore_factor if do_rescore else k_q
-        k_dev = min(max(k_fetch, 1), self.rows_per_shard)
-        fn_k = k_q if (self._speed_ok or self._sharded_speed_ok) else k_dev
-        fn, _ = self._get_search_fn(fn_k, with_bias=False)
-        for b in batch_sizes:
-            q, _ = self._pad_queries(np.zeros((b, self.dim), np.float32))
-            jax.block_until_ready(fn(q))
-            if self.ivf is not None and b <= self.ivf_max_batch:
-                jax.block_until_ready(self._ivf_fn(k_q)(q))
+        with self._live_lock:   # program caches race compact()'s rebuild
+            k = k or self.config.top_k
+            margin = min(_TOMB_OVERFETCH, max(self.n_valid - k, 0))
+            if margin == 0 or self.mesh is not None:
+                return
+            k_q = k + margin
+            do_rescore = (
+                self.rescore_vectors is not None
+                or self.rescore_residual is not None
+            )
+            k_fetch = k_q * self.rescore_factor if do_rescore else k_q
+            k_dev = min(max(k_fetch, 1), self.rows_per_shard)
+            fn_k = k_q if (self._speed_ok or self._sharded_speed_ok) else k_dev
+            fn, _ = self._get_search_fn(fn_k, with_bias=False)
+            for b in batch_sizes:
+                q, _ = self._pad_queries(np.zeros((b, self.dim), np.float32))
+                jax.block_until_ready(fn(q))
+                if self.ivf is not None and b <= self.ivf_max_batch:
+                    jax.block_until_ready(self._ivf_fn(k_q)(q))
 
     def _tomb_ids_snapshot(self) -> np.ndarray:
         """Doc ids whose MAIN row is tombstoned (sorted int64, cached per
@@ -913,16 +943,21 @@ class SearchEngine:
 
                 return speed_mask, True
 
-            def single(q, bias):
-                s, li = self._local_topk(
-                    q, self.vectors, self.scales, bias, n_valid, k
-                )
-                gids = jnp.where(li >= 0, self.ids[li.clip(0)], PAD_ID)
+            # corpus arrays as jit ARGUMENTS here too (same constant-
+            # baking trap the speed path documents above: a closed-over
+            # multi-GB corpus is traced as a constant into the program)
+            def single_impl(q, bias, vectors, scales, ids):
+                s, li = self._local_topk(q, vectors, scales, bias, n_valid, k)
+                gids = jnp.where(li >= 0, ids[li.clip(0)], PAD_ID)
                 return s, gids
 
+            jsingle = jax.jit(single_impl)
+            vec_l, sc_l, ids_l = self.vectors, self.scales, self.ids
             if with_bias:
-                return jax.jit(single), False
-            return jax.jit(lambda q: single(q, None)), False
+                return (
+                    lambda q, bias: jsingle(q, bias, vec_l, sc_l, ids_l)
+                ), False
+            return (lambda q: jsingle(q, None, vec_l, sc_l, ids_l)), False
 
         mesh = self.mesh
         scales = self.scales
@@ -969,7 +1004,9 @@ class SearchEngine:
                 out_specs=(P(None, None), P(None, None)),
                 check_vma=False,
             )
-            return jax.jit(lambda q: f(q, vectors, ids, *rescore_dev)), True
+            # corpus as jit ARGUMENTS (constant-baking trap, see above)
+            jf = jax.jit(f)
+            return (lambda q: jf(q, vectors, ids, *rescore_dev)), True
 
         def shard_body(q, corpus, ids_shard, scales_shard, bias_shard):
             shard_idx = jax.lax.axis_index("shard")
@@ -985,43 +1022,45 @@ class SearchEngine:
             all_i = jax.lax.all_gather(gids, "shard", axis=1, tiled=True)
             return merge_topk(all_s, jnp.where(all_i < 0, PAD_ID, all_i), k)
 
-        in_specs = (
-            P(None, None),                       # queries replicated
-            P("shard", None),                    # corpus rows
-            P("shard"),                          # ids
-            P("shard") if scales is not None else P("shard"),
-            P("shard"),
-        )
-
         from jax import shard_map
 
-        def sharded(q, bias):
-            if bias is None:
-                bias = jnp.zeros((self.padded_rows,), jnp.float32)
-                if self._bias_sharding is not None:
-                    bias = jax.device_put(bias, self._bias_sharding)
-            args = (q, vectors, ids, scales, bias)
-            if scales is None:
-                f = shard_map(
-                    lambda q, c, i, b: shard_body(q, c, i, None, b),
-                    mesh=mesh,
-                    in_specs=(P(None, None), P("shard", None), P("shard"), P("shard")),
-                    out_specs=(P(None, None), P(None, None)),
-                    check_vma=False,
-                )
-                return f(q, vectors, ids, bias)
+        if scales is None:
             f = shard_map(
-                shard_body,
+                lambda q, c, i, b: shard_body(q, c, i, None, b),
                 mesh=mesh,
-                in_specs=in_specs,
+                in_specs=(P(None, None), P("shard", None), P("shard"), P("shard")),
                 out_specs=(P(None, None), P(None, None)),
                 check_vma=False,
             )
-            return f(*args)
+        else:
+            f = shard_map(
+                shard_body,
+                mesh=mesh,
+                in_specs=(
+                    P(None, None),               # queries replicated
+                    P("shard", None),            # corpus rows
+                    P("shard"),                  # ids
+                    P("shard"),                  # scales
+                    P("shard"),                  # bias
+                ),
+                out_specs=(P(None, None), P(None, None)),
+                check_vma=False,
+            )
 
+        # corpus arrays as jit ARGUMENTS (constant-baking trap, see the
+        # speed path's comment); scales/bias None-ness is static via
+        # pytree structure, so each variant compiles its own program
+        def sharded_impl(q, vectors_in, ids_in, scales_in, bias):
+            if bias is None:
+                bias = jnp.zeros((self.padded_rows,), jnp.float32)
+            if scales_in is None:
+                return f(q, vectors_in, ids_in, bias)
+            return f(q, vectors_in, ids_in, scales_in, bias)
+
+        jsh = jax.jit(sharded_impl)
         if with_bias:
-            return jax.jit(sharded), False
-        return jax.jit(lambda q: sharded(q, None)), False
+            return (lambda q, bias: jsh(q, vectors, ids, scales, bias)), False
+        return (lambda q: jsh(q, vectors, ids, scales, None)), False
 
     def _rescore_args(self) -> tuple:
         """Device operands for the on-device rescore, as a tuple so all
@@ -1097,6 +1136,7 @@ class SearchEngine:
             return hit
         if self.meta is None:
             raise ValueError("filters require CorpusMetadata")
+        self._require_arange_for_filters()
         with self._live_lock:
             # live adds extend meta column-by-column; compiling a mask
             # against a half-extended meta raises on shape mismatch
@@ -1164,6 +1204,12 @@ class SearchEngine:
             overfetch_ok
             and self._tombstone is not None
             and (filters is None or filter_key(filters) == ())
+            # heavily-deleted corpora (live fraction below the broad-
+            # filter threshold) route straight to the masked scan: the
+            # over-fetch window would keep tripping the exactness
+            # fallback, paying the fast scan AND the masked re-run
+            and self._tomb_ids_snapshot().size
+            <= (1.0 - _OVERFETCH_MIN_PASS) * self.n_valid
         ):
             # deletes only: drop against the (small) tombstoned-id set,
             # never materializing a row mask at all
@@ -1192,14 +1238,14 @@ class SearchEngine:
 
         bias_dev = dev if mask is not None else None
 
-        # live-update delta: snapshot under the lock so in-flight queries
-        # keep a consistent (buffer, bias) view across mutations
+        # live-update delta snapshot: the WHOLE dispatch already runs
+        # under the live-update RLock (search_vectors_async), which is
+        # what keeps this view consistent across mutations/compact
         delta_run = delta_bias = None
-        with self._live_lock:
-            delta = self._delta
-            if delta is not None and delta.n_live > 0:
-                delta_run = delta.searcher(min(k, delta.cap))
-                delta_bias = self._delta_filter_bias(filters, delta)
+        delta = self._delta
+        if delta is not None and delta.n_live > 0:
+            delta_run = delta.searcher(min(k, delta.cap))
+            delta_bias = self._delta_filter_bias(filters, delta)
 
         rescored_on_device = False
         s = i = None
