@@ -171,6 +171,40 @@ def test_encode_long_chunk_and_pool(enc):
     assert float(rep[0] @ single[0]) > 0.9
 
 
+def test_encode_long_token_dense_words_never_overflow(enc):
+    """Chunks are accumulated by ACTUAL token counts — token-dense 'words'
+    (math formulas tokenize to many tokens each) must not produce chunks
+    beyond the bucket, which _prep_batch would silently truncate."""
+    be = BatchedEncoder(enc.params, enc.cfg, batch_size=4, buckets=(16, 32))
+    # every 'word' is ~8 tokens (symbols split by the hash tokenizer)
+    word = r"\frac{a+b}{c-d}"
+    per_word = len(be.tokenizer.tokenize(word))
+    assert per_word >= 4
+    doc = " ".join([word] * 40)
+    chunk_tokens = 20
+    # reproduce the splitter's chunks and verify none overflows
+    pieces = []
+    cur, cur_t = [], 0
+    for w in doc.split():
+        wt = len(be.tokenizer.tokenize(w))
+        if cur and cur_t + wt > chunk_tokens:
+            pieces.append(" ".join(cur))
+            cur, cur_t = [], 0
+        cur.append(w)
+        cur_t += wt
+    if cur:
+        pieces.append(" ".join(cur))
+    assert all(
+        len(be.tokenizer.tokenize(p)) <= chunk_tokens for p in pieces
+    )
+    out = be.encode_long([doc], chunk_tokens=chunk_tokens)
+    assert out.shape == (1, enc.cfg.embedding_dim)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-4)
+    # a doc of one repeated dense word pools to that word's embedding
+    single = be.encode([word])
+    assert float(out[0] @ single[0]) > 0.9
+
+
 def test_batched_encoder_nonpow2_data_axis(enc):
     """P('data', None) inputs need batch % data_axis == 0: a 5-device data
     mesh must still encode (pow2 buckets alone would pad 3 -> 8, which 5

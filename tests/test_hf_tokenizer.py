@@ -152,3 +152,36 @@ def test_batched_encoder_with_hf_tokenizer(tok_dir):
     # same text alone == same text in a batch (padding/bucketing correct)
     solo = enc.encode([texts[1]])
     np.testing.assert_allclose(solo[0], emb[1], atol=1e-5)
+
+
+def test_encode_pretokenized_matches_call(tok_dir):
+    """The serving batcher assembles batches from pre-tokenized id lists
+    (one tokenizer pass, not two); the result must be identical to the
+    full __call__ path, including truncation and special-token layout."""
+    tok = HFTokenizer(tok_dir)
+    texts = [
+        "group theory is fun",
+        "every finite group has order",
+        "zzz unknown words here",
+        "",
+        "a " * 40,   # forces truncation at small widths
+    ]
+    for width in (8, 16, 64):
+        full = tok(texts, max_length=width, pad_to=width)
+        pre = tok.encode_pretokenized(
+            [tok.tokenize(t) for t in texts], pad_to=width
+        )
+        np.testing.assert_array_equal(full.input_ids, pre.input_ids)
+        np.testing.assert_array_equal(full.attention_mask, pre.attention_mask)
+
+
+def test_simple_encode_pretokenized_matches_call():
+    from theoremsearch_tpu.encoder.tokenizer import SimpleTokenizer
+
+    tk = SimpleTokenizer(vocab_size=1000)
+    texts = ["one two three", "", "x " * 30]
+    for width in (8, 32):
+        full = tk(texts, max_length=width, pad_to=width)
+        pre = tk.encode_pretokenized([tk.tokenize(t) for t in texts], pad_to=width)
+        np.testing.assert_array_equal(full.input_ids, pre.input_ids)
+        np.testing.assert_array_equal(full.attention_mask, pre.attention_mask)

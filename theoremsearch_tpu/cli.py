@@ -231,8 +231,22 @@ def make_search_server(args):
         engine.warm_overfetch(batch_sizes=tuple(buckets))
         if pool_k < engine.n_valid:
             engine.warm_overfetch(batch_sizes=tuple(buckets), k=pool_k)
-        print(f"[warm] scan programs compiled for buckets {buckets}, "
-              f"k in ({cfg.top_k}, {pool_k})")
+        # the ENCODER compiles per (batch-bucket, width-bucket) pair too —
+        # without this the first text query still stalls on a fresh
+        # XLA+Mosaic compile. Warm every batch bucket at the short width
+        # (typical queries) and the saturation batch at every width
+        # (long slogans/documents hit the bigger buckets)
+        import jax as _jax
+
+        for b in buckets:
+            _jax.block_until_ready(be.encode_device(["x"] * b))
+        for w in be.buckets:
+            _jax.block_until_ready(
+                be.encode_device(["x " * max(1, w - 4)] * buckets[-1])
+            )
+        print(f"[warm] scan + encoder programs compiled "
+              f"(batch buckets {buckets}, k in ({cfg.top_k}, {pool_k}), "
+              f"widths {list(be.buckets)})")
     refresh_s = getattr(args, "refresh_interval", 0.0) or 0.0
     if refresh_s > 0:
         # continuous ingest->searchable loop: newly sloganed theorems in

@@ -22,10 +22,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import EncoderConfig
+from ..utils.shapes import pow2_bucket
 from .model import Params, encode_pooled
 from .tokenizer import SimpleTokenizer
 
 DEFAULT_BUCKETS = (64, 128, 256, 512)
+# backends where the fused Mosaic kernel cannot lower (Pallas TPU-only;
+# the axon-tunnelled TPU reports a non-"tpu" platform name, so gate by
+# exclusion rather than == "tpu")
+_NO_FUSED_BACKENDS = ("cpu", "gpu", "cuda", "rocm")
 
 
 class BatchedEncoder:
@@ -43,11 +48,17 @@ class BatchedEncoder:
         self.tokenizer = tokenizer or SimpleTokenizer(vocab_size=cfg.vocab_size)
         self.mesh = mesh
         self.batch_size = batch_size
-        self.buckets = tuple(b for b in buckets if b <= cfg.max_seq_len) or (cfg.max_seq_len,)
-        # fused Pallas attention on a real single-chip backend; the XLA
-        # reference path on CPU and under a mesh (pallas_call is opaque
-        # to the GSPMD partitioner, so sharded inputs keep the XLA path)
-        fused = "on" if (mesh is None and jax.default_backend() != "cpu") else "off"
+        self.buckets = tuple(
+            sorted(b for b in buckets if b <= cfg.max_seq_len)
+        ) or (cfg.max_seq_len,)
+        # fused Pallas attention on a real single-chip TPU backend; the
+        # XLA reference path on CPU/GPU and under a mesh (pallas_call is
+        # opaque to the GSPMD partitioner, so sharded inputs keep XLA)
+        fused = (
+            "on"
+            if (mesh is None and jax.default_backend() not in _NO_FUSED_BACKENDS)
+            else "off"
+        )
         self._fn = jax.jit(functools.partial(encode_pooled, cfg=cfg, fused=fused))
         if mesh is not None:
             self._data_sharding = NamedSharding(mesh, P("data", None))
@@ -78,12 +89,23 @@ class BatchedEncoder:
                 pieces.append(t)
                 owners.append(i)
                 continue
-            words = t.split()
-            # split by words proportionally to the token count
-            n_chunks = (len(toks) + chunk_tokens - 1) // chunk_tokens
-            per = max(1, len(words) // n_chunks)
-            for s in range(0, len(words), per):
-                pieces.append(" ".join(words[s : s + per]))
+            # greedy accumulation by each word's ACTUAL token count —
+            # a proportional word split under-counts token-dense math
+            # text (one \frac{...}{...} "word" is many tokens) and the
+            # oversized chunk would silently truncate in _prep_batch
+            words = t.split() or [t]
+            cur: list[str] = []
+            cur_tokens = 0
+            for w in words:
+                wt = len(self.tokenizer.tokenize(w))
+                if cur and cur_tokens + wt > chunk_tokens:
+                    pieces.append(" ".join(cur))
+                    owners.append(i)
+                    cur, cur_tokens = [], 0
+                cur.append(w)
+                cur_tokens += wt
+            if cur:
+                pieces.append(" ".join(cur))
                 owners.append(i)
         emb = self.encode(pieces)
         out = np.zeros((len(texts), self.cfg.embedding_dim), np.float32)
@@ -111,9 +133,7 @@ class BatchedEncoder:
         if not len(texts):
             return jnp.zeros((0, self.cfg.embedding_dim), jnp.float32)
         n = len(texts)
-        n_pad = 8
-        while n_pad < n:
-            n_pad *= 2
+        n_pad = pow2_bucket(n)
         texts = list(texts) + [""] * (n_pad - n)
         tokenized = [self.tokenizer.tokenize(t) for t in texts]
         bs = self.batch_size
@@ -129,7 +149,7 @@ class BatchedEncoder:
             idx = order[start : start + bs]
             ids_d, mask_d, n_real = self._prep_batch(texts, tokenized, idx)
             pieces.append((idx, self._fn(self.params, ids_d, mask_d)[:n_real]))
-        if len(pieces) == 1 and pieces[0][0] == list(range(n_pad)):
+        if n_pad <= bs:   # single piece in input order, no scatter needed
             return pieces[0][1].astype(jnp.float32)
         out = jnp.zeros((n_pad, self.cfg.embedding_dim), jnp.float32)
         for idx, emb in pieces:
@@ -139,27 +159,21 @@ class BatchedEncoder:
     def _prep_batch(self, texts, tokenized, idx):
         """Tokenize+pad one sub-batch to its (batch-bucket, width-bucket)
         static shape; returns (ids, mask, n_real) device arrays."""
-        longest = max(len(tokenized[i]) for i in idx) + 2  # BOS/EOS
+        longest = max(len(tokenized[i]) for i in idx) + 2  # specials
         width = self._bucket_for(longest)
-        if isinstance(self.tokenizer, SimpleTokenizer):
-            # build arrays from the ALREADY-tokenized lists — calling the
-            # tokenizer again would re-run regex+hash per text (measured
-            # as a visible share of the serving encoder stage)
-            tk = self.tokenizer
-            ids = np.full((len(idx), width), tk.pad_id, np.int32)
-            mask = np.zeros((len(idx), width), np.int32)
-            for j, i in enumerate(idx):
-                s = [tk.bos_id] + tokenized[i][: width - 2] + [tk.eos_id]
-                ids[j, : len(s)] = s
-                mask[j, : len(s)] = 1
-        else:
-            chunk = [texts[i] for i in idx]
-            enc = self.tokenizer(chunk, max_length=width, pad_to=width)
-            ids, mask = enc.input_ids, enc.attention_mask
-        b_pad = 8
-        while b_pad < len(idx):
-            b_pad *= 2
-        b_pad = min(b_pad, self.batch_size)
+        # assemble from the ALREADY-tokenized lists — re-running the
+        # tokenizer measured as a visible share of the serving encoder
+        # stage (both the hash tokenizer and the HF one)
+        if hasattr(self.tokenizer, "encode_pretokenized"):
+            enc = self.tokenizer.encode_pretokenized(
+                [tokenized[i] for i in idx], pad_to=width
+            )
+        else:   # duck-typed custom tokenizer: fall back to re-encoding
+            enc = self.tokenizer(
+                [texts[i] for i in idx], max_length=width, pad_to=width
+            )
+        ids, mask = enc.input_ids, enc.attention_mask
+        b_pad = min(pow2_bucket(len(idx)), self.batch_size)
         if self._data_sharding is not None:
             # P('data', None) inputs need the batch dim divisible by the
             # data axis; round the bucket up (pow2 buckets already cover

@@ -207,9 +207,18 @@ def _make_attn_core(h: int, hk: int, dh: int, eps: float, interpret: bool):
 
 def _fused_ok(cfg: EncoderConfig, s: int, b: int) -> bool:
     """The fused kernel targets the production 0.6B-class shapes: 128-lane
-    head_dim and a batch divisible by the packing factor."""
+    head_dim and a batch divisible by the packing factor. Capped at
+    s <= 128: the whole-block VMEM-resident design sizes its q/k/v/logits
+    tiles for packed (128, Dh) blocks — longer widths (the 256/512
+    buckets that long-doc chunks hit) blow past the VMEM budget, and the
+    XLA path handles them well (attention FLOPs are real at those S)."""
     bb = max(1, 128 // s)
-    return cfg.head_dim == 128 and b % bb == 0 and cfg.num_heads % cfg.num_kv_heads == 0
+    return (
+        cfg.head_dim == 128
+        and s <= 128
+        and b % bb == 0
+        and cfg.num_heads % cfg.num_kv_heads == 0
+    )
 
 
 def _attention_fused(
@@ -359,7 +368,13 @@ class QwenEncoder:
         if params is None:
             params = init_params(self.cfg, jax.random.PRNGKey(seed))
         self.params = params
-        fused = "off" if jax.default_backend() == "cpu" else "on"
+        # Mosaic is TPU-only; the axon-tunnelled chip reports a non-"tpu"
+        # platform name, so gate by excluding known non-TPU backends
+        fused = (
+            "off"
+            if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm")
+            else "on"
+        )
         self._encode = jax.jit(
             functools.partial(encode_pooled, cfg=self.cfg, fused=fused)
         )

@@ -65,10 +65,26 @@ class SimpleTokenizer:
         max_length: int = 512,
         pad_to: int | None = None,
     ) -> Encoding:
-        seqs = []
-        for t in texts:
-            ids = [self.bos_id] + self.tokenize(t)[: max_length - 2] + [self.eos_id]
-            seqs.append(ids)
+        return self.encode_pretokenized(
+            [self.tokenize(t) for t in texts], max_length=max_length, pad_to=pad_to
+        )
+
+    def encode_pretokenized(
+        self,
+        token_lists: list[list[int]],
+        max_length: int = 512,
+        pad_to: int | None = None,
+    ) -> Encoding:
+        """Assemble BOS/ids/EOS/pad from ALREADY-tokenized lists — the
+        ONE place the special-token layout lives. The batching layer
+        tokenizes once for length bucketing and reuses the lists here
+        (re-tokenizing measured as a visible share of the serving
+        encoder stage)."""
+        limit = min(max_length, pad_to) if pad_to else max_length
+        seqs = [
+            [self.bos_id] + ids[: limit - 2] + [self.eos_id]
+            for ids in token_lists
+        ]
         width = pad_to or max(len(s) for s in seqs)
         batch = np.full((len(seqs), width), self.pad_id, np.int32)
         mask = np.zeros((len(seqs), width), np.int32)
@@ -86,6 +102,22 @@ class HFTokenizer:
 
         self.tk = AutoTokenizer.from_pretrained(path, trust_remote_code=False)
         self.pad_id = self.tk.pad_token_id or 0
+        self._affix: tuple[list[int], list[int]] | None = None
+
+    def _special_affixes(self) -> tuple[list[int], list[int]]:
+        """(prefix_ids, suffix_ids) the tokenizer's template wraps around
+        a single sequence, derived EMPIRICALLY (fast tokenizers apply
+        specials through the tokenizer.json post_processor, which
+        build_inputs_with_special_tokens does not see)."""
+        if self._affix is None:
+            probe = self.tk("a", add_special_tokens=False)["input_ids"]
+            full = self.tk("a", add_special_tokens=True)["input_ids"]
+            self._affix = ([], [])
+            for i in range(len(full) - len(probe) + 1):
+                if full[i : i + len(probe)] == probe:
+                    self._affix = (full[:i], full[i + len(probe):])
+                    break
+        return self._affix
 
     def tokenize(self, text: str) -> list[int]:
         """Token ids without padding/specials — used by the batching
@@ -103,6 +135,28 @@ class HFTokenizer:
         return Encoding(
             out["input_ids"].astype(np.int32), out["attention_mask"].astype(np.int32)
         )
+
+    def encode_pretokenized(
+        self,
+        token_lists: list[list[int]],
+        max_length: int = 512,
+        pad_to: int | None = None,
+    ) -> Encoding:
+        """Batch from ALREADY-tokenized id lists (no second pass over the
+        raw text): truncate content to leave room for the tokenizer's
+        special tokens, then wrap with the empirically-derived template
+        affixes — equivalent to __call__ for single-sequence
+        right-truncation (asserted in tests/test_hf_tokenizer.py)."""
+        pre, post = self._special_affixes()
+        limit = (min(max_length, pad_to) if pad_to else max_length) - len(pre) - len(post)
+        seqs = [pre + ids[:limit] + post for ids in token_lists]
+        width = pad_to or max(len(s) for s in seqs)
+        batch = np.full((len(seqs), width), self.pad_id, np.int32)
+        mask = np.zeros((len(seqs), width), np.int32)
+        for i, s in enumerate(seqs):
+            batch[i, : len(s)] = s
+            mask[i, : len(s)] = 1
+        return Encoding(batch, mask)
 
 
 def get_tokenizer(model_path: str | None = None, vocab_size: int = 151_669):

@@ -34,6 +34,7 @@ from ..kernels.mips import (
     merge_topk,
     xla_mips_topk_scan,
 )
+from ..utils.shapes import pow2_bucket
 from .filters import SearchFilters, compile_filter_mask, filter_key, infer_type
 from .metadata import CorpusMetadata
 
@@ -1102,9 +1103,7 @@ class SearchEngine:
             if q.ndim == 1:
                 q = q[None, :]
             b = q.shape[0]
-            b_pad = 8
-            while b_pad < b:
-                b_pad *= 2
+            b_pad = pow2_bucket(b)
             if b_pad != b:
                 q = jnp.concatenate([q, jnp.zeros((b_pad - b, q.shape[1]), q.dtype)])
             return q, b
@@ -1112,9 +1111,7 @@ class SearchEngine:
         if qh.ndim == 1:
             qh = qh[None, :]
         b = qh.shape[0]
-        b_pad = 8
-        while b_pad < b:
-            b_pad *= 2
+        b_pad = pow2_bucket(b)
         if b_pad != b:
             qh = np.concatenate([qh, np.zeros((b_pad - b, qh.shape[1]), np.float32)])
         return jnp.asarray(qh), b

@@ -27,6 +27,7 @@ import numpy as np
 
 from ..search.engine import SearchEngine
 from ..search.filters import SearchFilters, filter_key as _filter_key
+from ..utils.shapes import pow2_bucket
 
 
 class SchedulerOverloaded(RuntimeError):
@@ -369,9 +370,7 @@ class BatchScheduler:
         if not isinstance(enc, jax.Array):
             g = _np.asarray(enc)[rows]
             return g if vecs is None else _np.concatenate([g, vecs])
-        r_pad = 8
-        while r_pad < len(rows):
-            r_pad *= 2
+        r_pad = pow2_bucket(len(rows))
         idx = _np.zeros(r_pad, _np.int32)
         idx[: len(rows)] = rows
         g = jnp.take(enc, jnp.asarray(idx), axis=0)  # junk beyond len(rows)
@@ -397,16 +396,12 @@ class BatchScheduler:
         if not isinstance(enc, jax.Array):
             return np.concatenate([np.asarray(enc)[:n_text], vecs])
         d = enc.shape[1]
-        n_pad = 8
-        while n_pad < total:
-            n_pad *= 2
+        n_pad = pow2_bucket(total)
         if n_pad > enc.shape[0]:
             enc = jnp.concatenate(
                 [enc, jnp.zeros((n_pad - enc.shape[0], d), enc.dtype)]
             )
-        v_pad = 8
-        while v_pad < n_vec:
-            v_pad *= 2
+        v_pad = pow2_bucket(n_vec)
         upd = np.zeros((v_pad, d), np.float32)
         upd[:n_vec] = vecs
         rows = n_text + np.arange(v_pad, dtype=np.int32)
