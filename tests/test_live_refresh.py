@@ -193,3 +193,54 @@ def test_serve_refresh_thread_end_to_end(tmp_path):
         if sched is not None:
             sched.shutdown()
         cat.close()
+
+
+def test_rebuild_serves_only_latest_slogans(tmp_path):
+    """The spool is append-only; when a theorem's slogan is REGENERATED
+    (new prompt -> higher slogan_id), a rebuild must pack only the
+    CURRENT latest slogan per theorem — not both (the reference serves
+    exactly the latest via DISTINCT ON, streamlit_app.py:254-259)."""
+    cat = Catalog()
+    sources = {}
+    for i, topic in enumerate(["prime gaps", "modular forms", "elliptic curves"]):
+        _add_paper(cat, sources, f"2401.{i:05d}", topic)
+    parse_papers(cat, source_fetcher=lambda pid: sources[pid], timeout_s=30)
+    generate_slogans(cat, load_prompt("body-only-v1"), OfflineStubClient())
+    spool = str(tmp_path / "spool")
+    engine = build_engine_from_catalog(cat, _hash_encode, spool, use_pallas=False)
+    assert engine.n_valid == 3
+
+    # regenerate slogans under a different prompt: every theorem gets a
+    # NEW latest slogan
+    generate_slogans(cat, load_prompt("body-and-abstract-v1"), OfflineStubClient())
+    engine2 = build_engine_from_catalog(cat, _hash_encode, spool, use_pallas=False)
+    assert engine2.n_valid == 3          # one doc per theorem, not 6
+    rows = engine2.search(
+        _hash_encode(["prime gaps"])[0], SearchFilters(top_k=3)
+    )
+    assert len({r["paper_id"] for r in rows}) == 3  # no duplicate theorems
+
+
+def test_refresh_tombstones_superseded_slogan(tmp_path):
+    """Live refresh after slogan regeneration: the theorem's old doc is
+    tombstoned as the new latest slogan goes live — search keeps one doc
+    per theorem without a rebuild."""
+    cat = Catalog()
+    sources = {}
+    for i, topic in enumerate(["prime gaps", "modular forms"]):
+        _add_paper(cat, sources, f"2401.{i:05d}", topic)
+    parse_papers(cat, source_fetcher=lambda pid: sources[pid], timeout_s=30)
+    generate_slogans(cat, load_prompt("body-only-v1"), OfflineStubClient())
+    engine = build_engine_from_catalog(
+        cat, _hash_encode, str(tmp_path / "spool"), use_pallas=False
+    )
+    assert engine.n_valid == 2 and engine.num_live == 2
+
+    generate_slogans(cat, load_prompt("body-and-abstract-v1"), OfflineStubClient())
+    added = refresh_engine_from_catalog(cat, engine, _hash_encode)
+    assert added == 2
+    assert engine.num_live == 2          # 2 tombstoned + 2 added
+    rows = engine.search(_hash_encode(["prime gaps"])[0], SearchFilters(top_k=2))
+    assert len({r["paper_id"] for r in rows}) == 2   # one doc per theorem
+    # and the served docs are the NEW slogans (delta ids >= 2)
+    assert all(r["doc_id"] >= 2 for r in rows)

@@ -582,3 +582,44 @@ def test_engine_autoadopt_skips_non_arange_ids(corpus):
         for r in range(len(q))
     ])
     assert overlap >= 0.9
+
+
+def test_flat_index_resave_clears_stale_sidecars(corpus, tmp_path):
+    """Re-saving a DIFFERENT config into the same directory must not let
+    load() adopt the previous save's sidecars (load infers presence from
+    file existence: stale rescodes/scales silently corrupt rescoring)."""
+    emb, _ = corpus
+    d = tmp_path / "idx"
+    FlatIndex.build(
+        emb,
+        config=IndexConfig(
+            pad_multiple=256, dtype="int8", int8_scale="global", residual=True
+        ),
+        normalize=False,
+    ).save(d)
+    assert (d / "shard_0000.rescodes.npy").exists()
+    # overwrite with a plain bf16 index: no scales, no residual
+    FlatIndex.build(
+        emb, config=IndexConfig(pad_multiple=256, dtype="bfloat16"), normalize=False
+    ).save(d)
+    idx = FlatIndex.load(d)
+    assert idx.rescore_residual is None
+    assert idx.scales is None
+    assert idx.config.dtype == "bfloat16"
+
+
+def test_builder_dedupes_within_one_batch(tmp_path):
+    """An id repeated INSIDE one add() call keeps only its first row
+    (ON CONFLICT keep-first), same as across batches."""
+    from theoremsearch_tpu.index import IndexBuilder
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((4, 16)).astype(np.float32)
+    b = IndexBuilder(tmp_path / "sp", IndexConfig(pad_multiple=8, dtype="float32"))
+    b.add(np.array([5, 5, 7, 5]), emb)
+    idx = b.finalize(normalize=False)
+    assert idx.num_rows == 2
+    real = idx.ids[: idx.num_rows]
+    assert sorted(real.tolist()) == [5, 7]
+    row5 = idx.vectors[list(real).index(5)]
+    np.testing.assert_allclose(row5, emb[0], atol=1e-6)  # FIRST copy kept

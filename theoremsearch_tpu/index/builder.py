@@ -99,8 +99,14 @@ class IndexBuilder:
         all_ids, all_emb = [], []
         seen: set[int] = set()
         for ids, emb in self.batches():
-            mask = np.array([i not in seen for i in ids.tolist()])
-            seen.update(ids.tolist())
+            # keep-first WITHIN the batch too — building the mask against
+            # `seen` alone lets an id repeated inside one add() call pack
+            # twice, breaking the upsert contract
+            mask = np.zeros(ids.shape[0], bool)
+            for j, i in enumerate(ids.tolist()):
+                if i not in seen:
+                    seen.add(i)
+                    mask[j] = True
             if mask.any():
                 all_ids.append(ids[mask])
                 all_emb.append(emb[mask])
@@ -135,7 +141,8 @@ class IndexBuilder:
         calib = None
         if calibrate_gate is not None:
             calib = calibrate_nprobe(
-                index, emb, gate=calibrate_gate, ids=ids, interpret=interpret
+                index, emb, gate=calibrate_gate, ids=ids, interpret=interpret,
+                normalize=normalize,
             )
             # the trusted flag means "this nprobe CLEARED the gate" —
             # calibrate_nprobe returns its best candidate even when no

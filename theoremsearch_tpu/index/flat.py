@@ -28,12 +28,9 @@ import ml_dtypes
 import numpy as np
 
 from ..core.config import IndexConfig
+from ..utils.shapes import round_up as _round_up
 
 PAD_ID = -1
-
-
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
 
 
 @dataclass
@@ -131,12 +128,21 @@ class FlatIndex:
         else:
             np.save(path / "shard_0000.vecs.npy", vecs)
         np.save(path / "shard_0000.ids.npy", self.ids)
+        # delete sidecars this index does NOT carry: load() infers their
+        # presence from file existence, so a leftover scales/rescodes
+        # file from a previous save of a DIFFERENT config would silently
+        # poison the reload (stale rescore data, wrong dtype)
         if self.scales is not None:
             np.save(path / "shard_0000.scales.npy", self.scales)
+        else:
+            (path / "shard_0000.scales.npy").unlink(missing_ok=True)
         if self.rescore_residual is not None:
             rc, rs = self.rescore_residual
             np.save(path / "shard_0000.rescodes.npy", rc)
             np.save(path / "shard_0000.resscales.npy", rs)
+        else:
+            (path / "shard_0000.rescodes.npy").unlink(missing_ok=True)
+            (path / "shard_0000.resscales.npy").unlink(missing_ok=True)
         manifest = {
             "format": "flat",
             "num_rows": self.num_rows,
@@ -145,7 +151,11 @@ class FlatIndex:
             "config": self.config.to_dict(),
             "global_scale": self.global_scale,
         }
-        (path / "manifest.json").write_text(json.dumps(manifest, indent=2))
+        # write-then-rename: a crash mid-save must not leave a manifest
+        # that parses but describes half-written data files
+        tmp = path / "manifest.json.tmp"
+        tmp.write_text(json.dumps(manifest, indent=2))
+        tmp.replace(path / "manifest.json")
 
     @classmethod
     def load(cls, path: str | Path) -> "FlatIndex":

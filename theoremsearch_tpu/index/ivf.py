@@ -840,6 +840,7 @@ def calibrate_nprobe(
     seed: int = 0,
     interpret: bool = False,
     ids: np.ndarray | None = None,
+    normalize: bool = True,
 ) -> tuple[int, float]:
     """Smallest nprobe whose MIN recall@k over `n_draws` query draws
     clears `gate` against the exact oracle on the same vectors
@@ -853,7 +854,11 @@ def calibrate_nprobe(
     recall so the caller can decide (the engine would route to the flat
     scan anyway)."""
     emb = np.asarray(embeddings, np.float32)
-    emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    if normalize:
+        # must match what the INDEX packed — calibrating a normalized
+        # oracle against an index built on raw vectors (normalize=False)
+        # measures recall against rankings the index never serves
+        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
     n = emb.shape[0]
     rng = np.random.default_rng(seed)
 

@@ -35,11 +35,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.shapes import round_up as _round_up
+
 NEG_INF = float("-inf")
-
-
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
 
 
 def _quantize_queries(queries: jax.Array) -> tuple[jax.Array, jax.Array]:

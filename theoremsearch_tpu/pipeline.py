@@ -15,7 +15,7 @@ import numpy as np
 
 from .core.config import IndexConfig
 from .index.builder import IndexBuilder
-from .index.flat import FlatIndex
+from .index.flat import PAD_ID, FlatIndex
 from .ingest.catalog import Catalog
 from .search.engine import SearchEngine
 from .search.metadata import CorpusMetadata
@@ -64,21 +64,30 @@ def corpus_metadata_from_catalog(catalog: Catalog, slogan_ids: np.ndarray) -> Co
 
 def slogan_meta_rows(catalog: Catalog, slogan_ids: np.ndarray) -> list[dict]:
     """Metadata column dicts for slogan ids (shared by the index-build
-    join above and the live-refresh path below)."""
+    join above and the live-refresh path below). Batched IN-queries —
+    one SELECT per slogan id made engine cold-start N sequential sqlite
+    round trips."""
     import json as _json
 
-    rows = []
-    for sid in np.asarray(slogan_ids).tolist():
-        r = catalog.conn.execute(
-            "SELECT p.paper_id, p.title, p.authors, p.link, p.last_updated,"
-            " p.journal_ref, p.primary_category, p.citations, p.summary,"
-            " t.name, t.body, s.slogan"
+    sids = [int(s) for s in np.asarray(slogan_ids).tolist()]
+    by_sid: dict[int, tuple] = {}
+    for start in range(0, len(sids), 500):
+        chunk = sids[start : start + 500]
+        marks = ",".join("?" * len(chunk))
+        for r in catalog.conn.execute(
+            "SELECT s.slogan_id, p.paper_id, p.title, p.authors, p.link,"
+            " p.last_updated, p.journal_ref, p.primary_category, p.citations,"
+            " p.summary, t.name, t.body, s.slogan"
             " FROM theorem_slogan s"
             " JOIN theorem t ON t.theorem_id = s.theorem_id"
             " JOIN paper p ON p.paper_id = t.paper_id"
-            " WHERE s.slogan_id = ?",
-            (int(sid),),
-        ).fetchone()
+            f" WHERE s.slogan_id IN ({marks})",
+            chunk,
+        ):
+            by_sid[int(r[0])] = tuple(r[1:])
+    rows = []
+    for sid in sids:
+        r = by_sid.get(sid)
         if r is None:
             rows.append({})
             continue
@@ -130,6 +139,7 @@ def refresh_engine_from_catalog(
     None only for a throwaway in-memory engine."""
     added = 0
     shard = builder.dir.name if builder is not None else "live-delta"
+    live_by_theorem: dict[tuple, int] | None = None
     for page in catalog.slogans_missing_embedding(embedder, page_size):
         rows = [dict(r) for r in page]
         texts = [r["slogan"] or "" for r in rows]
@@ -139,8 +149,12 @@ def refresh_engine_from_catalog(
             slogan_meta_rows(catalog, sids) if engine.meta is not None else None
         )
         if builder is not None:
-            builder.add(sids, emb)   # durable: next rebuild packs them
-        engine.add_documents(emb, meta_rows=meta_rows)
+            # ordering is the crash-safety contract: spool (durable) ->
+            # manifest (marks embedded) -> live add. A crash after the
+            # manifest loses only live visibility until restart (the
+            # rebuild packs the spooled vector); the reverse order
+            # re-added already-live docs on the next poll forever.
+            builder.add(sids, emb)
         catalog.upsert_rows(
             "embedding_manifest",
             [
@@ -154,6 +168,31 @@ def refresh_engine_from_catalog(
             ],
             ["embedder", "slogan_id"],
         )
+        if meta_rows is not None:
+            # a NEW latest slogan supersedes the theorem's current doc
+            # (the reference's DISTINCT ON latest-slogan selection,
+            # streamlit_app.py:254-259): tombstone it so search serves
+            # one doc per theorem. Theorem identity = (paper_id, name)
+            # (UNIQUE in the reference schema).
+            if live_by_theorem is None:
+                m = engine.meta
+                live_by_theorem = {
+                    (m.paper_id[d], m.theorem_name[d]): d
+                    for d in range(len(m))
+                }
+            stale = []
+            for mr in meta_rows:
+                key = (mr.get("paper_id"), mr.get("theorem_name"))
+                old = live_by_theorem.get(key)
+                if old is not None:
+                    stale.append(old)
+            if stale:
+                engine.delete_documents(stale)
+            new_ids = engine.add_documents(emb, meta_rows=meta_rows)
+            for mr, d in zip(meta_rows, new_ids):
+                live_by_theorem[(mr.get("paper_id"), mr.get("theorem_name"))] = int(d)
+        else:
+            engine.add_documents(emb, meta_rows=meta_rows)
         added += len(rows)
     return added
 
@@ -172,27 +211,67 @@ def build_engine_from_catalog(
     builder = IndexBuilder(spool_dir, index_config)
     embed_missing_slogans(catalog, encode_fn, builder, embedder)
     index = builder.finalize()
-    real_ids = index.ids[index.ids >= 0]
-    meta = corpus_metadata_from_catalog(catalog, np.sort(real_ids))
-    # PERMUTE index rows into sorted-doc-id (== meta) order and hand the
-    # engine row-order ids (arange). Row-order ids keep the fused speed
-    # path and the residual capacity rescore eligible — the previous
-    # remap-ids-in-place approach left rows in spool order, which (a)
-    # forced the id->row indirection on every rescore and (b) dropped
-    # global_scale in the rebuild, silently disabling the speed path.
-    order = np.argsort(real_ids, kind="stable")
-    n = index.num_rows
-    vecs = index.vectors.copy()
-    vecs[:n] = index.vectors[:n][order]
-    ids = index.ids.copy()
+    latest = {
+        int(r[0])
+        for r in catalog.conn.execute(
+            "SELECT MAX(slogan_id) FROM theorem_slogan GROUP BY theorem_id"
+        )
+    }
+    # Self-heal manifest/spool divergence: a slogan can be MARKED
+    # embedded while its vector never reached THIS spool (a live refresh
+    # ran without the durable builder, or a different spool dir) — the
+    # NOT-EXISTS queue would never retry it and the rebuild would
+    # silently shrink. Re-embed those ids directly.
+    spooled = {int(i) for i in index.ids[: index.num_rows]}
+    missing = sorted(latest - spooled)
+    if missing:
+        texts: list[str] = []
+        for start in range(0, len(missing), 500):
+            chunk = missing[start : start + 500]
+            marks = ",".join("?" * len(chunk))
+            got = dict(
+                catalog.conn.execute(
+                    "SELECT slogan_id, slogan FROM theorem_slogan"
+                    f" WHERE slogan_id IN ({marks})",
+                    chunk,
+                )
+            )
+            texts.extend([got.get(i) or "" for i in chunk])
+        builder.add(
+            np.array(missing, np.int64), np.asarray(encode_fn(texts), np.float32)
+        )
+        index = builder.finalize()
+    real_ids = index.ids[: index.num_rows]
+    # The spool is append-only: a theorem whose slogan was REGENERATED
+    # has its superseded slogan still packed. Keep only ids that are
+    # STILL the latest for their theorem, or search returns several
+    # docs per theorem (the reference serves exactly the latest:
+    # streamlit_app.py:254-259 DISTINCT ON).
+    keep = np.array([int(i) in latest for i in real_ids], bool)
+    kept_ids = real_ids[keep]
+    meta = corpus_metadata_from_catalog(catalog, np.sort(kept_ids))
+    # SELECT the kept packed rows in sorted-doc-id (== meta) order and
+    # hand the engine row-order ids (arange). Row-order ids keep the
+    # fused speed path and the residual capacity rescore eligible — the
+    # old remap-ids-in-place approach left rows in spool order, which
+    # (a) forced the id->row indirection on every rescore and (b)
+    # dropped global_scale in the rebuild, disabling the speed path.
+    sel = np.flatnonzero(keep)[np.argsort(kept_ids, kind="stable")]
+    n = sel.shape[0]
+    pad = index.config.pad_multiple
+    padded = ((max(n, 1) + pad - 1) // pad) * pad
+    vecs = np.zeros((padded, index.dim), index.vectors.dtype)
+    vecs[:n] = index.vectors[sel]
+    ids = np.full(padded, PAD_ID, index.ids.dtype)
     ids[:n] = np.arange(n, dtype=index.ids.dtype)
     scales = index.scales
     if scales is not None:
-        scales = scales.copy()
-        scales[:n] = index.scales[:n][order]
+        new_scales = np.zeros(padded, np.float32)
+        new_scales[:n] = index.scales[sel]
+        scales = new_scales
     resid = index.rescore_residual
     if resid is not None:
-        resid = (resid[0][order], resid[1][order])
+        resid = (resid[0][sel], resid[1][sel])
     index = FlatIndex(
         vectors=vecs,
         ids=ids,

@@ -34,13 +34,9 @@ from ..kernels.mips import (
     merge_topk,
     xla_mips_topk_scan,
 )
-from ..utils.shapes import pow2_bucket
+from ..utils.shapes import pow2_bucket, round_up as _round_up
 from .filters import SearchFilters, compile_filter_mask, filter_key, infer_type
 from .metadata import CorpusMetadata
-
-
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
 
 
 # Over-fetch margin for the drop-on-host paths (see search_vectors_async):

@@ -17,3 +17,8 @@ def pow2_bucket(n: int, floor: int = 8) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def round_up(n: int, m: int) -> int:
+    """Round n up to the next multiple of m."""
+    return ((n + m - 1) // m) * m
