@@ -151,6 +151,24 @@ def test_ivf_dual_assignment_layout(clustered_corpus):
     for row in np.asarray(i):
         r = row[row >= 0]
         assert len(set(r.tolist())) == len(r)
+    # the XLA fallback path must ALSO dedup (regression: it returned the
+    # same boundary doc in two slots), with and without rescoring
+    _, ix = idx.search(q, k=10, nprobe=16, rescore_factor=8, use_pallas=False)
+    for row in np.asarray(ix):
+        r = row[row >= 0]
+        assert len(set(r.tolist())) == len(r)
+    idx_plain = IVFIndex.build(
+        emb,
+        config=IndexConfig(
+            ivf_nlist=50, dtype="float32", ivf_assign2_margin=0.05,
+        ),
+        normalize=False,
+        rescore=False,
+    )
+    _, ip = idx_plain.search(q, k=10, nprobe=16, use_pallas=False)
+    for row in np.asarray(ip):
+        r = row[row >= 0]
+        assert len(set(r.tolist())) == len(r)
 
 
 def test_ivf_global_scale_int8(clustered_corpus):

@@ -104,6 +104,11 @@ def evaluate_encoder_on_validation(
     examples = load_validation_set(validation_path, context_window)
     q_emb = np.asarray(encode_fn([ex.query for ex in examples]))
     s_emb = np.asarray(encode_fn([ex.slogan for ex in examples]))
+    # normalize BEFORE ranking: an encoder returning unnormalized
+    # embeddings would otherwise be ranked by document norm, not angle
+    # (the reference uses util.cos_sim, compare_embeddings.py:61)
+    q_emb = q_emb / np.maximum(np.linalg.norm(q_emb, axis=1, keepdims=True), 1e-12)
+    s_emb = s_emb / np.maximum(np.linalg.norm(s_emb, axis=1, keepdims=True), 1e-12)
     sim = q_emb @ s_emb.T
     qrels = build_qrels(examples, [ex.paper_id for ex in examples])
     metrics = evaluate_retrieval(sim, qrels, top_k_report=top_k_report)

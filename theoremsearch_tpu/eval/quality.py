@@ -54,8 +54,12 @@ class MismatchEstimate:
 
 
 def trees_equal(dir_a: str | Path, dir_b: str | Path) -> bool:
-    """Recursive directory equality (shallow=False content compare)."""
-    cmp = filecmp.dircmp(str(dir_a), str(dir_b))
+    """Recursive directory equality (shallow=False content compare).
+
+    ignore=[]: dircmp's default ignore list silently skips entries named
+    'tags', '.git', '__pycache__', ... — real names in arXiv source
+    trees, whose differences must count as mismatches."""
+    cmp = filecmp.dircmp(str(dir_a), str(dir_b), ignore=[])
 
     def walk(c: filecmp.dircmp) -> bool:
         if c.left_only or c.right_only or c.diff_files or c.funny_files:

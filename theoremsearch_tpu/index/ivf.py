@@ -91,9 +91,14 @@ def _kmeans_device(x: jax.Array, cents: jax.Array, *, nlist: int, iters: int):
     def step(cents, _):
         scores = jnp.dot(x, cents.T, preferred_element_type=jnp.float32)  # (N, L)
         assign = jnp.argmax(scores, axis=1)
-        one_hot = jax.nn.one_hot(assign, nlist, dtype=jnp.float32)        # (N, L)
-        sums = one_hot.T @ x                                              # (L, D)
-        counts = one_hot.sum(axis=0)[:, None]
+        # segment-sum centroid update: a one-hot (N, L) matmul doubles
+        # the peak (scores already costs N*L fp32 — 17 GB at the 4M
+        # build's sample/nlist) and OOMs what the scatter-add computes
+        # in (L, D)
+        sums = jnp.zeros((nlist, d), jnp.float32).at[assign].add(x)       # (L, D)
+        counts = (
+            jnp.zeros((nlist,), jnp.float32).at[assign].add(1.0)[:, None]
+        )
         new = sums / jnp.maximum(counts, 1.0)
         norms = jnp.linalg.norm(new, axis=1, keepdims=True)
         new = new / jnp.maximum(norms, 1e-12)
@@ -504,9 +509,18 @@ class IVFIndex:
             )
             out_s, out_i = [], []
             for i in range(0, q.shape[0], query_chunk):
-                s, d_ = fn(q[i : i + query_chunk])
-                out_s.append(np.asarray(s))
-                out_i.append(np.asarray(d_))
+                chunk = np.asarray(q[i : i + query_chunk])
+                pad = query_chunk - chunk.shape[0]
+                if pad:
+                    # pad the tail chunk like the XLA branch below: a
+                    # fresh batch shape re-traces the Pallas program
+                    # (multi-second compile per distinct size)
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((pad, chunk.shape[1]), chunk.dtype)]
+                    )
+                s, d_ = fn(chunk)
+                out_s.append(np.asarray(s)[: query_chunk - pad])
+                out_i.append(np.asarray(d_)[: query_chunk - pad])
             return np.concatenate(out_s), np.concatenate(out_i)
         out_s, out_i = [], []
         fn = _ivf_search_jit
@@ -897,14 +911,21 @@ def calibrate_nprobe(
             top_i = np.asarray(ids)[top_i]
         draws.append((q, top_i))
 
-    best = (candidates[0], 0.0)
-    for nprobe in candidates:
-        if nprobe > index.centroids.shape[0]:
-            break
+    from ..eval.metrics import recall_vs_exact
+
+    # clamp candidates at nlist (probing every list is the exhaustive
+    # setting — breaking out early left small-nlist corpora unmeasured
+    # and reported recall 0.0), keeping ascending order unique
+    nlist = index.centroids.shape[0]
+    cand_list = sorted({min(c, nlist) for c in candidates})
+    best = (cand_list[0], 0.0)
+    for nprobe in cand_list:
         recs = []
         for q, ref in draws:
-            _, ids = index.search(q, k=k, nprobe=nprobe, interpret=interpret)
-            recs.append(float((ids[:, :, None] == ref[:, None, :]).any(1).mean()))
+            _, got = index.search(q, k=k, nprobe=nprobe, interpret=interpret)
+            # recall_vs_exact masks PAD_ID — hand-rolled (ids==ref).any()
+            # counted -1==-1 pad pairs as hits on small corpora
+            recs.append(recall_vs_exact(np.asarray(got), ref, k=k))
         rec_min = min(recs)
         if rec_min > best[1]:
             best = (nprobe, rec_min)
@@ -950,8 +971,18 @@ def _ivf_search_jit(
     all_p = jnp.concatenate([flat_p, sp_pos], axis=1)
 
     if raw_flat is None and res_flat is None:
-        top_s, sel = jax.lax.top_k(all_s, k)
+        # dual-assignment copies score identically — dedup on a 2k
+        # over-fetch (a doc has at most 2 copies) like the Pallas and
+        # sharded paths, or the same id occupies two result slots
+        m = min(2 * k, all_s.shape[1])
+        top_s, sel = jax.lax.top_k(all_s, m)
         top_i = jnp.take_along_axis(all_i, sel, axis=1)
+        dup = (top_i[:, :, None] == top_i[:, None, :]) & jnp.tril(
+            jnp.ones((m, m), bool), k=-1
+        )[None]
+        top_s = jnp.where((top_i >= 0) & ~dup.any(axis=2), top_s, -jnp.inf)
+        top_s, sel2 = jax.lax.top_k(top_s, k)
+        top_i = jnp.take_along_axis(top_i, sel2, axis=1)
         return top_s, jnp.where(jnp.isfinite(top_s), top_i, PAD_ID)
 
     # 4. exact rescoring of the oversampled candidate set — from the bf16
@@ -960,6 +991,11 @@ def _ivf_search_jit(
     cand_s, sel = jax.lax.top_k(all_s, c)
     cand_i = jnp.take_along_axis(all_i, sel, axis=1)                       # (B, C)
     cand_p = jnp.take_along_axis(all_p, sel, axis=1)
+    # kill dual-assignment duplicates before the rescore (keep-first)
+    dup = (cand_i[:, :, None] == cand_i[:, None, :]) & jnp.tril(
+        jnp.ones((c, c), bool), k=-1
+    )[None]
+    cand_s = jnp.where(dup.any(axis=2), -jnp.inf, cand_s)
     if raw_flat is not None:
         raw = raw_flat[cand_p]                                             # (B, C, D) bf16
         re_s = jnp.einsum(
