@@ -193,10 +193,11 @@ def main():
             jax.lax.dynamic_update_slice(sbuf, scales, (start,)),
         )
 
-    def build_corpus(n: int, ndraws: int):
-        """Returns (codes int8 (n,D), bf16 copy, gscale, oracle_ids list
-        per draw). Two passes over regenerated chunks: pass 1 absmax +
-        oracle, pass 2 quantize into donated buffers."""
+    def corpus_pass1(n: int, ndraws: int):
+        """Pass 1 over regenerated chunks: global absmax + the exact
+        fp32 oracle top-k for every query draw. Returns
+        (chunk, keys, gscale, oracle_ids list per draw); pass-2 packers
+        below regenerate the identical chunks from the same keys."""
         # halve the chunk above 2M: the pack pass holds codes (n bytes)
         # + bf16 (2n) + the live fp32 chunk, and 4M x 1024 already uses
         # 12 GB of HBM for the index alone
@@ -211,47 +212,42 @@ def main():
             x = gen_chunk(keys[c], rows=chunk)
             absmax = max(absmax, float(chunk_absmax(x)))
             top_s, top_i = oracle_step(qall, x, top_s, top_i, jnp.int32(c * chunk))
-        gscale = absmax / 127.0
         oracle = np.asarray(top_i).reshape(ndraws, B_SPEED, K)
-        del top_s, top_i
-        codes = jnp.zeros((n, D), jnp.int8)
-        bf16 = jnp.zeros((n, D), jnp.bfloat16)
-        for c in range(n_chunks):
-            x = gen_chunk(keys[c], rows=chunk)
-            codes = pack_int8(codes, x, gscale, jnp.int32(c * chunk))
-            bf16 = pack_bf16(bf16, x, jnp.int32(c * chunk))
-        jax.block_until_ready((codes, bf16))
-        return codes, bf16, gscale, [oracle[i] for i in range(ndraws)]
+        return chunk, keys, absmax / 127.0, [oracle[i] for i in range(ndraws)]
 
-    def build_corpus_residual(n: int, ndraws: int):
-        """Capacity-mode build: scan codes + residual codes + per-row
+    def pack_residual_arrays(n: int, chunk: int, keys, gscale: float):
+        """Pass 2, capacity mode: scan codes + residual codes + per-row
         residual scales (2 bytes/dim total; NO bf16 copy, which is what
         lets 6M x 1024 fit one v5e)."""
-        chunk = CHUNK if n <= 2_097_152 else CHUNK // 2
-        n_chunks = n // chunk
-        keys = jax.random.split(jax.random.PRNGKey(7), n_chunks)
-        qall = jnp.concatenate([q_draws[i] for i in range(ndraws)], axis=0)
-        top_s = jnp.full((qall.shape[0], K), -np.inf, jnp.float32)
-        top_i = jnp.full((qall.shape[0], K), -1, jnp.int32)
-        absmax = 0.0
-        for c in range(n_chunks):
-            x = gen_chunk(keys[c], rows=chunk)
-            absmax = max(absmax, float(chunk_absmax(x)))
-            top_s, top_i = oracle_step(qall, x, top_s, top_i, jnp.int32(c * chunk))
-        gscale = absmax / 127.0
-        oracle = np.asarray(top_i).reshape(ndraws, B_SPEED, K)
-        del top_s, top_i
         codes = jnp.zeros((n, D), jnp.int8)
         rcodes = jnp.zeros((n, D), jnp.int8)
         rscales = jnp.zeros((n,), jnp.float32)
         gs_dev = jnp.float32(gscale)
-        for c in range(n_chunks):
+        for c in range(n // chunk):
             x = gen_chunk(keys[c], rows=chunk)
             codes, rcodes, rscales = pack_residual(
                 codes, rcodes, rscales, x, gs_dev, jnp.int32(c * chunk)
             )
         jax.block_until_ready(rscales)
-        return codes, rcodes, rscales, gscale, [oracle[i] for i in range(ndraws)]
+        return codes, rcodes, rscales
+
+    def build_corpus(n: int, ndraws: int):
+        """Returns (codes int8 (n,D), bf16 copy, gscale, oracle_ids list
+        per draw)."""
+        chunk, keys, gscale, oracles = corpus_pass1(n, ndraws)
+        codes = jnp.zeros((n, D), jnp.int8)
+        bf16 = jnp.zeros((n, D), jnp.bfloat16)
+        for c in range(n // chunk):
+            x = gen_chunk(keys[c], rows=chunk)
+            codes = pack_int8(codes, x, gscale, jnp.int32(c * chunk))
+            bf16 = pack_bf16(bf16, x, jnp.int32(c * chunk))
+        jax.block_until_ready((codes, bf16))
+        return codes, bf16, gscale, oracles
+
+    def build_corpus_residual(n: int, ndraws: int):
+        chunk, keys, gscale, oracles = corpus_pass1(n, ndraws)
+        codes, rcodes, rscales = pack_residual_arrays(n, chunk, keys, gscale)
+        return codes, rcodes, rscales, gscale, oracles
 
     def residual_pipeline(codes, rcodes, rscales, gs, n, rt):
         def fn(qq):
@@ -327,18 +323,9 @@ def main():
     # the bf16 rescore (same scan; two-level int8 rescore at 2 bytes/dim
     # vs bf16's 3). Rescore gather bytes are identical — QPS should
     # match and recall should be >= (15-bit vs 8-bit reconstruction).
-    rcodes_1 = jnp.zeros((N, D), jnp.int8)
-    rscales_1 = jnp.zeros((N,), jnp.float32)
     keys_1 = jax.random.split(jax.random.PRNGKey(7), N // CHUNK)
-    gs_dev = jnp.float32(gscale)
-    codes_g2 = jnp.zeros((N, D), jnp.int8)
-    for c in range(N // CHUNK):
-        x = gen_chunk(keys_1[c], rows=CHUNK)
-        codes_g2, rcodes_1, rscales_1 = pack_residual(
-            codes_g2, rcodes_1, rscales_1, x, gs_dev, jnp.int32(c * CHUNK)
-        )
-    del codes_g2
-    jax.block_until_ready(rscales_1)
+    codes_g2, rcodes_1, rscales_1 = pack_residual_arrays(N, CHUNK, keys_1, gscale)
+    del codes_g2  # the scan reuses codes_g; only the residual data is new
     run_config(
         "speed_residual_rt95", B_SPEED,
         residual_pipeline(codes_g, rcodes_1, rscales_1, gscale, N, 0.95),
