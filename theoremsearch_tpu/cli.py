@@ -35,20 +35,37 @@ def _catalog(args):
 
 
 def _batched_encoder(args):
-    """Checkpoint encoder when --model-dir is given, hermetic otherwise."""
-    from .core.config import EncoderConfig
+    """Checkpoint encoder when --model-dir is given (family auto-detected
+    from config.json: qwen or gemma, the reference's two embedder aliases,
+    ec2/generate_embeddings/embedders.py:1-4), hermetic otherwise
+    (family from --embedder)."""
+    from .core.config import EncoderConfig, GemmaEncoderConfig
     from .encoder.batching import BatchedEncoder
-    from .encoder.model import init_params
     from .encoder.tokenizer import get_tokenizer
     import jax
 
     model_dir = getattr(args, "model_dir", None)
     if model_dir:
-        from .encoder.loader import load_hf_checkpoint
+        from .encoder.loader import (
+            detect_family,
+            load_hf_checkpoint,
+            load_hf_gemma_checkpoint,
+        )
 
-        params, cfg = load_hf_checkpoint(model_dir)
+        if detect_family(model_dir) == "gemma":
+            params, cfg = load_hf_gemma_checkpoint(model_dir)
+        else:
+            params, cfg = load_hf_checkpoint(model_dir)
         tok = get_tokenizer(model_dir, cfg.vocab_size)
+    elif getattr(args, "embedder", "qwen") == "gemma":
+        from .encoder.gemma import init_params
+
+        cfg = GemmaEncoderConfig.tiny()
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        tok = get_tokenizer(None, cfg.vocab_size)
     else:
+        from .encoder.model import init_params
+
         cfg = EncoderConfig.tiny()
         params = init_params(cfg, jax.random.PRNGKey(0))
         tok = get_tokenizer(None, cfg.vocab_size)
@@ -422,6 +439,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("query")
     s.add_argument("--spool", default="./spool")
     s.add_argument("--model-dir")
+    s.add_argument("--embedder", default="qwen", choices=["qwen", "gemma"],
+                   help="hermetic model family when --model-dir is absent "
+                        "(with --model-dir the family is auto-detected)")
     s.add_argument("--top-k", type=int, default=10)
     s.add_argument("--citation-weight", type=float, default=0.0)
     s.set_defaults(fn=cmd_search)
@@ -431,6 +451,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--port", type=int, default=8080)
     s.add_argument("--spool", default="./spool")
     s.add_argument("--model-dir")
+    s.add_argument("--embedder", default="qwen", choices=["qwen", "gemma"],
+                   help="hermetic model family when --model-dir is absent "
+                        "(with --model-dir the family is auto-detected)")
     s.add_argument("--no-batching", action="store_true",
                    help="serve without the micro-batching scheduler")
     s.add_argument("--max-batch", type=int, default=256)
@@ -455,6 +478,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     s.add_argument("--context-window", default="body-and-summary-v1")
     s.add_argument("--model-dir")
+    s.add_argument("--embedder", default="qwen", choices=["qwen", "gemma"],
+                   help="hermetic model family when --model-dir is absent "
+                        "(with --model-dir the family is auto-detected)")
     s.set_defaults(fn=cmd_eval)
 
     s = sub.add_parser("ingest-tex")

@@ -135,6 +135,64 @@ class EncoderConfig(_JsonConfig):
 
 
 @dataclass(frozen=True)
+class GemmaEncoderConfig(_JsonConfig):
+    """EmbeddingGemma-300m-class architecture — the reference's second
+    embedder alias ({"gemma": "google/embeddinggemma-300m"},
+    ec2/generate_embeddings/embedders.py:1-4; 768-dim pgvector table
+    rds_schema.sql:52-57).
+
+    A Gemma3 text tower run bidirectionally (HF Gemma3TextModel with
+    use_bidirectional_attention=True) + the sentence-transformers head:
+    mean pooling -> Dense(hidden->head_hidden) -> Dense(head_hidden->
+    embedding_dim) -> L2 normalize. Differences from the Qwen3 tower
+    that matter numerically: embeddings scaled by sqrt(hidden);
+    (1+w)-form RMSNorm with zero-init weights; sandwich norms around
+    both attention and MLP; GeGLU (tanh-approx gelu); 5:1 local:global
+    attention layers with separate RoPE bases; attention scaled by
+    query_pre_attn_scalar**-0.5 instead of head_dim**-0.5."""
+
+    vocab_size: int = 262_144
+    hidden_size: int = 768
+    intermediate_size: int = 1152
+    num_layers: int = 24
+    num_heads: int = 3
+    num_kv_heads: int = 1
+    head_dim: int = 256
+    rope_theta: float = 1_000_000.0        # global-attention layers
+    rope_local_theta: float = 10_000.0     # sliding-attention layers
+    rope_scaling_factor: float = 1.0       # linear rope_scaling on global layers
+    sliding_window: int = 512
+    global_every: int = 6                  # layer i is global iff (i+1) % 6 == 0
+    query_pre_attn_scalar: float = 256.0
+    rms_norm_eps: float = 1e-6
+    max_seq_len: int = 512
+    head_hidden: int = 3072                # sentence-transformers Dense bottleneck
+    embedding_dim: int = 768
+    normalize: bool = True
+    dtype: str = "bfloat16"
+    param_dtype: str = "bfloat16"
+
+    @classmethod
+    def tiny(cls) -> "GemmaEncoderConfig":
+        """A small config for tests/dry-runs."""
+        return cls(
+            vocab_size=1024,
+            hidden_size=96,
+            intermediate_size=192,
+            num_layers=4,
+            num_heads=3,
+            num_kv_heads=1,
+            head_dim=32,
+            sliding_window=16,
+            global_every=2,
+            query_pre_attn_scalar=32.0,
+            max_seq_len=64,
+            head_hidden=128,
+            embedding_dim=96,
+        )
+
+
+@dataclass(frozen=True)
 class SearchConfig(_JsonConfig):
     """Query-path knobs (the streamlit_app.py backend feature set)."""
 

@@ -1,9 +1,11 @@
 from .model import QwenEncoder, init_params, forward, encode_pooled
+from .gemma import GemmaEncoder
 from .tokenizer import SimpleTokenizer, get_tokenizer
 from .batching import BatchedEncoder
 
 __all__ = [
     "QwenEncoder",
+    "GemmaEncoder",
     "init_params",
     "forward",
     "encode_pooled",
