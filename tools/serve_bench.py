@@ -65,9 +65,12 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
-    from theoremsearch_tpu.core.config import EncoderConfig, IndexConfig
+    from theoremsearch_tpu.core.config import (
+        EncoderConfig,
+        GemmaEncoderConfig,
+        IndexConfig,
+    )
     from theoremsearch_tpu.encoder.batching import BatchedEncoder
-    from theoremsearch_tpu.encoder.model import init_params
     from theoremsearch_tpu.index.flat import FlatIndex
     from theoremsearch_tpu.search.engine import SearchEngine
     from theoremsearch_tpu.search.filters import SearchFilters
@@ -77,19 +80,33 @@ def main():
     on_tpu = jax.default_backend() not in ("cpu",)
     # capacity-serving knobs: SERVE_ROWS scales the corpus (chunked
     # on-device build), SERVE_MODE=residual serves from the 2-bytes/dim
-    # two-level index instead of the int8+bf16 copy
+    # two-level index instead of the int8+bf16 copy, SERVE_ENCODER=gemma
+    # fronts the scan with the ~300M gemma tower (768-dim index) instead
+    # of the 0.6B qwen tower — the fast-serving embedder alias
     MODE = os.environ.get("SERVE_MODE", "bf16")
+    ENC_FAMILY = os.environ.get("SERVE_ENCODER", "qwen")
     if on_tpu:
-        N, D, ROW_BLOCK, MAX_BATCH = 1_048_576, 1024, 4096, 512
+        N, ROW_BLOCK, MAX_BATCH = 1_048_576, 4096, 512
         N = int(os.environ.get("SERVE_ROWS", str(N)))
-        enc_cfg = EncoderConfig(max_seq_len=64)
+        enc_cfg = (
+            GemmaEncoderConfig(max_seq_len=64) if ENC_FAMILY == "gemma"
+            else EncoderConfig(max_seq_len=64)
+        )
+        D = enc_cfg.embedding_dim
         LEVELS = (8, 32, 128, 512)
         RUN_S = float(os.environ.get("SERVE_RUN_S", "10.0"))
     else:  # CPU smoke
-        enc_cfg = EncoderConfig.tiny()
+        enc_cfg = (
+            GemmaEncoderConfig.tiny() if ENC_FAMILY == "gemma"
+            else EncoderConfig.tiny()
+        )
         N, D, ROW_BLOCK, MAX_BATCH = 32_768, enc_cfg.embedding_dim, 1024, 64
         LEVELS = (4, 16)
         RUN_S = 3.0
+    if ENC_FAMILY == "gemma":
+        from theoremsearch_tpu.encoder.gemma import init_params
+    else:
+        from theoremsearch_tpu.encoder.model import init_params
 
     key = jax.random.PRNGKey(0)
     kq, kc, kp = jax.random.split(key, 3)
@@ -359,7 +376,10 @@ def main():
             else "serving_e2e_cpu_smoke"
         ),
         "corpus": N, "dim": D, "index_mode": MODE,
-        "encoder": f"{enc_cfg.num_layers}L-d{enc_cfg.hidden_size} (0.6B-class, random init)",
+        "encoder": (
+            f"{ENC_FAMILY} {enc_cfg.num_layers}L-d{enc_cfg.hidden_size} "
+            "(random init)"
+        ),
         "encoder_only_qps": round(enc_qps, 1),
         "scan_only_qps": round(scan_qps, 1),
         "scan_pipelined_qps": round(scan_pipe_qps, 1),
