@@ -43,6 +43,36 @@ def test_compare_embedders_ranks_better_encoder_first(validation_csv):
     assert results[0].metrics["H@5"] > results[1].metrics["H@5"]
 
 
+def test_compare_all_three_model_families(validation_csv):
+    """The reference's model-selection workflow compares three embedders
+    (zbMath BERT / qwen / gemma, compare_embeddings.py:429-470). All
+    three JAX towers run through the same harness end to end."""
+    import jax
+
+    from theoremsearch_tpu.core.config import (
+        BertEncoderConfig,
+        EncoderConfig,
+        GemmaEncoderConfig,
+    )
+    from theoremsearch_tpu.encoder import bert, gemma, model
+    from theoremsearch_tpu.encoder.batching import BatchedEncoder
+
+    encoders = {}
+    for name, (cfgcls, mod) in {
+        "qwen": (EncoderConfig, model),
+        "gemma": (GemmaEncoderConfig, gemma),
+        "bert": (BertEncoderConfig, bert),
+    }.items():
+        cfg = cfgcls.tiny()
+        params = mod.init_params(cfg, jax.random.PRNGKey(0))
+        encoders[name] = BatchedEncoder(params, cfg, batch_size=16).encode
+    results = compare_embedders(encoders, validation_csv)
+    assert {r.name for r in results} == {"qwen", "gemma", "bert"}
+    for r in results:
+        assert r.metrics["num_queries"] > 0
+        assert all(np.isfinite(v) for v in r.metrics.values())
+
+
 def test_stratified_reservoir_bounds_and_coverage():
     stream = [(f"cat{i % 5}", i) for i in range(10_000)]
     res = stratified_reservoir(stream, per_stratum=50, seed=1)

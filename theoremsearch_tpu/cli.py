@@ -36,10 +36,11 @@ def _catalog(args):
 
 def _batched_encoder(args):
     """Checkpoint encoder when --model-dir is given (family auto-detected
-    from config.json: qwen or gemma, the reference's two embedder aliases,
-    ec2/generate_embeddings/embedders.py:1-4), hermetic otherwise
-    (family from --embedder)."""
-    from .core.config import EncoderConfig, GemmaEncoderConfig
+    from config.json: qwen, gemma or bert — the reference's three
+    embedders, ec2/generate_embeddings/embedders.py:1-4 +
+    compare_embeddings.py:429-470), hermetic otherwise (family from
+    --embedder)."""
+    from .core.config import BertEncoderConfig, EncoderConfig, GemmaEncoderConfig
     from .encoder.batching import BatchedEncoder
     from .encoder.tokenizer import get_tokenizer
     import jax
@@ -48,25 +49,33 @@ def _batched_encoder(args):
     if model_dir:
         from .encoder.loader import (
             detect_family,
+            load_hf_bert_checkpoint,
             load_hf_checkpoint,
             load_hf_gemma_checkpoint,
         )
 
-        if detect_family(model_dir) == "gemma":
+        family = detect_family(model_dir)
+        if family == "gemma":
             params, cfg = load_hf_gemma_checkpoint(model_dir)
+        elif family == "bert":
+            params, cfg = load_hf_bert_checkpoint(model_dir)
         else:
             params, cfg = load_hf_checkpoint(model_dir)
         tok = get_tokenizer(model_dir, cfg.vocab_size)
-    elif getattr(args, "embedder", "qwen") == "gemma":
-        from .encoder.gemma import init_params
-
-        cfg = GemmaEncoderConfig.tiny()
-        params = init_params(cfg, jax.random.PRNGKey(0))
-        tok = get_tokenizer(None, cfg.vocab_size)
     else:
-        from .encoder.model import init_params
+        family = getattr(args, "embedder", "qwen")
+        if family == "gemma":
+            from .encoder.gemma import init_params
 
-        cfg = EncoderConfig.tiny()
+            cfg = GemmaEncoderConfig.tiny()
+        elif family == "bert":
+            from .encoder.bert import init_params
+
+            cfg = BertEncoderConfig.tiny()
+        else:
+            from .encoder.model import init_params
+
+            cfg = EncoderConfig.tiny()
         params = init_params(cfg, jax.random.PRNGKey(0))
         tok = get_tokenizer(None, cfg.vocab_size)
     return BatchedEncoder(params, cfg, tokenizer=tok)
@@ -439,7 +448,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("query")
     s.add_argument("--spool", default="./spool")
     s.add_argument("--model-dir")
-    s.add_argument("--embedder", default="qwen", choices=["qwen", "gemma"],
+    s.add_argument("--embedder", default="qwen", choices=["qwen", "gemma", "bert"],
                    help="hermetic model family when --model-dir is absent "
                         "(with --model-dir the family is auto-detected)")
     s.add_argument("--top-k", type=int, default=10)
@@ -451,7 +460,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--port", type=int, default=8080)
     s.add_argument("--spool", default="./spool")
     s.add_argument("--model-dir")
-    s.add_argument("--embedder", default="qwen", choices=["qwen", "gemma"],
+    s.add_argument("--embedder", default="qwen", choices=["qwen", "gemma", "bert"],
                    help="hermetic model family when --model-dir is absent "
                         "(with --model-dir the family is auto-detected)")
     s.add_argument("--no-batching", action="store_true",
@@ -478,7 +487,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     s.add_argument("--context-window", default="body-and-summary-v1")
     s.add_argument("--model-dir")
-    s.add_argument("--embedder", default="qwen", choices=["qwen", "gemma"],
+    s.add_argument("--embedder", default="qwen", choices=["qwen", "gemma", "bert"],
                    help="hermetic model family when --model-dir is absent "
                         "(with --model-dir the family is auto-detected)")
     s.set_defaults(fn=cmd_eval)

@@ -193,6 +193,43 @@ class GemmaEncoderConfig(_JsonConfig):
 
 
 @dataclass(frozen=True)
+class BertEncoderConfig(_JsonConfig):
+    """BERT-base-class architecture — the reference's third embedder
+    (zbMath BERT, 768-dim table rds_schema.sql:45-50; one of the three
+    compared in compare_embeddings.py:429-470). Standard post-LayerNorm
+    bidirectional transformer with learned absolute positions, biased
+    projections and exact-GELU FFN; sentence-transformers mean pooling +
+    L2 normalize."""
+
+    vocab_size: int = 30_522
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    type_vocab_size: int = 2
+    hidden_act: str = "gelu"        # "gelu" (exact) | "gelu_new" (tanh)
+    layer_norm_eps: float = 1e-12
+    max_seq_len: int = 512
+    embedding_dim: int = 768
+    normalize: bool = True
+    dtype: str = "bfloat16"
+    param_dtype: str = "bfloat16"
+
+    @classmethod
+    def tiny(cls) -> "BertEncoderConfig":
+        """A small config for tests/dry-runs."""
+        return cls(
+            vocab_size=1024,
+            hidden_size=96,
+            intermediate_size=192,
+            num_layers=3,
+            num_heads=4,
+            max_seq_len=64,
+            embedding_dim=96,
+        )
+
+
+@dataclass(frozen=True)
 class SearchConfig(_JsonConfig):
     """Query-path knobs (the streamlit_app.py backend feature set)."""
 

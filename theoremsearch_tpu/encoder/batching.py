@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.config import EncoderConfig, GemmaEncoderConfig
+from ..core.config import BertEncoderConfig, EncoderConfig, GemmaEncoderConfig
 from ..utils.shapes import pow2_bucket
 from .model import Params, encode_pooled
 from .tokenizer import SimpleTokenizer
@@ -59,11 +59,13 @@ class BatchedEncoder:
             if (mesh is None and jax.default_backend() not in _NO_FUSED_BACKENDS)
             else "off"
         )
-        # model family dispatch on the config type: the gemma tower
-        # (EmbeddingGemma-300m-class, the reference's second embedder
-        # alias) shares this whole batching/bucketing layer
+        # model family dispatch on the config type: the gemma and bert
+        # towers (the reference's other two embedders) share this whole
+        # batching/bucketing layer
         if isinstance(cfg, GemmaEncoderConfig):
             from .gemma import encode_pooled as encode_fn
+        elif isinstance(cfg, BertEncoderConfig):
+            from .bert import encode_pooled as encode_fn
         else:
             encode_fn = encode_pooled
         self._fn = jax.jit(functools.partial(encode_fn, cfg=cfg, fused=fused))

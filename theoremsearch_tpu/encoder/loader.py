@@ -124,13 +124,15 @@ def load_hf_checkpoint(model_dir: str | Path, dtype: str = "bfloat16") -> tuple[
 
 
 def detect_family(model_dir: str | Path) -> str:
-    """'gemma' for Gemma3-text checkpoints (the reference's second
-    embedder alias, ec2/generate_embeddings/embedders.py:1-4), 'qwen'
-    otherwise."""
+    """'gemma' for Gemma3-text checkpoints, 'bert' for BERT-class ones
+    (the reference's three embedders: zbMath BERT / qwen / gemma,
+    compare_embeddings.py:429-470), 'qwen' otherwise."""
     cfg = json.loads((Path(model_dir) / "config.json").read_text())
     mt = str(cfg.get("model_type", "")).lower()
     if mt.startswith("gemma") or "use_bidirectional_attention" in cfg:
         return "gemma"
+    if mt == "bert" or "token_type_embeddings" in str(cfg.get("architectures", "")).lower():
+        return "bert"
     return "qwen"
 
 
@@ -278,4 +280,98 @@ def load_hf_gemma_checkpoint(
             head_hidden=params["head_w1"].shape[1],
             embedding_dim=params["head_w2"].shape[1],
         )
+    return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# bert family (zbMath-BERT-class: standard BertModel layout)
+# ---------------------------------------------------------------------------
+
+
+def bert_config_from_hf(model_dir: str | Path) -> "BertEncoderConfig":
+    from ..core.config import BertEncoderConfig
+
+    cfg = json.loads((Path(model_dir) / "config.json").read_text())
+    act = cfg.get("hidden_act", "gelu")
+    if act not in ("gelu", "gelu_new"):
+        raise ValueError(f"unsupported BERT hidden_act {act!r}")
+    return BertEncoderConfig(
+        vocab_size=cfg["vocab_size"],
+        hidden_size=cfg["hidden_size"],
+        intermediate_size=cfg["intermediate_size"],
+        num_layers=cfg["num_hidden_layers"],
+        num_heads=cfg["num_attention_heads"],
+        type_vocab_size=cfg.get("type_vocab_size", 2),
+        hidden_act=act,
+        layer_norm_eps=cfg.get("layer_norm_eps", 1e-12),
+        max_seq_len=cfg.get("max_position_embeddings", 512),
+        embedding_dim=cfg["hidden_size"],
+    )
+
+
+_BERT_LAYER_MAPPING = {
+    "attention.self.query.weight": ("wq", True, False),
+    "attention.self.query.bias": ("bq", False, True),
+    "attention.self.key.weight": ("wk", True, False),
+    "attention.self.key.bias": ("bk", False, True),
+    "attention.self.value.weight": ("wv", True, False),
+    "attention.self.value.bias": ("bv", False, True),
+    "attention.output.dense.weight": ("wo", True, False),
+    "attention.output.dense.bias": ("bo", False, True),
+    "attention.output.LayerNorm.weight": ("attn_ln_g", False, True),
+    "attention.output.LayerNorm.bias": ("attn_ln_b", False, True),
+    "intermediate.dense.weight": ("w_in", True, False),
+    "intermediate.dense.bias": ("b_in", False, True),
+    "output.dense.weight": ("w_out", True, False),
+    "output.dense.bias": ("b_out", False, True),
+    "output.LayerNorm.weight": ("mlp_ln_g", False, True),
+    "output.LayerNorm.bias": ("mlp_ln_b", False, True),
+}
+
+
+def load_hf_bert_checkpoint(
+    model_dir: str | Path, dtype: str = "bfloat16"
+) -> tuple[dict, "BertEncoderConfig"]:
+    """Params pytree from a local BERT-class checkpoint (standard
+    BertModel tensor layout, with or without a 'bert.' prefix; the
+    pooler head is skipped — sentence-transformers mean pooling is the
+    reference's inference path)."""
+    model_dir = Path(model_dir)
+    cfg = bert_config_from_hf(model_dir)
+    pdtype = jnp.dtype(dtype)
+
+    layers: list[dict] = [dict() for _ in range(cfg.num_layers)]
+    params: dict = {"layers": layers}
+
+    def to_param(arr: np.ndarray, transpose: bool, norm: bool):
+        a = np.asarray(arr)
+        if transpose:
+            a = a.T
+        return jnp.asarray(a, dtype=jnp.float32 if norm else pdtype)
+
+    embed_map = {
+        "embeddings.word_embeddings.weight": ("embed", False, False),
+        "embeddings.position_embeddings.weight": ("pos_embed", False, False),
+        "embeddings.token_type_embeddings.weight": ("type_embed", False, False),
+        "embeddings.LayerNorm.weight": ("embed_ln_g", False, True),
+        "embeddings.LayerNorm.bias": ("embed_ln_b", False, True),
+    }
+    for name, tensor in _iter_safetensors(model_dir):
+        if name.startswith("bert."):
+            name = name[len("bert."):]
+        if name.startswith(("pooler.", "cls.")):
+            continue
+        if name in embed_map:
+            key, tr, is_norm = embed_map[name]
+            params[key] = to_param(tensor, tr, is_norm)
+        elif name.startswith("encoder.layer."):
+            rest = name[len("encoder.layer."):]
+            li, sub = rest.split(".", 1)
+            if sub in _BERT_LAYER_MAPPING:
+                key, tr, is_norm = _BERT_LAYER_MAPPING[sub]
+                layers[int(li)][key] = to_param(tensor, tr, is_norm)
+
+    missing = [i for i, l in enumerate(layers) if len(l) != 16]
+    if "embed" not in params or missing:
+        raise ValueError(f"incomplete bert checkpoint: missing layers {missing[:4]}...")
     return params, cfg
