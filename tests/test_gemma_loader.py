@@ -184,3 +184,37 @@ def test_batched_encoder_gemma_mesh():
     # bf16 activations + TP-reshuffled reduction order: gate on cosine
     cos = np.sum(out * ref, axis=1)
     assert cos.min() > 0.999, cos
+
+
+def test_role_prompts_applied(tmp_path):
+    """sentence-transformers role prompts: encode(role=...) must equal
+    encoding the manually prefixed text, and load_st_prompts reads the
+    checkpoint's config_sentence_transformers.json."""
+    import jax
+
+    from theoremsearch_tpu.core.config import GemmaEncoderConfig
+    from theoremsearch_tpu.encoder.batching import BatchedEncoder
+    from theoremsearch_tpu.encoder.gemma import init_params
+    from theoremsearch_tpu.encoder.loader import load_st_prompts
+
+    (tmp_path / "config_sentence_transformers.json").write_text(json.dumps({
+        "prompts": {
+            "query": "task: search result | query: ",
+            "document": "title: none | text: ",
+        }
+    }))
+    prompts = load_st_prompts(tmp_path)
+    assert prompts["query"].startswith("task: search result")
+    assert load_st_prompts(tmp_path / "missing") == {}
+
+    cfg = GemmaEncoderConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    enc = BatchedEncoder(params, cfg, batch_size=8, prompts=prompts)
+    q = enc.encode(["prime gaps"], role="query")
+    manual = enc.encode(["task: search result | query: prime gaps"])
+    np.testing.assert_allclose(q, manual, atol=1e-6)
+    # roles change the embedding
+    d = enc.encode(["prime gaps"], role="document")
+    assert not np.allclose(q, d, atol=1e-4)
+    # for_role closure matches the role call
+    np.testing.assert_allclose(enc.for_role("query")(["prime gaps"]), q, atol=1e-6)

@@ -78,11 +78,17 @@ def _batched_encoder(args):
             cfg = EncoderConfig.tiny()
         params = init_params(cfg, jax.random.PRNGKey(0))
         tok = get_tokenizer(None, cfg.vocab_size)
-    return BatchedEncoder(params, cfg, tokenizer=tok)
+    prompts = {}
+    if model_dir:
+        from .encoder.loader import load_st_prompts
+
+        prompts = load_st_prompts(model_dir)
+    return BatchedEncoder(params, cfg, tokenizer=tok, prompts=prompts)
 
 
-def _encoder(args):
-    return _batched_encoder(args).encode
+def _encoder(args, role: str | None = None):
+    be = _batched_encoder(args)
+    return be.for_role(role) if role else be.encode
 
 
 def cmd_ingest_arxiv(args):
@@ -163,7 +169,8 @@ def cmd_embed(args):
             ),
         }[args.index_dtype]
     n = embed_missing_slogans(
-        _catalog(args), _encoder(args), IndexBuilder(args.spool, cfg),
+        _catalog(args), _encoder(args, role="document"),
+        IndexBuilder(args.spool, cfg),
         embedder=args.embedder, limit=args.limit,
     )
     print(f"embedded {n} slogans")
@@ -202,9 +209,11 @@ def cmd_search(args):
     from .search.filters import SearchFilters
     from .serve.app import SearchService
 
-    encode = _encoder(args)
-    engine = build_engine_from_catalog(_catalog(args), encode, args.spool)
-    svc = SearchService(engine, encode)
+    be = _batched_encoder(args)
+    engine = build_engine_from_catalog(
+        _catalog(args), be.for_role("document"), args.spool
+    )
+    svc = SearchService(engine, be.for_role("query"))
     rows = svc.search_and_display(
         args.query, SearchFilters(top_k=args.top_k, citation_weight=args.citation_weight)
     )
@@ -224,19 +233,23 @@ def make_search_server(args):
     from .serve.http_api import SearchServer
     from .serve.scheduler import BatchScheduler
 
+    import functools
+
     be = _batched_encoder(args)
     cat = _catalog(args)
-    engine = build_engine_from_catalog(cat, be.encode, args.spool)
+    engine = build_engine_from_catalog(
+        cat, be.for_role("document"), args.spool
+    )
     sched = None
     if not args.no_batching:
         sched = BatchScheduler(
             engine,
             max_batch=args.max_batch,
             max_wait_ms=args.max_wait_ms,
-            encode_fn=be.encode_device,
+            encode_fn=functools.partial(be.encode_device, role="query"),
             max_pending=args.max_pending or None,
         )
-    svc = SearchService(engine, be.encode, scheduler=sched)
+    svc = SearchService(engine, be.for_role("query"), scheduler=sched)
     if getattr(args, "warm", False):
         # compile every program serving can hit BEFORE taking traffic:
         # pow2 query buckets through the production path, plus the
@@ -298,7 +311,7 @@ def make_search_server(args):
                 _time.sleep(refresh_s)
                 try:
                     n = refresh_engine_from_catalog(
-                        pcat, engine, be.encode, builder=spool
+                        pcat, engine, be.for_role("document"), builder=spool
                     )
                     if n:
                         print(f"[refresh] {n} new docs live "
@@ -330,7 +343,11 @@ def cmd_serve(args):
 def cmd_eval(args):
     from .eval.harness import evaluate_encoder_on_validation
 
-    m = evaluate_encoder_on_validation(_encoder(args), args.validation, args.context_window)
+    be = _batched_encoder(args)
+    m = evaluate_encoder_on_validation(
+        be.for_role("query"), args.validation, args.context_window,
+        doc_encode_fn=be.for_role("document"),
+    )
     print(json.dumps({k: round(v, 4) for k, v in m.items()}))
 
 

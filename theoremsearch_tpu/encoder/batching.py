@@ -42,10 +42,16 @@ class BatchedEncoder:
         mesh: Mesh | None = None,
         batch_size: int = 64,
         buckets: Sequence[int] = DEFAULT_BUCKETS,
+        prompts: dict | None = None,
     ):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer or SimpleTokenizer(vocab_size=cfg.vocab_size)
+        # sentence-transformers role prompts (config_sentence_transformers
+        # .json "prompts": e.g. embeddinggemma's "task: search result |
+        # query: " / "title: none | text: "; the qwen instruct template).
+        # Applied as text prefixes when encode(..., role=...) names one.
+        self.prompts = dict(prompts or {})
         self.mesh = mesh
         self.batch_size = batch_size
         self.buckets = tuple(
@@ -127,7 +133,17 @@ class BatchedEncoder:
             out /= np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
         return out
 
-    def encode_device(self, texts: Sequence[str]) -> "jax.Array":
+    def _apply_prompt(self, texts: Sequence[str], role: str | None) -> list:
+        pre = self.prompts.get(role) if role else None
+        return [pre + t for t in texts] if pre else list(texts)
+
+    def for_role(self, role: str):
+        """encode() closure with a fixed role — the plumbing-friendly
+        form for pipeline (documents) and serving (queries) call sites
+        that take a bare Callable[[list[str]], ndarray]."""
+        return functools.partial(self.encode, role=role)
+
+    def encode_device(self, texts: Sequence[str], role: str | None = None) -> "jax.Array":
         """Like encode(), but the result STAYS ON DEVICE (no host sync):
         feeds SearchEngine.search_vectors_async directly so the serving
         pipeline syncs once per batch, at the results.
@@ -143,7 +159,7 @@ class BatchedEncoder:
             return jnp.zeros((0, self.cfg.embedding_dim), jnp.float32)
         n = len(texts)
         n_pad = pow2_bucket(n)
-        texts = list(texts) + [""] * (n_pad - n)
+        texts = self._apply_prompt(texts, role) + [""] * (n_pad - n)
         tokenized = [self.tokenizer.tokenize(t) for t in texts]
         bs = self.batch_size
         # single sub-batch: every row pads to the longest row's bucket
@@ -200,10 +216,13 @@ class BatchedEncoder:
             mask_d = jax.device_put(mask_d, self._data_sharding)
         return ids_d, mask_d, len(idx)
 
-    def encode(self, texts: Sequence[str]) -> np.ndarray:
-        """(len(texts), embedding_dim) fp32, normalized per config."""
+    def encode(self, texts: Sequence[str], role: str | None = None) -> np.ndarray:
+        """(len(texts), embedding_dim) fp32, normalized per config.
+        `role` selects a sentence-transformers prompt prefix ("query" /
+        "document") when the checkpoint ships one."""
         if not len(texts):
             return np.zeros((0, self.cfg.embedding_dim), np.float32)
+        texts = self._apply_prompt(texts, role)
         tokenized = [self.tokenizer.tokenize(t) for t in texts]
         if len(texts) <= self.batch_size:
             order = list(range(len(texts)))

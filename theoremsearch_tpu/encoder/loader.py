@@ -283,6 +283,22 @@ def load_hf_gemma_checkpoint(
     return params, cfg
 
 
+def load_st_prompts(model_dir: str | Path) -> dict:
+    """Role prompts from config_sentence_transformers.json ("prompts":
+    name -> text prefix; embeddinggemma ships 'query'/'document' among
+    others, qwen an instruct template). Empty dict when absent — the
+    hermetic path and bare-tower checkpoints carry none."""
+    p = Path(model_dir) / "config_sentence_transformers.json"
+    if not p.exists():
+        return {}
+    try:
+        cfg = json.loads(p.read_text())
+    except (OSError, json.JSONDecodeError):
+        return {}
+    prompts = cfg.get("prompts") or {}
+    return {str(k): str(v) for k, v in prompts.items()}
+
+
 # ---------------------------------------------------------------------------
 # bert family (zbMath-BERT-class: standard BertModel layout)
 # ---------------------------------------------------------------------------

@@ -96,14 +96,17 @@ def evaluate_encoder_on_validation(
     validation_path: str | Path,
     context_window: str = DEFAULT_CONTEXT_WINDOW,
     top_k_report: int = 5,
+    doc_encode_fn: Callable[[list[str]], np.ndarray] | None = None,
 ) -> dict[str, float]:
     """End-to-end IR evaluation: encode queries + slogans, exact cosine
     ranking, the full reference metric suite. Mirrors
     compare_embeddings.py evaluate_retrieval (:55-92) with the corpus =
-    the validation slogans themselves."""
+    the validation slogans themselves. Asymmetric-prompt checkpoints
+    (embeddinggemma / qwen-instruct) pass their document encoder as
+    doc_encode_fn; queries always go through encode_fn."""
     examples = load_validation_set(validation_path, context_window)
     q_emb = np.asarray(encode_fn([ex.query for ex in examples]))
-    s_emb = np.asarray(encode_fn([ex.slogan for ex in examples]))
+    s_emb = np.asarray((doc_encode_fn or encode_fn)([ex.slogan for ex in examples]))
     # normalize BEFORE ranking: an encoder returning unnormalized
     # embeddings would otherwise be ranked by document norm, not angle
     # (the reference uses util.cos_sim, compare_embeddings.py:61)
