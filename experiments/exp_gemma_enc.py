@@ -59,18 +59,30 @@ def param_count(p):
     return sum(int(np.prod(a.shape)) for a in jax.tree.leaves(p))
 
 
+def matmul_param_count(p):
+    """Params that actually multiply (embedding tables are gathers, not
+    matmuls — counting them overstates TF/s asymmetrically: the table is
+    ~2/3 of gemma's params but ~1/4 of qwen's)."""
+    return sum(
+        int(np.prod(a.shape))
+        for k, a in jax.tree_util.tree_flatten_with_path(p)[0]
+        if "embed" not in str(k)
+    ) if isinstance(p, dict) else 0
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     out = {"metric": "gemma_encoder", "batch": B, "points": {}}
 
     gcfg = GemmaEncoderConfig(max_seq_len=64)
     gparams = jax.device_put(gemma.init_params(gcfg, jax.random.PRNGKey(0)))
-    n_g = param_count(gparams)
-    print(f"gemma params: {n_g/1e6:.1f}M", flush=True)
+    n_g = matmul_param_count(gparams)
+    print(f"gemma params: {param_count(gparams)/1e6:.1f}M "
+          f"({n_g/1e6:.1f}M matmul)", flush=True)
 
     qcfg = EncoderConfig(max_seq_len=64)
     qparams = jax.device_put(qwen.init_params(qcfg, jax.random.PRNGKey(0)))
-    n_q = param_count(qparams)
+    n_q = matmul_param_count(qparams)
 
     for S in (16, 32):
         ids = np.random.default_rng(0).integers(3, gcfg.vocab_size, (B, S)).astype(np.int32)

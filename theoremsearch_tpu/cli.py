@@ -62,6 +62,9 @@ def _batched_encoder(args):
         else:
             params, cfg = load_hf_checkpoint(model_dir)
         tok = get_tokenizer(model_dir, cfg.vocab_size)
+        from .encoder.loader import load_st_prompts
+
+        prompts = load_st_prompts(model_dir)
     else:
         family = getattr(args, "embedder", "qwen")
         if family == "gemma":
@@ -78,11 +81,7 @@ def _batched_encoder(args):
             cfg = EncoderConfig.tiny()
         params = init_params(cfg, jax.random.PRNGKey(0))
         tok = get_tokenizer(None, cfg.vocab_size)
-    prompts = {}
-    if model_dir:
-        from .encoder.loader import load_st_prompts
-
-        prompts = load_st_prompts(model_dir)
+        prompts = {}
     return BatchedEncoder(params, cfg, tokenizer=tok, prompts=prompts)
 
 
@@ -435,7 +434,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_slogans)
 
     s = sub.add_parser("embed")
-    s.add_argument("--embedder", default="qwen")
+    s.add_argument("--embedder", default="qwen", choices=["qwen", "gemma", "bert"],
+                   help="embedder alias: tags the catalog rows AND picks the "
+                        "hermetic architecture when --model-dir is absent")
     s.add_argument("--spool", default="./spool")
     s.add_argument("--model-dir")
     s.add_argument("--limit", type=int)

@@ -169,8 +169,6 @@ def encode_pooled(
     pooled = jnp.sum(hidden.astype(jnp.float32) * m, axis=1) / jnp.maximum(
         jnp.sum(m, axis=1), 1e-9
     )
-    if cfg.embedding_dim != pooled.shape[-1]:
-        pooled = pooled[:, : cfg.embedding_dim]
     if cfg.normalize:
         pooled = pooled / jnp.maximum(
             jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
@@ -206,17 +204,9 @@ def param_sharding_rules(mesh: Mesh, tp_axis: str = "shard") -> Params:
 
 
 def shard_params(params: Params, mesh: Mesh, tp_axis: str = "shard") -> Params:
-    rules = param_sharding_rules(mesh, tp_axis)
+    from .sharding import place_params
 
-    def place(p, r):
-        return jax.device_put(p, NamedSharding(mesh, r))
-
-    out = {k: place(v, rules[k]) for k, v in params.items() if k != "layers"}
-    out["layers"] = [
-        {name: place(val, rules["layers"][name]) for name, val in layer.items()}
-        for layer in params["layers"]
-    ]
-    return out
+    return place_params(params, param_sharding_rules(mesh, tp_axis), mesh)
 
 
 class BertEncoder:

@@ -301,17 +301,9 @@ def param_sharding_rules(mesh: Mesh, tp_axis: str = "shard") -> Params:
 
 
 def shard_params(params: Params, mesh: Mesh, tp_axis: str = "shard") -> Params:
-    rules = param_sharding_rules(mesh, tp_axis)
+    from .sharding import place_params
 
-    def place(p, r):
-        return jax.device_put(p, NamedSharding(mesh, r))
-
-    out = {k: place(v, rules[k]) for k, v in params.items() if k != "layers"}
-    out["layers"] = [
-        {name: place(val, rules["layers"][name]) for name, val in layer.items()}
-        for layer in params["layers"]
-    ]
-    return out
+    return place_params(params, param_sharding_rules(mesh, tp_axis), mesh)
 
 
 class GemmaEncoder:

@@ -131,7 +131,10 @@ def detect_family(model_dir: str | Path) -> str:
     mt = str(cfg.get("model_type", "")).lower()
     if mt.startswith("gemma") or "use_bidirectional_attention" in cfg:
         return "gemma"
-    if mt == "bert" or "token_type_embeddings" in str(cfg.get("architectures", "")).lower():
+    archs = [str(a).lower() for a in cfg.get("architectures", [])]
+    if mt == "bert" or any(a.startswith("bert") for a in archs):
+        # class names like BertModel/BertForMaskedLM; 'distilbert...'
+        # deliberately excluded (different tensor layout)
         return "bert"
     return "qwen"
 
@@ -293,7 +296,12 @@ def load_st_prompts(model_dir: str | Path) -> dict:
         return {}
     try:
         cfg = json.loads(p.read_text())
-    except (OSError, json.JSONDecodeError):
+    except (OSError, json.JSONDecodeError) as e:
+        # a checkpoint that SHIPS the file but can't be read must not
+        # silently serve prompt-less queries against a prompted corpus
+        import warnings
+
+        warnings.warn(f"unreadable {p.name} ({e}); role prompts DISABLED")
         return {}
     prompts = cfg.get("prompts") or {}
     return {str(k): str(v) for k, v in prompts.items()}

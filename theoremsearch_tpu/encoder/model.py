@@ -344,20 +344,9 @@ def param_sharding_rules(mesh: Mesh, tp_axis: str = "shard") -> Params:
 
 def shard_params(params: Params, mesh: Mesh, tp_axis: str = "shard") -> Params:
     """Place params on the mesh according to the TP rules."""
-    rules = param_sharding_rules(mesh, tp_axis)
+    from .sharding import place_params
 
-    def place(p, r):
-        return jax.device_put(p, NamedSharding(mesh, r))
-
-    out = {
-        "embed": place(params["embed"], rules["embed"]),
-        "final_norm": place(params["final_norm"], rules["final_norm"]),
-        "layers": [
-            {name: place(val, rules["layers"][name]) for name, val in layer.items()}
-            for layer in params["layers"]
-        ],
-    }
-    return out
+    return place_params(params, param_sharding_rules(mesh, tp_axis), mesh)
 
 
 class QwenEncoder:

@@ -85,26 +85,34 @@ def main():
     # of the 0.6B qwen tower — the fast-serving embedder alias
     MODE = os.environ.get("SERVE_MODE", "bf16")
     ENC_FAMILY = os.environ.get("SERVE_ENCODER", "qwen")
+    from theoremsearch_tpu.core.config import BertEncoderConfig
+
+    FAMILIES = {
+        "qwen": EncoderConfig,
+        "gemma": GemmaEncoderConfig,
+        "bert": BertEncoderConfig,
+    }
+    if ENC_FAMILY not in FAMILIES:
+        raise SystemExit(
+            f"SERVE_ENCODER={ENC_FAMILY!r}: pick one of {sorted(FAMILIES)}"
+        )
+    cfg_cls = FAMILIES[ENC_FAMILY]
     if on_tpu:
         N, ROW_BLOCK, MAX_BATCH = 1_048_576, 4096, 512
         N = int(os.environ.get("SERVE_ROWS", str(N)))
-        enc_cfg = (
-            GemmaEncoderConfig(max_seq_len=64) if ENC_FAMILY == "gemma"
-            else EncoderConfig(max_seq_len=64)
-        )
+        enc_cfg = cfg_cls(max_seq_len=64)
         D = enc_cfg.embedding_dim
         LEVELS = (8, 32, 128, 512)
         RUN_S = float(os.environ.get("SERVE_RUN_S", "10.0"))
     else:  # CPU smoke
-        enc_cfg = (
-            GemmaEncoderConfig.tiny() if ENC_FAMILY == "gemma"
-            else EncoderConfig.tiny()
-        )
+        enc_cfg = cfg_cls.tiny()
         N, D, ROW_BLOCK, MAX_BATCH = 32_768, enc_cfg.embedding_dim, 1024, 64
         LEVELS = (4, 16)
         RUN_S = 3.0
     if ENC_FAMILY == "gemma":
         from theoremsearch_tpu.encoder.gemma import init_params
+    elif ENC_FAMILY == "bert":
+        from theoremsearch_tpu.encoder.bert import init_params
     else:
         from theoremsearch_tpu.encoder.model import init_params
 
