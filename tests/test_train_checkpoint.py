@@ -42,3 +42,35 @@ def test_restore_missing_returns_none(tmp_path):
     tcfg = TrainConfig()
     assert restore_checkpoint(tmp_path / "nope", cfg, tcfg) is None
     assert latest_step(tmp_path / "nope") is None
+
+
+def test_training_generalizes_to_gemma_and_bert():
+    """The InfoNCE step trains all three encoder families (loss finite
+    and decreasing over a few steps on a fixed tiny batch)."""
+    import jax
+    import numpy as np
+
+    from theoremsearch_tpu.core.config import (
+        BertEncoderConfig,
+        GemmaEncoderConfig,
+        TrainConfig,
+    )
+    from theoremsearch_tpu.train.contrastive import (
+        init_train_state,
+        make_train_step,
+    )
+
+    tcfg = TrainConfig(batch_size=8, seq_len=12, learning_rate=1e-3)
+    rng = np.random.default_rng(0)
+    for cfg in (GemmaEncoderConfig.tiny(), BertEncoderConfig.tiny()):
+        q_ids = rng.integers(1, cfg.vocab_size, (8, 12)).astype(np.int32)
+        p_ids = (q_ids + 1) % cfg.vocab_size
+        mask = np.ones((8, 12), np.int32)
+        state = init_train_state(cfg, tcfg)
+        step = make_train_step(cfg, tcfg)
+        losses = []
+        for _ in range(4):
+            state, loss = step(state, q_ids, mask, p_ids, mask)
+            losses.append(float(loss))
+        assert all(np.isfinite(losses)), losses
+        assert losses[-1] < losses[0], (type(cfg).__name__, losses)

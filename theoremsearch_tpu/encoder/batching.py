@@ -21,9 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.config import BertEncoderConfig, EncoderConfig, GemmaEncoderConfig
+from ..core.config import EncoderConfig
 from ..utils.shapes import pow2_bucket
-from .model import Params, encode_pooled
+from .model import Params
 from .tokenizer import SimpleTokenizer
 
 DEFAULT_BUCKETS = (64, 128, 256, 512)
@@ -68,13 +68,11 @@ class BatchedEncoder:
         # model family dispatch on the config type: the gemma and bert
         # towers (the reference's other two embedders) share this whole
         # batching/bucketing layer
-        if isinstance(cfg, GemmaEncoderConfig):
-            from .gemma import encode_pooled as encode_fn
-        elif isinstance(cfg, BertEncoderConfig):
-            from .bert import encode_pooled as encode_fn
-        else:
-            encode_fn = encode_pooled
-        self._fn = jax.jit(functools.partial(encode_fn, cfg=cfg, fused=fused))
+        from .families import family_module
+
+        self._fn = jax.jit(
+            functools.partial(family_module(cfg).encode_pooled, cfg=cfg, fused=fused)
+        )
         if mesh is not None:
             self._data_sharding = NamedSharding(mesh, P("data", None))
         else:

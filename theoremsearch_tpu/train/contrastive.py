@@ -23,7 +23,8 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import EncoderConfig, TrainConfig
-from ..encoder.model import Params, encode_pooled, init_params, param_sharding_rules
+from ..encoder.families import family_module
+from ..encoder.model import Params
 
 
 class TrainState(NamedTuple):
@@ -41,7 +42,7 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 def init_train_state(enc_cfg: EncoderConfig, train_cfg: TrainConfig, key=None) -> TrainState:
     key = key if key is not None else jax.random.PRNGKey(train_cfg.seed)
-    params = init_params(enc_cfg, key)
+    params = family_module(enc_cfg).init_params(enc_cfg, key)
     opt = make_optimizer(train_cfg)
     return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
 
@@ -56,8 +57,9 @@ def info_nce_loss(
     temperature: float,
     fused: str = "off",
 ) -> jax.Array:
-    q = encode_pooled(params, q_ids, q_mask, enc_cfg, fused=fused)  # (B, D) fp32, normalized
-    p = encode_pooled(params, p_ids, p_mask, enc_cfg, fused=fused)
+    encode = family_module(enc_cfg).encode_pooled
+    q = encode(params, q_ids, q_mask, enc_cfg, fused=fused)  # (B, D) fp32, normalized
+    p = encode(params, p_ids, p_mask, enc_cfg, fused=fused)
     logits = (q @ p.T) / temperature                            # (B, B)
     labels = jnp.arange(q.shape[0])
     loss_qp = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
@@ -112,9 +114,8 @@ def init_sharded_train_state(
 ) -> TrainState:
     """Params placed by the tensor-parallel rules; the adamw moments
     inherit the param shardings from opt.init on already-placed params."""
-    from ..encoder.model import shard_params
-
+    mod = family_module(enc_cfg)
     key = key if key is not None else jax.random.PRNGKey(train_cfg.seed)
-    params = shard_params(init_params(enc_cfg, key), mesh)
+    params = mod.shard_params(mod.init_params(enc_cfg, key), mesh)
     opt = make_optimizer(train_cfg)
     return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
