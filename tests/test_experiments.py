@@ -98,3 +98,20 @@ def test_plot_category_clusters(tmp_path, rng):
     cats = [f"math.{c}" for c in "ABCD" for _ in range(100)]
     out = plot_category_clusters(emb, cats, tmp_path / "pca.png", per_stratum=40)
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_compare_embedders_cli(capsys):
+    """CLI wrapper prints the metric table and a best-embedder line."""
+    import sys
+    from unittest import mock
+
+    from theoremsearch_tpu.cli import main
+
+    argv = ["prog", "compare-embedders", "--families", "qwen", "bert"]
+    with mock.patch.object(sys, "argv", argv):
+        main()
+    out = capsys.readouterr().out
+    lines = [l for l in out.strip().splitlines() if l]
+    assert lines[0].startswith("embedder\t")
+    assert {l.split("\t")[0] for l in lines[1:-1]} == {"qwen", "bert"}
+    assert lines[-1].startswith("best (by H@k):")

@@ -350,6 +350,32 @@ def cmd_eval(args):
     print(json.dumps({k: round(v, 4) for k, v in m.items()}))
 
 
+def cmd_compare_embedders(args):
+    """Side-by-side embedder evaluation on the validation set — the
+    reference's model-selection workflow (compare_embeddings.py:429-470,
+    verdict "Qwen3 0.6B is the best of three embedders"). Compares the
+    named hermetic families, plus any --model-dir checkpoints (family
+    auto-detected, role prompts applied)."""
+    import argparse as _argparse
+
+    from .eval.experiments import best_embedder, compare_embedders
+
+    encoders = {}
+    for fam in args.families:
+        ns = _argparse.Namespace(embedder=fam, model_dir=None)
+        encoders[fam] = _batched_encoder(ns).encode
+    for md in args.model_dir or []:
+        ns = _argparse.Namespace(model_dir=md)
+        be = _batched_encoder(ns)
+        encoders[md] = be.for_role("query")
+    results = compare_embedders(encoders, args.validation, args.context_window)
+    cols = list(results[0].metrics) if results else []
+    print("\t".join(["embedder"] + cols))
+    for r in results:
+        print("\t".join([r.name] + [f"{r.metrics[c]:.4f}" for c in cols]))
+    print(f"best (by H@k): {best_embedder(results)}")
+
+
 def cmd_ingest_tex(args):
     """Ingest local .tex files directly (parity with the reference's
     selective_ingest.py GitHub-tex ingestor): each file becomes a
@@ -509,6 +535,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="hermetic model family when --model-dir is absent "
                         "(with --model-dir the family is auto-detected)")
     s.set_defaults(fn=cmd_eval)
+
+    s = sub.add_parser("compare-embedders")
+    s.add_argument(
+        "--validation",
+        default=str(_pkg_root() / "data" / "validation_set.csv"),
+    )
+    s.add_argument("--context-window", default="body-and-summary-v1")
+    s.add_argument("--families", nargs="*", default=["qwen", "gemma", "bert"],
+                   choices=["qwen", "gemma", "bert"],
+                   help="hermetic families to compare")
+    s.add_argument("--model-dir", action="append",
+                   help="also compare a real checkpoint dir (repeatable)")
+    s.set_defaults(fn=cmd_compare_embedders)
 
     s = sub.add_parser("ingest-tex")
     s.add_argument("files", nargs="+")
