@@ -89,14 +89,18 @@ def main():
         mask = np.ones((B, S), np.int32)
         ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
 
-        gfn = jax.jit(functools.partial(gemma.encode_pooled, cfg=gcfg))
-        dt = timed(gfn, gparams, ids_d, mask_d)
         gflops = 2 * n_g * B * S
-        print(
-            f"gemma  S={S:3d}: {dt*1e3:7.2f} ms  {gflops/dt/1e12:6.1f} TF/s  "
-            f"{B/dt:,.0f} q/s", flush=True,
-        )
-        out["points"][f"gemma_s{S}"] = {"ms": round(dt * 1e3, 2), "qps": round(B / dt, 1)}
+        dt = None
+        for mode in ("off", "on"):
+            gfn = jax.jit(functools.partial(gemma.encode_pooled, cfg=gcfg, fused=mode))
+            dt = timed(gfn, gparams, ids_d, mask_d)
+            print(
+                f"gemma  S={S:3d} fused={mode:3s}: {dt*1e3:7.2f} ms  "
+                f"{gflops/dt/1e12:6.1f} TF/s  {B/dt:,.0f} q/s", flush=True,
+            )
+            out["points"][f"gemma_s{S}_fused_{mode}"] = {
+                "ms": round(dt * 1e3, 2), "qps": round(B / dt, 1),
+            }
 
         ids_q = np.random.default_rng(0).integers(3, qcfg.vocab_size, (B, S)).astype(np.int32)
         qfn = jax.jit(functools.partial(qwen.encode_pooled, cfg=qcfg, fused="on"))

@@ -204,3 +204,50 @@ def test_sliding_vs_global_masks_differ(tiny_pair):
     d_near = np.abs(out_full[0, S - 2] - out_pert[0, S - 2]).max()
     d_far = np.abs(out_full[0, 0] - out_pert[0, 0]).max()
     assert d_near > d_far
+
+
+def test_fused_attention_matches_xla_path():
+    """The Pallas fused bidirectional attention (interpret mode) matches
+    the XLA reference composition at serving shapes where the sliding
+    window cannot bind, including padded rows and both rope kinds."""
+    import jax
+
+    cfg = GemmaEncoderConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=2, num_kv_heads=1, head_dim=128,
+        sliding_window=256, global_every=2, query_pre_attn_scalar=128.0,
+        max_seq_len=32, head_hidden=32, embedding_dim=64,
+        dtype="float32", param_dtype="float32",
+    )
+    params = gemma.init_params(cfg, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(0)
+    B, S = 8, 16
+    assert gemma._fused_ok(cfg, S, B)
+    ids = rng.integers(0, cfg.vocab_size, (B, S)).astype(np.int64)
+    mask = np.ones((B, S), np.int64)
+    mask[3, 9:] = 0
+    ref = np.asarray(gemma.forward(params, ids, mask, cfg, fused="off"))
+    got = np.asarray(gemma.forward(params, ids, mask, cfg, fused="interpret"))
+    real = mask.astype(bool)
+    cos = np.sum(ref[real] * got[real], -1) / np.maximum(
+        np.linalg.norm(ref[real], axis=-1) * np.linalg.norm(got[real], axis=-1),
+        1e-12,
+    )
+    assert cos.min() > 0.999, cos.min()
+
+    # gradients flow through the custom VJP (backward = XLA recompute)
+    def loss(p):
+        h = gemma.forward(p, ids, mask, cfg, fused="interpret")
+        return (h.astype(np.float32) ** 2).mean()
+
+    g = jax.grad(loss)(params)
+    assert np.isfinite(np.asarray(g["layers"][0]["wq"], np.float32)).all()
+
+    # shapes where the window binds must REJECT the fused path
+    assert not gemma._fused_ok(
+        type(cfg)(**{**cfg.__dict__, "sliding_window": 16}), S, B
+    )
+    # odd head_dim rejects too
+    assert not gemma._fused_ok(
+        type(cfg)(**{**cfg.__dict__, "head_dim": 96}), S, B
+    )

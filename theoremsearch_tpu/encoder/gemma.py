@@ -177,6 +177,106 @@ def _attention(
     return out @ layer["wo"]
 
 
+# ---------------------------------------------------------------------------
+# fused attention (Pallas) — serving shapes only
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_attn_core(
+    h: int, hk: int, dh: int, eps: float, scale: float, interpret: bool
+):
+    """custom-VJP wrapper like the qwen tower's: forward = fused Pallas
+    kernel (kernels/attention.py, causal=False, gemma (1+w) norm folded
+    into pre-adjusted weights), backward = jax.vjp of the XLA reference
+    composition recomputed."""
+    from ..kernels.attention import fused_qknorm_rope_attention
+
+    def ref(q, k, v, qw1, kw1, cos, sin, mask):
+        # qw1/kw1 arrive PRE-ADJUSTED (1 + w); rebuild the gemma norm
+        b, s, _ = q.shape
+        def norm(x, w1):
+            xf = x.astype(jnp.float32)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            return (xf * jax.lax.rsqrt(var + eps) * w1).astype(x.dtype)
+        q4 = norm(q.reshape(b, s, h, dh), qw1)
+        k4 = norm(k.reshape(b, s, hk, dh), kw1)
+        q4 = _rope(q4, cos, sin)
+        k4 = _rope(k4, cos, sin)
+        rep = h // hk
+        if rep > 1:
+            k4 = jnp.repeat(k4, rep, axis=2)
+            v4 = jnp.repeat(v.reshape(b, s, hk, dh), rep, axis=2)
+        else:
+            v4 = v.reshape(b, s, hk, dh)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q4, k4, preferred_element_type=jnp.float32
+        ) * scale
+        valid = (mask != 0)[:, None, None, :]
+        logits = jnp.where(valid, logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, v4, preferred_element_type=jnp.float32
+        )
+        return out.astype(jnp.bfloat16).reshape(b, s, h * dh)
+
+    @jax.custom_vjp
+    def core(q, k, v, qw1, kw1, cos, sin, mask):
+        return fused_qknorm_rope_attention(
+            q, k, v, qw1, kw1, cos, sin, mask,
+            num_heads=h, num_kv_heads=hk, head_dim=dh, eps=eps,
+            causal=False, scale=scale, interpret=interpret,
+        )
+
+    def fwd(q, k, v, qw1, kw1, cos, sin, mask):
+        return core(q, k, v, qw1, kw1, cos, sin, mask), (
+            q, k, v, qw1, kw1, cos, sin, mask
+        )
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(g)
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+def _fused_ok(cfg: GemmaEncoderConfig, s: int, b: int) -> bool:
+    """Fused path gate for gemma serving shapes: 128-lane-multiple
+    head_dim, batch divisible by the packing factor, s small enough that
+    (a) the VMEM-resident design fits and (b) the bidirectional sliding
+    window can never bind (max |q - kv| = s - 1 <= W//2), making every
+    layer full-bidirectional — embeddinggemma's W=512 means any s <= 128
+    qualifies."""
+    bb = max(1, 128 // s)
+    return (
+        cfg.head_dim % 128 == 0
+        and s <= 128
+        and (s - 1) <= cfg.sliding_window // 2
+        and b % bb == 0
+        and cfg.num_heads % cfg.num_kv_heads == 0
+    )
+
+
+def _attention_fused(
+    layer: Params, x: jax.Array, attention_mask: jax.Array, rope_cs: tuple,
+    cfg: GemmaEncoderConfig, interpret: bool,
+) -> jax.Array:
+    cos, sin = rope_cs
+    q = x @ layer["wq"]
+    k = x @ layer["wk"]
+    v = x @ layer["wv"]
+    core = _make_attn_core(
+        cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.rms_norm_eps,
+        float(cfg.query_pre_attn_scalar) ** -0.5, interpret,
+    )
+    attn = core(
+        q, k, v, 1.0 + layer["q_norm"], 1.0 + layer["k_norm"], cos, sin,
+        attention_mask.astype(jnp.int32),
+    )
+    return attn.astype(x.dtype) @ layer["wo"]
+
+
 def _mlp(layer: Params, x: jax.Array) -> jax.Array:
     """GeGLU with tanh-approximate gelu (hidden_activation
     gelu_pytorch_tanh), computed in fp32 like the norms."""
@@ -192,8 +292,15 @@ def forward(
     input_ids: jax.Array,
     attention_mask: jax.Array,
     cfg: GemmaEncoderConfig,
+    fused: str = "off",
 ) -> jax.Array:
-    """Hidden states (B, S, H) after the final norm."""
+    """Hidden states (B, S, H) after the final norm.
+
+    fused: "off" = XLA reference attention; "on" = fused Pallas
+    attention (kernels/attention.py) when _fused_ok qualifies the
+    shapes — at serving S the sliding window never binds, so every
+    layer runs the full-bidirectional fused block with its own rope
+    tables; "interpret" = fused kernel in interpret mode (CPU tests)."""
     dtype = jnp.dtype(cfg.dtype)
     # the sqrt(hidden) embed scale lives in model dtype (HF rounds
     # sqrt(3072) to 55.5 in bf16; parity requires the same rounding)
@@ -223,12 +330,18 @@ def forward(
     half_w = cfg.sliding_window // 2 + 1
     valid_sliding = valid_full & (dist < half_w)[:, None, :, :]
 
+    use_fused = fused in ("on", "interpret") and _fused_ok(cfg, s, b)
     for li, layer in enumerate(params["layers"]):
         glob = is_global_layer(cfg, li)
         rope_cs = rope_global if glob else rope_local
         valid = valid_full if glob else valid_sliding
         xa = _gemma_rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
-        attn = _attention(layer, xa, valid, rope_cs, cfg)
+        if use_fused:
+            attn = _attention_fused(
+                layer, xa, attention_mask, rope_cs, cfg, fused == "interpret"
+            )
+        else:
+            attn = _attention(layer, xa, valid, rope_cs, cfg)
         x = x + _gemma_rms_norm(attn, layer["post_attn_norm"], cfg.rms_norm_eps)
         xm = _gemma_rms_norm(x, layer["pre_mlp_norm"], cfg.rms_norm_eps)
         mlp = _mlp(layer, xm)
@@ -246,11 +359,8 @@ def encode_pooled(
     """Pooled embeddings (B, embedding_dim): mean pool over valid tokens
     -> Dense -> Dense -> L2 normalize (the sentence-transformers module
     stack of embeddinggemma: Pooling(mean), 2_Dense, 3_Dense,
-    Normalize). `fused` is accepted for interface parity with the qwen
-    tower; the gemma tower always runs the XLA attention (head_dim 256
-    doesn't fit the fused kernel's 128-lane packing)."""
-    del fused
-    hidden = forward(params, input_ids, attention_mask, cfg)
+    Normalize)."""
+    hidden = forward(params, input_ids, attention_mask, cfg, fused=fused)
     m = attention_mask[:, :, None].astype(jnp.float32)
     pooled = jnp.sum(hidden.astype(jnp.float32) * m, axis=1) / jnp.maximum(
         jnp.sum(m, axis=1), 1e-9

@@ -68,11 +68,11 @@ def _attn_kernel(
     head_dim: int,
     eps: float,
     causal: bool,
+    scale: float,
 ):
     bb, s, _ = q_ref.shape
     t = bb * s
     half = head_dim // 2
-    scale = 1.0 / np.sqrt(head_dim)
 
     cos = cos_ref[...].reshape(t, half)
     sin = sin_ref[...].reshape(t, half)
@@ -133,7 +133,7 @@ def _attn_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "num_kv_heads", "head_dim", "eps",
-                     "causal", "interpret"),
+                     "causal", "scale", "interpret"),
 )
 def fused_qknorm_rope_attention(
     q: jax.Array,      # (B, S, H*Dh) bf16 — raw projections (pre-norm)
@@ -150,13 +150,17 @@ def fused_qknorm_rope_attention(
     head_dim: int,
     eps: float = 1e-6,
     causal: bool = True,
+    scale: float | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused attention block output (B, S, H*Dh) bf16 (pre-wo).
 
-    Requires head_dim a multiple of 128-lane-friendly sizes (128 for the
-    0.6B config) and B a multiple of the packing factor
-    max(1, 128 // S) — guaranteed by the pow2 batch buckets (min 8)."""
+    Requires head_dim a multiple of 128 lanes (128 for the qwen 0.6B
+    config, 256 for embeddinggemma) and B a multiple of the packing
+    factor max(1, 128 // S) — guaranteed by the pow2 batch buckets.
+    `scale` overrides the 1/sqrt(head_dim) logit scaling (gemma uses
+    query_pre_attn_scalar**-0.5); gemma-form (1+w) RMSNorm is expressed
+    by passing the pre-adjusted weights 1 + w."""
     b, s, _ = q.shape
     bb = max(1, 128 // s)
     if b % bb:
@@ -171,6 +175,7 @@ def fused_qknorm_rope_attention(
         head_dim=head_dim,
         eps=eps,
         causal=causal,
+        scale=float(scale) if scale is not None else 1.0 / np.sqrt(head_dim),
     )
     t = bb * s
     flops = 2 * 2 * b * num_heads * s * (t * head_dim)
