@@ -84,7 +84,12 @@ class BatchedEncoder:
                 return b
         return self.buckets[-1]
 
-    def encode_long(self, texts: Sequence[str], chunk_tokens: int | None = None) -> np.ndarray:
+    def encode_long(
+        self,
+        texts: Sequence[str],
+        chunk_tokens: int | None = None,
+        role: str | None = None,
+    ) -> np.ndarray:
         """Long-document encoding: blockwise encode + mean-pool.
 
         The reference avoids long inputs entirely (theorems are compressed
@@ -94,6 +99,10 @@ class BatchedEncoder:
         encoded normally, and the normalized chunk embeddings mean-pooled
         and re-normalized."""
         chunk_tokens = chunk_tokens or (self.buckets[-1] - 2)
+        # role prompt applies to the document ONCE, before chunking (the
+        # prefix lands in the first chunk — matching sentence-transformers,
+        # which prompts the full text and then truncates)
+        texts = self._apply_prompt(texts, role)
         pieces: list[str] = []
         owners: list[int] = []
         for i, t in enumerate(texts):
