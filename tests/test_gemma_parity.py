@@ -251,3 +251,59 @@ def test_fused_attention_matches_xla_path():
     assert not gemma._fused_ok(
         type(cfg)(**{**cfg.__dict__, "head_dim": 96}), S, B
     )
+
+
+def test_loader_roundtrip_from_hf_state_dict(tmp_path, tiny_pair):
+    """Save the HF Gemma3TextModel's own state_dict as a checkpoint dir;
+    load_hf_gemma_checkpoint must reproduce the parity fixture's forward
+    exactly (closes the loader <-> HF loop, like the bert test)."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from theoremsearch_tpu.encoder.loader import (
+        detect_family,
+        load_hf_gemma_checkpoint,
+    )
+
+    cfg, m, params = tiny_pair
+    (tmp_path / "config.json").write_text(json.dumps({
+        "model_type": "gemma3_text",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "head_dim": cfg.head_dim,
+        "rope_theta": cfg.rope_theta,
+        "rope_local_base_freq": cfg.rope_local_theta,
+        "sliding_window": cfg.sliding_window,
+        "layer_types": [
+            "full_attention" if gemma.is_global_layer(cfg, i) else "sliding_attention"
+            for i in range(cfg.num_layers)
+        ],
+        "query_pre_attn_scalar": cfg.query_pre_attn_scalar,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "use_bidirectional_attention": True,
+    }))
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    save_file(sd, str(tmp_path / "model.safetensors"))
+
+    assert detect_family(tmp_path) == "gemma"
+    loaded, lcfg = load_hf_gemma_checkpoint(tmp_path, dtype="float32")
+    lcfg = type(lcfg)(**{**lcfg.__dict__, "dtype": "float32", "param_dtype": "float32"})
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, cfg.vocab_size, (2, 20)).astype(np.int64)
+    mask = np.ones((2, 20), np.int64)
+    mask[1, 8:] = 0
+    got = np.asarray(gemma.forward(loaded, ids, mask, lcfg))
+    want = np.asarray(gemma.forward(params, ids, mask, cfg))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # and against HF itself
+    with torch.no_grad():
+        ref = m(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+        ).last_hidden_state.numpy()
+    np.testing.assert_allclose(got[0], ref[0], rtol=2e-4, atol=2e-4)
