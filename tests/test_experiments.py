@@ -115,3 +115,21 @@ def test_compare_embedders_cli(capsys):
     assert lines[0].startswith("embedder\t")
     assert {l.split("\t")[0] for l in lines[1:-1]} == {"qwen", "bert"}
     assert lines[-1].startswith("best (by H@k):")
+
+
+def test_compare_embedders_role_pairs(validation_csv):
+    """(query_encode, doc_encode) pair values: documents must be encoded
+    by the doc encoder, not the query one."""
+    calls = {"q": 0, "d": 0}
+
+    def q_enc(texts):
+        calls["q"] += 1
+        return _bow(64)(texts)
+
+    def d_enc(texts):
+        calls["d"] += 1
+        return _bow(64)(texts)
+
+    results = compare_embedders({"paired": (q_enc, d_enc)}, validation_csv)
+    assert calls["q"] == 1 and calls["d"] == 1
+    assert results[0].name == "paired"

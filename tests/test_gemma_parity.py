@@ -307,3 +307,33 @@ def test_loader_roundtrip_from_hf_state_dict(tmp_path, tiny_pair):
             attention_mask=torch.from_numpy(mask),
         ).last_hidden_state.numpy()
     np.testing.assert_allclose(got[0], ref[0], rtol=2e-4, atol=2e-4)
+
+
+def test_fused_attention_at_production_head_shapes():
+    """CI coverage for embeddinggemma's real head geometry (head_dim=256,
+    3:1 GQA) through the fused kernel in interpret mode — the shape the
+    relaxed _fused_ok gate exists to admit."""
+    import jax
+
+    cfg = GemmaEncoderConfig(
+        vocab_size=512, hidden_size=768, intermediate_size=256,
+        num_layers=2, num_heads=3, num_kv_heads=1, head_dim=256,
+        sliding_window=512, global_every=2, query_pre_attn_scalar=256.0,
+        max_seq_len=32, head_hidden=64, embedding_dim=768,
+        dtype="float32", param_dtype="float32",
+    )
+    params = gemma.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    B, S = 8, 16
+    assert gemma._fused_ok(cfg, S, B)
+    ids = rng.integers(0, cfg.vocab_size, (B, S)).astype(np.int64)
+    mask = np.ones((B, S), np.int64)
+    mask[2, 5:] = 0
+    ref = np.asarray(gemma.forward(params, ids, mask, cfg, fused="off"))
+    got = np.asarray(gemma.forward(params, ids, mask, cfg, fused="interpret"))
+    real = mask.astype(bool)
+    cos = np.sum(ref[real] * got[real], -1) / np.maximum(
+        np.linalg.norm(ref[real], axis=-1) * np.linalg.norm(got[real], axis=-1),
+        1e-12,
+    )
+    assert cos.min() > 0.999, cos.min()

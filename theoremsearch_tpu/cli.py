@@ -356,18 +356,20 @@ def cmd_compare_embedders(args):
     verdict "Qwen3 0.6B is the best of three embedders"). Compares the
     named hermetic families, plus any --model-dir checkpoints (family
     auto-detected, role prompts applied)."""
-    import argparse as _argparse
-
     from .eval.experiments import best_embedder, compare_embedders
 
     encoders = {}
     for fam in args.families:
-        ns = _argparse.Namespace(embedder=fam, model_dir=None)
+        ns = argparse.Namespace(embedder=fam, model_dir=None)
         encoders[fam] = _batched_encoder(ns).encode
     for md in args.model_dir or []:
-        ns = _argparse.Namespace(model_dir=md)
+        ns = argparse.Namespace(model_dir=md)
         be = _batched_encoder(ns)
-        encoders[md] = be.for_role("query")
+        # asymmetric role prompts: queries and documents each get their
+        # own prefix (single-callable values would query-prompt the docs)
+        encoders[md] = (be.for_role("query"), be.for_role("document"))
+    if not encoders:
+        raise SystemExit("nothing to compare: pass --families and/or --model-dir")
     results = compare_embedders(encoders, args.validation, args.context_window)
     cols = list(results[0].metrics) if results else []
     print("\t".join(["embedder"] + cols))

@@ -22,11 +22,3 @@ def family_module(cfg):
     from . import model
 
     return model
-
-
-def family_name(cfg) -> str:
-    if isinstance(cfg, GemmaEncoderConfig):
-        return "gemma"
-    if isinstance(cfg, BertEncoderConfig):
-        return "bert"
-    return "qwen"

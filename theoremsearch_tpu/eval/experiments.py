@@ -27,17 +27,22 @@ class EmbedderResult:
 
 
 def compare_embedders(
-    encoders: Mapping[str, Callable[[list[str]], np.ndarray]],
+    encoders: Mapping[str, Callable[[list[str]], np.ndarray] | tuple],
     validation_path: str | Path,
     context_window: str = "body-and-summary-v1",
     top_k_report: int = 5,
 ) -> list[EmbedderResult]:
     """Evaluate each named encoder on the validation set; sorted by H@k
-    descending (the reference's selection criterion)."""
+    descending (the reference's selection criterion). A value may be a
+    single callable or a (query_encode, doc_encode) pair — required for
+    asymmetric-prompt checkpoints (embeddinggemma / qwen-instruct),
+    whose documents must NOT carry the query prefix."""
     out = []
     for name, enc in encoders.items():
+        q_enc, d_enc = enc if isinstance(enc, tuple) else (enc, None)
         metrics = evaluate_encoder_on_validation(
-            enc, validation_path, context_window, top_k_report
+            q_enc, validation_path, context_window, top_k_report,
+            doc_encode_fn=d_enc,
         )
         out.append(EmbedderResult(name=name, metrics=metrics))
     out.sort(key=lambda r: -r.metrics.get(f"H@{top_k_report}", 0.0))
