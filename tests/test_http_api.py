@@ -271,3 +271,13 @@ def test_cli_serve_command_end_to_end(tmp_path):
         srv.stop()
         if sched is not None:
             sched.shutdown()
+
+
+def test_feedback_endpoint(server):
+    code, res = _post(server, "/feedback", {
+        "feedback": "up", "query": "prime gaps",
+        "url": "https://arxiv.org/abs/1", "theorem_name": "Theorem 1",
+    })
+    assert code == 200 and res["saved"] is True
+    code, res = _post(server, "/feedback", {"feedback": "meh"})
+    assert code == 400

@@ -132,6 +132,21 @@ def make_handler(service: SearchService):
                     ids = req.get("doc_ids") or []
                     n = service.delete_documents([int(i) for i in ids])
                     self._send(200, {"deleted": n})
+                elif self.path == "/feedback":
+                    # thumbs up/down persistence (the reference's UI-only
+                    # save_feedback stub, streamlit_app.py:145-147, made
+                    # a real API)
+                    vote = req.get("feedback", req.get("vote", ""))
+                    if vote not in ("up", "down"):
+                        self._send(400, {"error": "feedback must be 'up' or 'down'"})
+                        return
+                    service.save_feedback(
+                        vote,
+                        str(req.get("query", "")),
+                        str(req.get("url", "")),
+                        str(req.get("theorem_name", "")),
+                    )
+                    self._send(200, {"saved": True})
                 else:
                     self._send(404, {"error": "not found"})
             except json.JSONDecodeError:
