@@ -17,20 +17,24 @@ import os
 
 
 def build_service():
-    from ..cli import _encoder
+    from ..cli import _batched_encoder
     from ..ingest.catalog import Catalog
     from ..pipeline import build_engine_from_catalog
     from .app import SearchService
 
     class _Args:
         model_dir = os.environ.get("THEOREMSEARCH_MODEL_DIR")
+        embedder = os.environ.get("THEOREMSEARCH_EMBEDDER", "qwen")
 
-    encode = _encoder(_Args())
+    be = _batched_encoder(_Args())
     catalog = Catalog(os.environ.get("THEOREMSEARCH_CATALOG", "catalog.db"))
+    # documents embed with the document role prompt, queries with the
+    # query one (asymmetric-prompt checkpoints, same split as cmd_serve)
     engine = build_engine_from_catalog(
-        catalog, encode, os.environ.get("THEOREMSEARCH_SPOOL", "./spool")
+        catalog, be.for_role("document"),
+        os.environ.get("THEOREMSEARCH_SPOOL", "./spool"),
     )
-    return SearchService(engine, encode, feedback_path="feedback.jsonl")
+    return SearchService(engine, be.for_role("query"), feedback_path="feedback.jsonl")
 
 
 def main():  # pragma: no cover - requires streamlit runtime
