@@ -74,3 +74,33 @@ def test_training_generalizes_to_gemma_and_bert():
             losses.append(float(loss))
         assert all(np.isfinite(losses)), losses
         assert losses[-1] < losses[0], (type(cfg).__name__, losses)
+
+
+def test_train_cli_end_to_end(tmp_path, capsys):
+    """`train` subcommand: pairs from the validation CSV, loss falls,
+    checkpoint saves and resumes, --eval prints before/after metrics."""
+    import sys
+    from unittest import mock
+
+    from theoremsearch_tpu.cli import main
+
+    ck = str(tmp_path / "ck")
+    argv = ["prog", "train", "--steps", "12", "--batch-size", "8",
+            "--seq-len", "16", "--lr", "3e-4", "--eval",
+            "--checkpoint-dir", ck, "--checkpoint-every", "6",
+            "--log-every", "4"]
+    with mock.patch.object(sys, "argv", argv):
+        main()
+    out = capsys.readouterr().out
+    assert "[train] before:" in out and "[train] after:" in out
+    assert "checkpoint saved" in out
+    from theoremsearch_tpu.train.checkpoint import latest_step
+
+    assert latest_step(ck) == 12
+    # resume: runs only the remaining steps past the checkpoint
+    argv2 = argv[:3] + ["16"] + argv[4:]
+    with mock.patch.object(sys, "argv", argv2):
+        main()
+    out2 = capsys.readouterr().out
+    assert "resumed at step 12" in out2
+    assert latest_step(ck) == 16

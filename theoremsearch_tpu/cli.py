@@ -378,6 +378,83 @@ def cmd_compare_embedders(args):
     print(f"best (by H@k): {best_embedder(results)}")
 
 
+def cmd_train(args):
+    """Contrastive fine-tuning on (query, slogan) pairs — the training
+    loop the reference lacks (its embedder is a frozen download). Pairs
+    come from the validation CSV, the catalog's slogan<->body rows, and
+    thumbs-up feedback; checkpoints save/resume through
+    train/checkpoint.py; before/after retrieval metrics come from the
+    eval harness on the same validation set."""
+    import numpy as np
+
+    from .core.config import TrainConfig
+    from .eval.harness import evaluate_encoder_on_validation
+    from .train.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+    from .train.contrastive import init_train_state, make_train_step
+    from .train.data import (
+        batch_iterator,
+        pairs_from_catalog,
+        pairs_from_feedback,
+        pairs_from_validation,
+        tokenize_pairs,
+    )
+
+    be = _batched_encoder(args)
+    cfg, tok = be.cfg, be.tokenizer
+    tcfg = TrainConfig(
+        batch_size=args.batch_size, seq_len=args.seq_len,
+        learning_rate=args.lr, temperature=args.temperature,
+        steps=args.steps, seed=args.seed,
+    )
+
+    pairs = pairs_from_validation(args.validation, args.context_window)
+    if getattr(args, "catalog", None):
+        try:
+            pairs += pairs_from_catalog(_catalog(args), limit=args.catalog_limit)
+        except Exception as e:  # noqa: BLE001 — catalog optional for train
+            print(f"[train] catalog pairs skipped: {e}")
+    if args.feedback:
+        pairs += pairs_from_feedback(args.feedback)
+    print(f"[train] {len(pairs)} pairs")
+
+    state = init_train_state(cfg, tcfg)
+    start = 0
+    if args.checkpoint_dir:
+        restored = restore_checkpoint(args.checkpoint_dir, cfg, tcfg)
+        if restored is not None:
+            state = restored
+            start = int(state.step)
+            print(f"[train] resumed at step {start}")
+
+    if args.eval:
+        m0 = evaluate_encoder_on_validation(be.encode, args.validation, args.context_window)
+        print("[train] before:", json.dumps({k: round(v, 4) for k, v in m0.items()}))
+
+    arrays = tokenize_pairs(pairs, tok, tcfg.seq_len)
+    step_fn = make_train_step(cfg, tcfg)
+    losses = []
+    for i, (q_ids, q_mask, p_ids, p_mask) in enumerate(
+        batch_iterator(arrays, tcfg.batch_size, tcfg.steps - start, seed=tcfg.seed),
+        start=start + 1,
+    ):
+        state, loss = step_fn(state, q_ids, q_mask, p_ids, p_mask)
+        losses.append(float(loss))
+        if i % max(1, args.log_every) == 0:
+            print(f"[train] step {i}: loss {np.mean(losses[-args.log_every:]):.4f}")
+        if args.checkpoint_dir and args.checkpoint_every and i % args.checkpoint_every == 0:
+            save_checkpoint(state, args.checkpoint_dir)
+    if args.checkpoint_dir:
+        save_checkpoint(state, args.checkpoint_dir)
+        print(f"[train] checkpoint saved to {args.checkpoint_dir}")
+
+    # serve the tuned params through the SAME BatchedEncoder machinery
+    be.params = state.params
+    if args.eval:
+        m1 = evaluate_encoder_on_validation(be.encode, args.validation, args.context_window)
+        print("[train] after:", json.dumps({k: round(v, 4) for k, v in m1.items()}))
+    print(f"[train] final loss {losses[-1]:.4f} over {len(losses)} steps")
+
+
 def cmd_ingest_tex(args):
     """Ingest local .tex files directly (parity with the reference's
     selective_ingest.py GitHub-tex ingestor): each file becomes a
@@ -537,6 +614,32 @@ def build_parser() -> argparse.ArgumentParser:
                    help="hermetic model family when --model-dir is absent "
                         "(with --model-dir the family is auto-detected)")
     s.set_defaults(fn=cmd_eval)
+
+    s = sub.add_parser("train")
+    s.add_argument(
+        "--validation",
+        default=str(_pkg_root() / "data" / "validation_set.csv"),
+    )
+    s.add_argument("--context-window", default="body-and-summary-v1")
+    s.add_argument("--catalog", default=None,
+                   help="also pair latest slogans with theorem bodies from this catalog")
+    s.add_argument("--catalog-limit", type=int, default=None)
+    s.add_argument("--feedback", default=None,
+                   help="feedback JSONL; thumbs-up rows become (query, theorem) pairs")
+    s.add_argument("--model-dir")
+    s.add_argument("--embedder", default="qwen", choices=["qwen", "gemma", "bert"])
+    s.add_argument("--steps", type=int, default=100)
+    s.add_argument("--batch-size", type=int, default=32)
+    s.add_argument("--seq-len", type=int, default=64)
+    s.add_argument("--lr", type=float, default=1e-4)
+    s.add_argument("--temperature", type=float, default=0.05)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--checkpoint-dir", default=None)
+    s.add_argument("--checkpoint-every", type=int, default=50)
+    s.add_argument("--log-every", type=int, default=10)
+    s.add_argument("--eval", action="store_true",
+                   help="report validation metrics before and after")
+    s.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("compare-embedders")
     s.add_argument(
