@@ -274,10 +274,52 @@ def test_cli_serve_command_end_to_end(tmp_path):
 
 
 def test_feedback_endpoint(server):
+    # the shared fixture's service has NO feedback_path: the endpoint
+    # must answer honestly that nothing was persisted
     code, res = _post(server, "/feedback", {
         "feedback": "up", "query": "prime gaps",
         "url": "https://arxiv.org/abs/1", "theorem_name": "Theorem 1",
     })
-    assert code == 200 and res["saved"] is True
+    assert code == 200 and res["saved"] is False
     code, res = _post(server, "/feedback", {"feedback": "meh"})
     assert code == 400
+
+
+def test_feedback_persists_with_path(tmp_path, server):
+    import json as _json
+
+    from theoremsearch_tpu.serve.http_api import SearchServer
+
+    svc = server.service if hasattr(server, "service") else None
+    # build a tiny service WITH a feedback path
+    from theoremsearch_tpu.core.config import IndexConfig
+    from theoremsearch_tpu.index.flat import FlatIndex
+    from theoremsearch_tpu.search.engine import SearchEngine
+    from theoremsearch_tpu.serve.app import SearchService
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((32, 16)).astype(np.float32)
+    idx = FlatIndex.build(emb, config=IndexConfig(dim=16, pad_multiple=16), normalize=True)
+    eng = SearchEngine(idx, use_pallas=False, row_block=16)
+    fb = tmp_path / "fb.jsonl"
+    svc2 = SearchService(eng, lambda t: emb[: len(t)], feedback_path=str(fb))
+    srv2 = SearchServer(svc2).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv2.port}/feedback",
+            data=_json.dumps({
+                "feedback": "up", "query": "q", "url": "u",
+                "theorem_name": "Theorem 1.", "text": "primes are infinite",
+            }).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert _json.loads(r.read())["saved"] is True
+    finally:
+        srv2.stop()
+    rec = _json.loads(fb.read_text().strip())
+    assert rec["text"] == "primes are infinite"
+    # and the training-pair reader picks it up
+    from theoremsearch_tpu.train.data import pairs_from_feedback
+
+    assert pairs_from_feedback(fb) == [("q", "primes are infinite")]

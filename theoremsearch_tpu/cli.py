@@ -248,7 +248,10 @@ def make_search_server(args):
             encode_fn=functools.partial(be.encode_device, role="query"),
             max_pending=args.max_pending or None,
         )
-    svc = SearchService(engine, be.for_role("query"), scheduler=sched)
+    svc = SearchService(
+        engine, be.for_role("query"), scheduler=sched,
+        feedback_path=getattr(args, "feedback_path", None),
+    )
     if getattr(args, "warm", False):
         # compile every program serving can hit BEFORE taking traffic:
         # pow2 query buckets through the production path, plus the
@@ -387,10 +390,12 @@ def cmd_train(args):
     eval harness on the same validation set."""
     import numpy as np
 
+    import jax.numpy as jnp
+
     from .core.config import TrainConfig
     from .eval.harness import evaluate_encoder_on_validation
-    from .train.checkpoint import latest_step, restore_checkpoint, save_checkpoint
-    from .train.contrastive import init_train_state, make_train_step
+    from .train.checkpoint import restore_checkpoint, save_checkpoint
+    from .train.contrastive import TrainState, make_optimizer, make_train_step
     from .train.data import (
         batch_iterator,
         pairs_from_catalog,
@@ -415,9 +420,27 @@ def cmd_train(args):
             print(f"[train] catalog pairs skipped: {e}")
     if args.feedback:
         pairs += pairs_from_feedback(args.feedback)
+    # tune under the SAME prompts serving applies: queries get the query
+    # prefix, positives the document prefix (train/serve consistency)
+    q_pre = be.prompts.get("query", "")
+    d_pre = be.prompts.get("document", "")
+    if q_pre or d_pre:
+        pairs = [(q_pre + q, d_pre + d) for q, d in pairs]
     print(f"[train] {len(pairs)} pairs")
 
-    state = init_train_state(cfg, tcfg)
+    def eval_metrics():
+        return evaluate_encoder_on_validation(
+            be.for_role("query"), args.validation, args.context_window,
+            doc_encode_fn=be.for_role("document"),
+        )
+
+    # START from the encoder's CURRENT params — the loaded --model-dir
+    # checkpoint or the hermetic init — not a fresh random init
+    opt = make_optimizer(tcfg)
+    state = TrainState(
+        params=be.params, opt_state=opt.init(be.params),
+        step=jnp.zeros((), jnp.int32),
+    )
     start = 0
     if args.checkpoint_dir:
         restored = restore_checkpoint(args.checkpoint_dir, cfg, tcfg)
@@ -425,16 +448,30 @@ def cmd_train(args):
             state = restored
             start = int(state.step)
             print(f"[train] resumed at step {start}")
+    if start >= tcfg.steps:
+        be.params = state.params
+        print(f"[train] checkpoint already at step {start} >= --steps "
+              f"{tcfg.steps}; nothing to do")
+        if args.eval:
+            print("[train] metrics:", json.dumps(
+                {k: round(v, 4) for k, v in eval_metrics().items()}))
+        return
 
     if args.eval:
-        m0 = evaluate_encoder_on_validation(be.encode, args.validation, args.context_window)
+        m0 = eval_metrics()
         print("[train] before:", json.dumps({k: round(v, 4) for k, v in m0.items()}))
 
     arrays = tokenize_pairs(pairs, tok, tcfg.seq_len)
     step_fn = make_train_step(cfg, tcfg)
     losses = []
+    saved_at = None
+    # seed the stream PAST the consumed prefix: a resumed run must not
+    # replay the batches the checkpointed run already saw
     for i, (q_ids, q_mask, p_ids, p_mask) in enumerate(
-        batch_iterator(arrays, tcfg.batch_size, tcfg.steps - start, seed=tcfg.seed),
+        batch_iterator(
+            arrays, tcfg.batch_size, tcfg.steps - start,
+            seed=tcfg.seed + start,
+        ),
         start=start + 1,
     ):
         state, loss = step_fn(state, q_ids, q_mask, p_ids, p_mask)
@@ -443,14 +480,16 @@ def cmd_train(args):
             print(f"[train] step {i}: loss {np.mean(losses[-args.log_every:]):.4f}")
         if args.checkpoint_dir and args.checkpoint_every and i % args.checkpoint_every == 0:
             save_checkpoint(state, args.checkpoint_dir)
-    if args.checkpoint_dir:
+            saved_at = i
+    if args.checkpoint_dir and saved_at != int(state.step):
         save_checkpoint(state, args.checkpoint_dir)
+    if args.checkpoint_dir:
         print(f"[train] checkpoint saved to {args.checkpoint_dir}")
 
     # serve the tuned params through the SAME BatchedEncoder machinery
     be.params = state.params
     if args.eval:
-        m1 = evaluate_encoder_on_validation(be.encode, args.validation, args.context_window)
+        m1 = eval_metrics()
         print("[train] after:", json.dumps({k: round(v, 4) for k, v in m1.items()}))
     print(f"[train] final loss {losses[-1]:.4f} over {len(losses)} steps")
 
@@ -592,6 +631,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--max-wait-ms", type=float, default=8.0)
     s.add_argument("--max-pending", type=int, default=2048,
                    help="admission-control bound (0 = unbounded); beyond it requests get HTTP 429")
+    s.add_argument("--feedback-path", default="feedback.jsonl",
+                   help="JSONL file for POST /feedback votes (the InfoNCE "
+                        "training signal); empty string disables")
     s.add_argument("--refresh-interval", type=float, default=0.0,
                    help="poll the catalog every N seconds for new slogans and "
                         "add them to the live index (0 = off)")

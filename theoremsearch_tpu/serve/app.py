@@ -147,9 +147,20 @@ class SearchService:
     # ---------------- feedback ----------------
 
     def save_feedback(
-        self, feedback: str, query: str, url: str, theorem_name: str, filters: SearchFilters | None = None
-    ) -> None:
-        """Thumbs-up/down persistence (implemented, unlike the reference stub)."""
+        self,
+        feedback: str,
+        query: str,
+        url: str,
+        theorem_name: str,
+        filters: SearchFilters | None = None,
+        text: str | None = None,
+    ) -> bool:
+        """Thumbs-up/down persistence (implemented, unlike the reference
+        stub). `text` is the voted result's slogan/body — the usable
+        InfoNCE positive for train --feedback (the theorem NAME alone is
+        boilerplate). Returns whether the vote was actually written (a
+        service without feedback_path drops votes; callers must not
+        claim otherwise)."""
         import json
 
         record = {
@@ -158,11 +169,14 @@ class SearchService:
             "query": query,
             "url": url,
             "theorem_name": theorem_name,
+            "text": text,
             "filters": (filters.__dict__ if filters else {}),
         }
-        if self._feedback_path:
-            with open(self._feedback_path, "a", encoding="utf-8") as f:
-                f.write(json.dumps(record, default=list) + "\n")
+        if not self._feedback_path:
+            return False
+        with open(self._feedback_path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(record, default=list) + "\n")
+        return True
 
 
 def _filters_from_ui(d: dict) -> SearchFilters:

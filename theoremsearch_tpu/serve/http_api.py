@@ -140,13 +140,14 @@ def make_handler(service: SearchService):
                     if vote not in ("up", "down"):
                         self._send(400, {"error": "feedback must be 'up' or 'down'"})
                         return
-                    service.save_feedback(
+                    saved = service.save_feedback(
                         vote,
                         str(req.get("query", "")),
                         str(req.get("url", "")),
                         str(req.get("theorem_name", "")),
+                        text=req.get("text"),
                     )
-                    self._send(200, {"saved": True})
+                    self._send(200, {"saved": saved})
                 else:
                     self._send(404, {"error": "not found"})
             except json.JSONDecodeError:

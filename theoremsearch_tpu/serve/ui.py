@@ -108,10 +108,17 @@ def main():  # pragma: no cover - requires streamlit runtime
                 st.markdown(f"**{info['theorem_name'] or 'Theorem Body.'}**")
                 st.markdown(info["display_markdown"])
                 c1, c2 = st.columns(2)
+                voted_text = info.get("theorem_slogan") or info.get("theorem_body")
                 if c1.button("👍", key=f"up_{i}"):
-                    svc.save_feedback("up", query, info["paper_url"], info["theorem_name"], filters)
+                    svc.save_feedback(
+                        "up", query, info["paper_url"], info["theorem_name"],
+                        filters, text=voted_text,
+                    )
                 if c2.button("👎", key=f"down_{i}"):
-                    svc.save_feedback("down", query, info["paper_url"], info["theorem_name"], filters)
+                    svc.save_feedback(
+                        "down", query, info["paper_url"], info["theorem_name"],
+                        filters, text=voted_text,
+                    )
 
 
 if __name__ == "__main__":  # pragma: no cover

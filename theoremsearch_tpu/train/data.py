@@ -38,13 +38,18 @@ def pairs_from_catalog(catalog, limit: int | None = None) -> list[tuple[str, str
         "WHERE s.slogan_id IN (SELECT MAX(slogan_id) FROM theorem_slogan "
         "GROUP BY theorem_id)"
     )
-    if limit:
+    if limit is not None:
         sql += f" LIMIT {int(limit)}"
     return [(r[0], r[1]) for r in catalog.conn.execute(sql) if r[0] and r[1]]
 
 
 def pairs_from_feedback(feedback_path: str | Path) -> list[tuple[str, str]]:
-    """Thumbs-up (query, theorem_name) rows from the feedback JSONL."""
+    """Thumbs-up (query, positive-text) rows from the feedback JSONL.
+
+    The positive is the record's `text` field (slogan/body captured at
+    vote time — serve/app.py:save_feedback); rows without it are SKIPPED
+    rather than paired with the theorem *name*, which is boilerplate
+    ('Theorem 1.') that would train queries toward label strings."""
     p = Path(feedback_path)
     if not p.exists():
         return []
@@ -54,8 +59,8 @@ def pairs_from_feedback(feedback_path: str | Path) -> list[tuple[str, str]]:
             r = json.loads(line)
         except json.JSONDecodeError:
             continue
-        if r.get("feedback") == "up" and r.get("query") and r.get("theorem_name"):
-            out.append((r["query"], r["theorem_name"]))
+        if r.get("feedback") == "up" and r.get("query") and r.get("text"):
+            out.append((r["query"], r["text"]))
     return out
 
 
