@@ -104,3 +104,43 @@ def test_train_cli_end_to_end(tmp_path, capsys):
     out2 = capsys.readouterr().out
     assert "resumed at step 12" in out2
     assert latest_step(ck) == 16
+
+
+def test_hard_negatives_push_queries_away():
+    """Explicit negatives in info_nce_loss: training with a shared hard
+    negative lowers query-negative similarity vs training without."""
+    import jax
+    import numpy as np
+
+    from theoremsearch_tpu.core.config import EncoderConfig, TrainConfig
+    from theoremsearch_tpu.encoder.model import encode_pooled
+    from theoremsearch_tpu.train.contrastive import (
+        init_train_state,
+        make_train_step,
+    )
+
+    cfg = EncoderConfig.tiny()
+    tcfg = TrainConfig(batch_size=8, seq_len=12, learning_rate=1e-3)
+    rng = np.random.default_rng(0)
+    q_ids = rng.integers(1, cfg.vocab_size, (8, 12)).astype(np.int32)
+    p_ids = (q_ids + 1) % cfg.vocab_size
+    n_ids = rng.integers(1, cfg.vocab_size, (4, 12)).astype(np.int32)
+    mask = np.ones((8, 12), np.int32)
+    n_mask = np.ones((4, 12), np.int32)
+
+    def train(with_neg):
+        state = init_train_state(cfg, tcfg)
+        step = make_train_step(cfg, tcfg)
+        for _ in range(6):
+            if with_neg:
+                state, loss = step(state, q_ids, mask, p_ids, mask, n_ids, n_mask)
+            else:
+                state, loss = step(state, q_ids, mask, p_ids, mask)
+        assert np.isfinite(float(loss))
+        q = np.asarray(encode_pooled(state.params, q_ids, mask, cfg))
+        n = np.asarray(encode_pooled(state.params, n_ids, n_mask, cfg))
+        return float((q @ n.T).mean())
+
+    sim_without = train(False)
+    sim_with = train(True)
+    assert sim_with < sim_without, (sim_with, sim_without)

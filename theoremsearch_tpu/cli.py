@@ -398,6 +398,7 @@ def cmd_train(args):
     from .train.contrastive import TrainState, make_optimizer, make_train_step
     from .train.data import (
         batch_iterator,
+        negatives_from_feedback,
         pairs_from_catalog,
         pairs_from_feedback,
         pairs_from_validation,
@@ -418,8 +419,10 @@ def cmd_train(args):
             pairs += pairs_from_catalog(_catalog(args), limit=args.catalog_limit)
         except Exception as e:  # noqa: BLE001 — catalog optional for train
             print(f"[train] catalog pairs skipped: {e}")
+    negatives: list = []
     if args.feedback:
         pairs += pairs_from_feedback(args.feedback)
+        negatives = negatives_from_feedback(args.feedback)[: args.max_negatives]
     # tune under the SAME prompts serving applies: queries get the query
     # prefix, positives the document prefix (train/serve consistency)
     q_pre = be.prompts.get("query", "")
@@ -462,6 +465,17 @@ def cmd_train(args):
         print("[train] before:", json.dumps({k: round(v, 4) for k, v in m0.items()}))
 
     arrays = tokenize_pairs(pairs, tok, tcfg.seq_len)
+    neg_args = ()
+    if negatives:
+        # thumbs-down texts as explicit hard negatives, document-prompted
+        # like the positives, shared by every batch (fixed shape)
+        neg_enc = tok([d_pre + t for _, t in negatives],
+                      max_length=tcfg.seq_len, pad_to=tcfg.seq_len)
+        neg_args = (
+            np.asarray(neg_enc.input_ids, np.int32),
+            np.asarray(neg_enc.attention_mask, np.int32),
+        )
+        print(f"[train] {len(negatives)} hard negatives from feedback")
     step_fn = make_train_step(cfg, tcfg)
     losses = []
     saved_at = None
@@ -474,7 +488,7 @@ def cmd_train(args):
         ),
         start=start + 1,
     ):
-        state, loss = step_fn(state, q_ids, q_mask, p_ids, p_mask)
+        state, loss = step_fn(state, q_ids, q_mask, p_ids, p_mask, *neg_args)
         losses.append(float(loss))
         if i % max(1, args.log_every) == 0:
             print(f"[train] step {i}: loss {np.mean(losses[-args.log_every:]):.4f}")
@@ -667,7 +681,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also pair latest slogans with theorem bodies from this catalog")
     s.add_argument("--catalog-limit", type=int, default=None)
     s.add_argument("--feedback", default=None,
-                   help="feedback JSONL; thumbs-up rows become (query, theorem) pairs")
+                   help="feedback JSONL; thumbs-up rows become positives, "
+                        "thumbs-down rows hard negatives")
+    s.add_argument("--max-negatives", type=int, default=32)
     s.add_argument("--model-dir")
     s.add_argument("--embedder", default="qwen", choices=["qwen", "gemma", "bert"])
     s.add_argument("--steps", type=int, default=100)

@@ -56,13 +56,24 @@ def info_nce_loss(
     enc_cfg: EncoderConfig,
     temperature: float,
     fused: str = "off",
+    n_ids: jax.Array | None = None,
+    n_mask: jax.Array | None = None,
 ) -> jax.Array:
+    """In-batch-negatives InfoNCE; optional EXPLICIT hard negatives
+    (n_ids/n_mask, (M, S)) — e.g. thumbs-down feedback texts — are
+    appended as extra columns of the query->positive direction, shared
+    by every query in the batch."""
     encode = family_module(enc_cfg).encode_pooled
     q = encode(params, q_ids, q_mask, enc_cfg, fused=fused)  # (B, D) fp32, normalized
     p = encode(params, p_ids, p_mask, enc_cfg, fused=fused)
     logits = (q @ p.T) / temperature                            # (B, B)
     labels = jnp.arange(q.shape[0])
-    loss_qp = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    if n_ids is not None:
+        neg = encode(params, n_ids, n_mask, enc_cfg, fused=fused)  # (M, D)
+        logits_qp = jnp.concatenate([logits, (q @ neg.T) / temperature], axis=1)
+    else:
+        logits_qp = logits
+    loss_qp = optax.softmax_cross_entropy_with_integer_labels(logits_qp, labels)
     loss_pq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
     return 0.5 * (loss_qp.mean() + loss_pq.mean())
 
@@ -84,10 +95,11 @@ def make_train_step(
     # path pays off only for inference, where there is no backward
     fused = "off"
 
-    def step(state: TrainState, q_ids, q_mask, p_ids, p_mask):
+    def step(state: TrainState, q_ids, q_mask, p_ids, p_mask,
+             n_ids=None, n_mask=None):
         loss, grads = jax.value_and_grad(info_nce_loss)(
             state.params, q_ids, q_mask, p_ids, p_mask, enc_cfg,
-            train_cfg.temperature, fused,
+            train_cfg.temperature, fused, n_ids, n_mask,
         )
         updates, new_opt = opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -99,12 +111,15 @@ def make_train_step(
     batch_spec = NamedSharding(mesh, P("data", None))
     jitted = jax.jit(step, donate_argnums=(0,))
 
-    def run(state: TrainState, q_ids, q_mask, p_ids, p_mask):
+    def run(state: TrainState, q_ids, q_mask, p_ids, p_mask,
+            n_ids=None, n_mask=None):
         q_ids = jax.device_put(q_ids, batch_spec)
         q_mask = jax.device_put(q_mask, batch_spec)
         p_ids = jax.device_put(p_ids, batch_spec)
         p_mask = jax.device_put(p_mask, batch_spec)
-        return jitted(state, q_ids, q_mask, p_ids, p_mask)
+        # explicit negatives are a SMALL shared set: replicate rather
+        # than shard (M may not divide the data axis)
+        return jitted(state, q_ids, q_mask, p_ids, p_mask, n_ids, n_mask)
 
     return run
 

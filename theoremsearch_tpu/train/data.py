@@ -64,6 +64,23 @@ def pairs_from_feedback(feedback_path: str | Path) -> list[tuple[str, str]]:
     return out
 
 
+def negatives_from_feedback(feedback_path: str | Path) -> list[tuple[str, str]]:
+    """Thumbs-DOWN (query, text) rows — served as explicit hard
+    negatives for InfoNCE (contrastive.info_nce_loss n_ids/n_mask)."""
+    p = Path(feedback_path)
+    if not p.exists():
+        return []
+    out = []
+    for line in p.read_text().splitlines():
+        try:
+            r = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if r.get("feedback") == "down" and r.get("text"):
+            out.append((r.get("query", ""), r["text"]))
+    return out
+
+
 def tokenize_pairs(
     pairs: Sequence[tuple[str, str]], tokenizer, seq_len: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
