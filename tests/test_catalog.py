@@ -56,11 +56,16 @@ def test_work_queues_and_replace_theorems():
         [
             {"name": "Theorem 1.", "body": "b1", "label": "l1"},
             {"name": "Theorem 2.", "body": "b2", "label": None},
-            {"name": "Theorem 1.", "body": "dup name dropped", "label": None},
+            {"name": "Theorem 1.", "body": "dup name disambiguated", "label": None},
         ],
         parsing_method="scanner",
     )
-    assert cat.count("theorem") == 2
+    # duplicated headings (unnumbered envs all titled alike) keep ALL
+    # rows, suffixing later ones — dropping them would lose theorems
+    assert cat.count("theorem") == 3
+    names0 = {r[0] for r in cat.conn.execute(
+        "SELECT name FROM theorem WHERE paper_id = ?", (unparsed[0],))}
+    assert "Theorem 1. (2)" in names0
     unparsed2 = [r["paper_id"] for pg in cat.unparsed_papers() for r in pg]
     assert len(unparsed2) == 2
     # re-parse replaces

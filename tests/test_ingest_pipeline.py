@@ -140,9 +140,16 @@ def test_parse_papers_end_to_end():
     stats = parse_papers(cat, source_fetcher=lambda pid: sources[pid], timeout_s=20)
     assert stats.parsed == 3  # raw payload still parses as main.tex... garbage yields 0 theorems
     assert cat.count("theorem") == 2
-    # resume: queue only has the theorem-less paper
+    # resume: the theorem-less paper parsed OK (0 theorems) and must
+    # LEAVE the queue — re-fetching it every run would pay its S3 ranged
+    # GET forever (parse_status records the outcome)
     remaining = [r["paper_id"] for pg in cat.unparsed_papers() for r in pg]
-    assert remaining == ["2401.00002"]
+    assert remaining == []
+    st = cat.conn.execute(
+        "SELECT status, theorems FROM parse_status WHERE paper_id = ?",
+        ("2401.00002",),
+    ).fetchone()
+    assert st[0] == "ok" and st[1] == 0
 
 
 def test_stacks_json_and_tex_ingest(tmp_path):

@@ -313,3 +313,59 @@ def test_extractor_never_crashes_on_adversarial_soup():
     )
     for cut in range(0, len(good), 7):
         assert isinstance(extract_theorems(good[:cut]), list)
+
+
+def test_theorem_within_subsection_renders_full_chain():
+    """[subsection]-numbered theorems carry the section component and
+    restart at section boundaries (LaTeX: \\thesubsection =
+    \\thesection.\\arabic{subsection})."""
+    from theoremsearch_tpu.ingest.latex.extract import extract_theorems
+
+    src = r"""
+\documentclass{article}
+\newtheorem{thm}{Theorem}[subsection]
+\begin{document}
+\section{A}\section{B}
+\subsection{x}\subsection{y}\subsection{z}\subsection{w}
+\begin{thm} first \end{thm}
+\begin{thm} second \end{thm}
+\section{C}
+\subsection{u}
+\begin{thm} third \end{thm}
+\end{document}
+"""
+    names = [t.name for t in extract_theorems(src)]
+    assert names == ["Theorem 2.4.1.", "Theorem 2.4.2.", "Theorem 3.1.1."]
+
+
+def test_chapter_wires_lazily():
+    """Sections render bare in article class; after a \\chapter they
+    number within it (book class)."""
+    from theoremsearch_tpu.ingest.latex.numbering import CounterTree
+
+    t = CounterTree()
+    t.define_env("thm", "Theorem", within="section")
+    t.step_structural("section")
+    assert t.begin_env("thm") == "Theorem 1.1."
+    t2 = CounterTree()
+    t2.define_env("thm", "Theorem", within="section")
+    t2.step_structural("chapter")
+    t2.step_structural("section")
+    t2.step_structural("chapter")  # resets section
+    t2.step_structural("section")
+    assert t2.begin_env("thm") == "Theorem 2.1.1."
+
+
+def test_commented_comment_env_does_not_swallow_text():
+    """A commented-out `% \\begin{comment}` must not delete live source
+    up to a later real \\end{comment}."""
+    from theoremsearch_tpu.ingest.latex.scanner import strip_comments
+
+    src = (
+        "before\n% \\begin{comment}\n"
+        "\\begin{theorem} real content \\end{theorem}\n"
+        "\\begin{comment}dead\\end{comment}\nafter\n"
+    )
+    out = strip_comments(src)
+    assert "real content" in out
+    assert "dead" not in out

@@ -145,3 +145,23 @@ def test_plastex_gated():
         pass
     with pytest.raises(PlasTexUnavailable):
         parse_by_plastex("/nonexistent")
+
+
+def test_plastex_node_collection_is_document_order():
+    """Interleaved envs sharing a counter must number in source order,
+    not env-grouped order (the env-by-env getElementsByTagName walk)."""
+    from theoremsearch_tpu.ingest.methods.plastex_method import (
+        collect_env_nodes_in_order,
+    )
+
+    class N:
+        def __init__(self, name, children=()):
+            self.nodeName = name
+            self.childNodes = list(children)
+
+    doc = N("document", [
+        N("section", [N("theorem"), N("lemma"), N("par", [N("theorem")])]),
+        N("lemma"),
+    ])
+    got = [name for name, _ in collect_env_nodes_in_order(doc, ["theorem", "lemma"])]
+    assert got == ["theorem", "lemma", "theorem", "lemma"]

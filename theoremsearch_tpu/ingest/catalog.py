@@ -58,6 +58,12 @@ CREATE TABLE IF NOT EXISTS theorem_slogan (
     slogan TEXT,
     UNIQUE(theorem_id, model, prompt_id)
 );
+CREATE TABLE IF NOT EXISTS parse_status (
+    paper_id TEXT PRIMARY KEY REFERENCES paper(paper_id),
+    status TEXT,               -- ok | err | timeout
+    theorems INTEGER,
+    parsed_at REAL
+);
 CREATE TABLE IF NOT EXISTS embedding_manifest (
     embedder TEXT,
     slogan_id INTEGER REFERENCES theorem_slogan(slogan_id),
@@ -169,18 +175,45 @@ class Catalog:
     ) -> None:
         """Delete-then-insert per paper, the reference's re-parse semantics
         (ec2/parse_arxiv_papers/__main__.py:269-285)."""
+        import time as _time
+
         self.conn.execute("DELETE FROM theorem WHERE paper_id = ?", (paper_id,))
-        seen = set()
+        seen: dict[str, int] = {}
         for t in theorems:
             name = t["name"]
+            # duplicated headings (several `\newtheorem*` envs all render
+            # as bare 'Remark') get a disambiguating suffix instead of
+            # being silently dropped by UNIQUE(paper_id, name)
             if name in seen:
-                continue
-            seen.add(name)
+                seen[name] += 1
+                name = f"{name} ({seen[name]})"
+            else:
+                seen[name] = 1
             self.conn.execute(
                 "INSERT OR IGNORE INTO theorem (paper_id, name, body, label, parsing_method)"
                 " VALUES (?,?,?,?,?)",
                 (paper_id, name, t.get("body", ""), t.get("label"), parsing_method),
             )
+        # record the parse OUTCOME: a paper that parsed fine with zero
+        # theorems (PDF-only source) must leave the work queue, or every
+        # run re-pays its S3 fetch forever
+        self.conn.execute(
+            "INSERT OR REPLACE INTO parse_status (paper_id, status, theorems, parsed_at)"
+            " VALUES (?,?,?,?)",
+            (paper_id, "ok", len(theorems), _time.time()),
+        )
+        self.conn.commit()
+
+    def record_parse_failure(self, paper_id: str, status: str) -> None:
+        """err/timeout outcomes stay IN the queue (retryable) but are
+        visible for diagnostics."""
+        import time as _time
+
+        self.conn.execute(
+            "INSERT OR REPLACE INTO parse_status (paper_id, status, theorems, parsed_at)"
+            " VALUES (?,?,?,?)",
+            (paper_id, status, 0, _time.time()),
+        )
         self.conn.commit()
 
     def unparsed_papers(self, page_size: int = 100) -> Iterator[list[sqlite3.Row]]:
@@ -188,7 +221,9 @@ class Catalog:
         queue (ec2/parse_arxiv_papers/__main__.py:153-178)."""
         sql = (
             "SELECT p.paper_id AS paper_id FROM paper p "
-            "WHERE NOT EXISTS (SELECT 1 FROM theorem t WHERE t.paper_id = p.paper_id)"
+            "WHERE NOT EXISTS (SELECT 1 FROM theorem t WHERE t.paper_id = p.paper_id) "
+            "AND NOT EXISTS (SELECT 1 FROM parse_status ps "
+            "  WHERE ps.paper_id = p.paper_id AND ps.status = 'ok')"
         )
         return self.paginate(sql, "paper_id", page_size)
 

@@ -33,7 +33,10 @@ def get_paper_citations(
     fetch: Fetch | None = None,
 ) -> int | None:
     fetch = fetch or _default_fetch
-    base_id = paper_id.split("v")[0]
+    from .sources import normalize_arxiv_id
+
+    # NOT split('v'): archives like 'solv-int/9901001' contain 'v'
+    base_id = normalize_arxiv_id(paper_id)
 
     data = fetch(f"https://api.openalex.org/works/doi:10.48550/arXiv.{base_id}", {})
     if data is not None:

@@ -50,6 +50,20 @@ class CounterTree:
     in_appendix: bool = False
     alpha_counters: frozenset = frozenset({"section"})
 
+    def __post_init__(self) -> None:
+        # LaTeX's built-in sectioning hierarchy: \thesubsection =
+        # \thesection.\arabic{subsection} and a new \section resets
+        # subsection — a theorem numbered [subsection] must render the
+        # full "2.4.1" chain and restart at section boundaries.
+        # (chapter->section wires lazily in step_structural: article-class
+        # papers have no chapter counter and must NOT render "0.2".)
+        for child, par in (
+            ("subsection", "section"),
+            ("subsubsection", "subsection"),
+            ("paragraph", "subsubsection"),
+        ):
+            self.parent.setdefault(child, par)
+
     # ---- definitions ----
 
     def define_env(
@@ -85,6 +99,11 @@ class CounterTree:
 
     def step_structural(self, counter: str) -> None:
         """\\section etc.: advance and zero every descendant counter."""
+        if counter == "chapter":
+            # book/report class: sections number within chapters; wired
+            # on first \chapter so article-class papers never render a
+            # phantom "0." chapter component
+            self.parent.setdefault("section", "chapter")
         self.values[counter] = self.values.get(counter, 0) + 1
         for child in self._descendants(counter):
             self.values[child] = 0

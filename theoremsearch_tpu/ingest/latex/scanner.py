@@ -21,11 +21,11 @@ def strip_comments(src: str) -> str:
 
     Matches the reference's preprocessing (latex_parse.py:399-400) but
     also protects \\% inside the line scan and removes all of the
-    verbatim-family environments rather than only `comment`."""
-    for env in _VERBATIM_ENVS:
-        src = re.sub(
-            rf"\\begin\{{{env}\*?\}}.*?\\end\{{{env}\*?\}}", "", src, flags=re.DOTALL
-        )
+    verbatim-family environments rather than only `comment`.
+
+    %-comments strip FIRST: a commented-out `% \\begin{comment}` must not
+    open an environment-removal span that would swallow live document
+    text (theorems included) up to the next real \\end{comment}."""
     out = []
     i, n = 0, len(src)
     while i < n:
@@ -41,7 +41,12 @@ def strip_comments(src: str) -> str:
             continue
         out.append(c)
         i += 1
-    return "".join(out)
+    src = "".join(out)
+    for env in _VERBATIM_ENVS:
+        src = re.sub(
+            rf"\\begin\{{{env}\*?\}}.*?\\end\{{{env}\*?\}}", "", src, flags=re.DOTALL
+        )
+    return src
 
 
 def read_group(src: str, i: int) -> tuple[str, int] | None:

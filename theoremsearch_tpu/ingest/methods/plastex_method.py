@@ -47,6 +47,24 @@ def _flag_truncated(body: str) -> bool:
     return len(body) < 40 and "$" not in body and "\\(" not in body
 
 
+def collect_env_nodes_in_order(doc, envs) -> list:
+    """All theorem-env nodes in DOCUMENT order via one explicit-stack DOM
+    walk. Grouping per env (getElementsByTagName env-by-env) numbers all
+    Theorems before any Lemma — interleaved envs sharing a counter then
+    contradict the rendered paper. Counter replay requires source order."""
+    env_set = set(envs)
+    found = []
+    stack = [doc]
+    while stack:
+        node = stack.pop()
+        name = getattr(node, "nodeName", None)
+        if name in env_set:
+            found.append((name, node))
+        children = list(getattr(node, "childNodes", []) or [])
+        stack.extend(reversed(children))   # preserve document order (DFS)
+    return found
+
+
 def parse_by_plastex(src_dir: str | Path, timeout_s: int = 60) -> list[Theorem]:
     try:
         from plasTeX.TeX import TeX  # gated import
@@ -81,13 +99,8 @@ def parse_by_plastex(src_dir: str | Path, timeout_s: int = 60) -> list[Theorem]:
 
     out: list[Theorem] = []
     seen_labels: set[str] = set()
-    nodes = []
-    for env in envs:
-        for node in doc.getElementsByTagName(env):
-            nodes.append((getattr(node, "childNodes", None), env, node))
-    # document order is approximated by traversal; plasTeX nodes do not
-    # expose source offsets uniformly, so number in traversal order
-    for _, env, node in nodes:
+    nodes = collect_env_nodes_in_order(doc, envs)
+    for env, node in nodes:
         body = "".join(
             getattr(child, "source", "") for child in getattr(node, "childNodes", []) or []
         ).strip()

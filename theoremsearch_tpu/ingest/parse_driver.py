@@ -164,10 +164,12 @@ def parse_papers(
                     stats.theorems += len(thms)
                 elif status == "timeout":
                     stats.timeouts += 1
+                    catalog.record_parse_failure(paper_id, "timeout")
                     if verbose:
                         print(f"[TIMEOUT] {paper_id}")
                 else:
                     stats.failed += 1
+                    catalog.record_parse_failure(paper_id, "err")
                     if verbose:
                         print(f"[PARSE ERROR] {paper_id}")
             except Exception as e:  # noqa: BLE001

@@ -115,7 +115,10 @@ def s3_bundle_iterator(bundle_start: int = 0):
         keys.extend(o["Key"] for o in page.get("Contents", []) if o["Key"].endswith(".tar"))
     keys.sort()
     for i, key in enumerate(reversed(keys)):
-        if len(keys) - 1 - i < bundle_start:
+        # resume cursor: skip the FIRST bundle_start bundles of the
+        # newest-first walk (the ones a previous run already processed,
+        # locate_arxiv_in_s3/__main__.py:157-163 semantics)
+        if i < bundle_start:
             continue
         tmp = tempfile.NamedTemporaryFile()
         s3.download_fileobj(ARXIV_BUCKET, key, tmp, ExtraArgs={"RequestPayer": "requester"})

@@ -15,6 +15,7 @@ import uuid
 from pathlib import Path
 
 from ..ingest.catalog import Catalog
+from .generate import _build_payload
 from .prompts import PromptConfig
 
 RECORDS_PER_PART = 10_000
@@ -44,14 +45,26 @@ def build_batch_prompts(
         part_idx += 1
         buf = []
 
+    paper_cols = any(t == "paper" for t, _ in prompt.context_fields)
+    paper_cache: dict[str, dict] = {}
     for page in catalog.theorems_missing_slogan(model_name, prompt.prompt_id, records_per_part):
         for row in page:
-            payload = {"theorem_body": row["body"]}
+            row = dict(row)
+            # the SAME payload the online path builds (prompt context
+            # columns, incl. paper.* joins) — a batch job must not feed
+            # the model less context than generate_slogans under the
+            # identical (model, prompt_id) key
+            if paper_cols and row["paper_id"] not in paper_cache:
+                pr = catalog.conn.execute(
+                    "SELECT * FROM paper WHERE paper_id = ?", (row["paper_id"],)
+                ).fetchone()
+                paper_cache[row["paper_id"]] = dict(pr) if pr else {}
+            payload = _build_payload(row, prompt, paper_cache.get(row["paper_id"]))
             record = {
                 "recordId": str(row["theorem_id"]),
                 "modelInput": {
                     "messages": [
-                        {"role": "user", "content": prompt.instructions},
+                        {"role": "user", "content": "\n".join(prompt.instructions)},
                         {"role": "user", "content": json.dumps(payload)},
                     ],
                     "max_tokens": 1024,

@@ -84,7 +84,11 @@ class BedrockClient:
     def complete(self, instructions, payload, temperature) -> Completion:
         body = {
             "messages": [
-                {"role": "user", "content": instructions},
+                # content must be a STRING in the chat-completions schema
+                # (instructions arrive as a list of lines — same join as
+                # the litellm client)
+                {"role": "user", "content": "\n".join(instructions)
+                 if isinstance(instructions, (list, tuple)) else str(instructions)},
                 {"role": "user", "content": json.dumps(payload)},
             ],
             "max_tokens": 1024,

@@ -3,7 +3,8 @@ the running-cost tqdm postfix of __main__.py:155-161)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import threading
+from dataclasses import dataclass, field
 
 
 def format_usd(usd: float) -> str:
@@ -16,12 +17,16 @@ class CostTracker:
     input_tokens: int = 0
     output_tokens: int = 0
     calls: int = 0
+    # add() is called from the generation ThreadPool's workers; bare
+    # += read-modify-writes interleave and lose increments on paid runs
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False, compare=False)
 
     def add(self, input_tokens: int, output_tokens: int, cost_usd: float) -> None:
-        self.input_tokens += input_tokens
-        self.output_tokens += output_tokens
-        self.total_usd += cost_usd
-        self.calls += 1
+        with self._lock:
+            self.input_tokens += input_tokens
+            self.output_tokens += output_tokens
+            self.total_usd += cost_usd
+            self.calls += 1
 
     @property
     def avg_usd(self) -> float:
