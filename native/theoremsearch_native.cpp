@@ -67,10 +67,11 @@ void ts_quantize_int8(const float* x, int64_t n, int64_t d, int8_t* codes, float
             for (int64_t j = 0; j < d; ++j) m = std::max(m, std::fabs(row[j]));
             float scale = m > 0.0f ? m / 127.0f : 1.0f;
             scales[i] = scale;
-            float inv = 1.0f / scale;
             int8_t* out = codes + i * d;
             for (int64_t j = 0; j < d; ++j) {
-                float v = std::nearbyint(row[j] * inv);
+                // divide (not multiply by 1/scale): bit-parity with the
+                // numpy fallback's np.rint(x/scale) at .5 boundaries
+                float v = std::nearbyint(row[j] / scale);
                 v = std::max(-127.0f, std::min(127.0f, v));
                 out[j] = (int8_t)v;
             }
@@ -111,13 +112,15 @@ float ts_absmax(const float* x, int64_t n, int64_t d) {
 // was the warm-rebuild hotspot — this streams row blocks in threads.
 void ts_quantize_global_int8(const float* x, int64_t n, int64_t d, float scale,
                              int8_t* codes) {
-    float inv = scale > 0.0f ? 1.0f / scale : 0.0f;
+    // divide, not multiply-by-reciprocal: bit-parity with the numpy
+    // fallback's np.rint(x/scale) at .5 boundaries
+    const float s = scale > 0.0f ? scale : 1.0f;
     parallel_rows(n, [&](int64_t lo, int64_t hi) {
         const float* p = x + lo * d;
         int8_t* out = codes + lo * d;
         int64_t cnt = (hi - lo) * d;
         for (int64_t j = 0; j < cnt; ++j) {
-            float v = std::nearbyint(p[j] * inv);
+            float v = std::nearbyint(p[j] / s);
             v = std::max(-127.0f, std::min(127.0f, v));
             out[j] = (int8_t)v;
         }

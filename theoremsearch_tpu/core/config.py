@@ -15,14 +15,25 @@ from typing import Any
 
 
 def _from_dict(cls, data: dict[str, Any]):
-    """Build a dataclass from a dict, recursing into nested dataclass fields."""
+    """Build a dataclass from a dict, recursing into nested dataclass fields.
+
+    Field types resolve through typing.get_type_hints: under
+    `from __future__ import annotations` f.type is a STRING, so an
+    is_dataclass(f.type) check would never recurse."""
+    import typing
+
+    try:
+        hints = typing.get_type_hints(cls)
+    except Exception:  # unresolvable forward refs: fall back to raw types
+        hints = {f.name: f.type for f in dataclasses.fields(cls)}
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in data:
             continue
         val = data[f.name]
-        if dataclasses.is_dataclass(f.type) and isinstance(val, dict):
-            val = _from_dict(f.type, val)
+        ftype = hints.get(f.name, f.type)
+        if dataclasses.is_dataclass(ftype) and isinstance(val, dict):
+            val = _from_dict(ftype, val)
         kwargs[f.name] = val
     return cls(**kwargs)
 

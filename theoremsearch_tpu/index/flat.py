@@ -71,8 +71,14 @@ class FlatIndex:
             ids = np.arange(n, dtype=np.int64)
         ids = np.asarray(ids, dtype=np.int64)
         if normalize:
-            norms = np.linalg.norm(emb, axis=1, keepdims=True)
-            emb = emb / np.maximum(norms, 1e-12)
+            from ..utils.native import l2_normalize_
+
+            # threaded C++ path (bulk builds are multi-GB); copy first
+            # when the f32 view aliases the caller's array — build must
+            # not mutate its input
+            if isinstance(embeddings, np.ndarray) and np.shares_memory(emb, embeddings):
+                emb = emb.copy()
+            emb = l2_normalize_(emb)
 
         padded = _round_up(max(n, 1), cfg.pad_multiple)
         pad_rows = padded - n

@@ -233,7 +233,11 @@ class IVFIndex:
             ids = np.arange(n, dtype=np.int64)
         ids = np.asarray(ids, np.int64).astype(np.int32)
         if normalize:
-            emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+            from ..utils.native import l2_normalize_
+
+            if isinstance(embeddings, np.ndarray) and np.shares_memory(emb, embeddings):
+                emb = emb.copy()
+            emb = l2_normalize_(emb)
 
         nlist = min(cfg.ivf_nlist, n)
         cents = train_kmeans(

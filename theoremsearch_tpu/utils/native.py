@@ -9,54 +9,75 @@ from __future__ import annotations
 
 import ctypes
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _LIB_PATH = _NATIVE_DIR / "libtheoremsearch_native.so"
+_SRC_PATH = _NATIVE_DIR / "theoremsearch_native.cpp"
 _lib = None
 _tried = False
+_load_lock = threading.Lock()
+
+
+def _stale() -> bool:
+    try:
+        return (
+            not _LIB_PATH.exists()
+            or _SRC_PATH.stat().st_mtime > _LIB_PATH.stat().st_mtime
+        )
+    except OSError:
+        return True
 
 
 def _load():
+    """Build (or REBUILD when the source is newer than the .so — a stale
+    binary silently ignoring source edits is worse than a rebuild) and
+    dlopen once, under a lock: concurrent first callers must not race
+    make against CDLL of a half-written library."""
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
-    _tried = True
-    try:
-        if not _LIB_PATH.exists():
-            subprocess.run(
-                ["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True, timeout=120
-            )
-        lib = ctypes.CDLL(str(_LIB_PATH))
-        lib.ts_l2_normalize.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
-        ]
-        lib.ts_quantize_int8.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_float),
-        ]
-        lib.ts_absmax.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
-        ]
-        lib.ts_absmax.restype = ctypes.c_float
-        lib.ts_quantize_global_int8.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_float, ctypes.POINTER(ctypes.c_int8),
-        ]
-        lib.ts_merge_topk.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.ts_strip_comments.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
-        ]
-        lib.ts_strip_comments.restype = ctypes.c_int64
-        _lib = lib
-    except Exception:
-        _lib = None
+    with _load_lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if _stale():
+                subprocess.run(
+                    ["make", "-B", "-C", str(_NATIVE_DIR)],
+                    check=True, capture_output=True, timeout=120,
+                )
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib.ts_l2_normalize.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ]
+            lib.ts_quantize_int8.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.ts_absmax.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ]
+            lib.ts_absmax.restype = ctypes.c_float
+            lib.ts_quantize_global_int8.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_float, ctypes.POINTER(ctypes.c_int8),
+            ]
+            lib.ts_merge_topk.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.ts_strip_comments.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+            ]
+            lib.ts_strip_comments.restype = ctypes.c_int64
+            _lib = lib
+        except Exception:
+            _lib = None
     return _lib
 
 
@@ -73,7 +94,10 @@ def _iptr(a: np.ndarray):
 
 
 def l2_normalize_(x: np.ndarray) -> np.ndarray:
-    """In-place row L2 normalization; returns x."""
+    """Row L2 normalization. In place ONLY for contiguous float32 input;
+    otherwise ascontiguousarray copies and the normalized COPY is
+    returned — always rebind (`x = native.l2_normalize_(x)`), never rely
+    on mutation."""
     lib = _load()
     x = np.ascontiguousarray(x, np.float32)
     if lib is None:
@@ -141,7 +165,12 @@ def merge_topk(scores: np.ndarray, ids: np.ndarray, k: int) -> tuple[np.ndarray,
     b, c = scores.shape
     if lib is None:
         sel = np.argsort(-scores, axis=1, kind="stable")[:, :k]
-        return np.take_along_axis(scores, sel, 1), np.take_along_axis(ids, sel, 1)
+        s = np.take_along_axis(scores, sel, 1)
+        i = np.take_along_axis(ids, sel, 1)
+        if k > c:   # match the native contract: pad out to (B, k)
+            s = np.pad(s, ((0, 0), (0, k - c)), constant_values=-np.inf)
+            i = np.pad(i, ((0, 0), (0, k - c)), constant_values=-1)
+        return s, i
     out_s = np.empty((b, k), np.float32)
     out_i = np.empty((b, k), np.int32)
     lib.ts_merge_topk(_fptr(scores), _iptr(ids), b, c, k, _fptr(out_s), _iptr(out_i))
@@ -153,9 +182,7 @@ def strip_comments(src: str) -> str:
     handles verbatim environments)."""
     lib = _load()
     if lib is None:
-        import re
-
-        out, i, n, buf = [], 0, len(src), []
+        i, n, buf = 0, len(src), []
         while i < n:
             ch = src[i]
             if ch == "\\" and i + 1 < n:

@@ -36,13 +36,21 @@ class KernelTimer:
 
     def measure(self, name: str, fn, *args) -> float:
         import jax
+        import numpy as np
 
-        r = fn(*args)
-        jax.block_until_ready(r)
+        def sync(out):
+            # block_until_ready is a NO-OP on the remote-attached (axon
+            # tunnel) TPU — it returns before execution finishes and the
+            # measured time is dispatch-only garbage. Pulling one element
+            # to host is the validated sync (bench.py/_timed_loop,
+            # experiments/exp_enc.py recipe).
+            _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+
+        sync(fn(*args))
         t0 = time.time()
         for _ in range(self.iters):
             r = fn(*args)
-        jax.block_until_ready(r)
+        sync(r)
         dt = (time.time() - t0) / self.iters
         self.records[name] = dt
         return dt

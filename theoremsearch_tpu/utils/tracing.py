@@ -87,7 +87,7 @@ class LangfuseTracer:
         self.lf.flush()
 
 
-Tracer = NullTracer | JsonlTracer
+Tracer = NullTracer | JsonlTracer | LangfuseTracer
 
 
 def get_tracer(kind: str | None = None, path: str | Path = "traces.jsonl"):
