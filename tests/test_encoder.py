@@ -277,3 +277,67 @@ def test_fused_attention_grad_matches_reference():
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             atol=5e-2, rtol=5e-2,
         )
+
+
+def test_int8_forward_parity():
+    """The w8a8 path (quantize_params_int8 + qlayers forward) must track
+    the bf16 forward closely — the production gate for the opt-in
+    quantized serving mode (experiments/exp_enc_int8.py measured cos
+    0.997+ at the 0.6B config on chip; the tiny config is looser-dim
+    but the same math). Covers both the XLA attention and the fused
+    interpret path (int8 projections feeding the Pallas core)."""
+    from theoremsearch_tpu.encoder.model import (
+        encode_pooled as ep,
+        quantize_params_int8,
+    )
+
+    cfg = EncoderConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=128,
+        max_seq_len=64, embedding_dim=256,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    qlayers = quantize_params_int8(params)
+    # int8 codes + per-column scales, for all seven matrices per layer
+    assert len(qlayers) == cfg.num_layers
+    assert qlayers[0]["w_gate"]["q"].dtype == jnp.int8
+    assert qlayers[0]["w_gate"]["s"].shape == (cfg.intermediate_size,)
+
+    rng = np.random.default_rng(2)
+    B, S = 8, 32
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (B, S)), jnp.int32)
+    lengths = rng.integers(4, S, B)
+    mask = jnp.asarray((np.arange(S)[None, :] < lengths[:, None]).astype(np.int32))
+
+    ref = np.asarray(ep(params, ids, mask, cfg, fused="off"))
+    for fused in ("off", "interpret"):
+        q8 = np.asarray(ep(params, ids, mask, cfg, fused=fused, qlayers=qlayers))
+        cos = np.sum(ref * q8, axis=1)
+        assert (cos > 0.98).all(), (fused, cos)
+        # normalized outputs
+        np.testing.assert_allclose(np.linalg.norm(q8, axis=1), 1.0, atol=1e-4)
+
+
+def test_batched_encoder_int8_mode(enc):
+    """BatchedEncoder(quant='int8'): end-to-end encode agrees with the
+    bf16 encoder, ordering preserved; unsupported configs are rejected
+    loudly rather than silently served in bf16."""
+    be16 = BatchedEncoder(enc.params, enc.cfg, batch_size=4)
+    be8 = BatchedEncoder(enc.params, enc.cfg, batch_size=4, quant="int8")
+    texts = [f"theorem about objects of kind {i}" for i in range(9)]
+    a, b = be16.encode(texts), be8.encode(texts)
+    cos = np.sum(a * b, axis=1)
+    assert (cos > 0.98).all(), cos
+
+    with pytest.raises(ValueError, match="quant"):
+        BatchedEncoder(enc.params, enc.cfg, quant="int4")
+    from theoremsearch_tpu.core.config import GemmaEncoderConfig
+    from theoremsearch_tpu.encoder.gemma import init_params as gemma_init
+
+    gcfg = GemmaEncoderConfig.tiny()
+    gparams = gemma_init(gcfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="family"):
+        BatchedEncoder(gparams, gcfg, quant="int8")
+    mesh = make_mesh(MeshConfig(data=2, shard=1))
+    with pytest.raises(ValueError, match="single-chip"):
+        BatchedEncoder(enc.params, enc.cfg, mesh=mesh, quant="int8")

@@ -82,7 +82,10 @@ def _batched_encoder(args):
         params = init_params(cfg, jax.random.PRNGKey(0))
         tok = get_tokenizer(None, cfg.vocab_size)
         prompts = {}
-    return BatchedEncoder(params, cfg, tokenizer=tok, prompts=prompts)
+    return BatchedEncoder(
+        params, cfg, tokenizer=tok, prompts=prompts,
+        quant=getattr(args, "quant", "none"),
+    )
 
 
 def _encoder(args, role: str | None = None):
@@ -656,6 +659,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "plus the delete/broad-filter over-fetch variants) "
                         "before accepting traffic — avoids 30-120s mid-run "
                         "compile stalls on a remote-attached chip")
+    s.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="int8 = w8a8 projection matmuls on the query "
+                        "encoder (1.14x measured forward on v5e, pooled "
+                        "cosine 0.997+ vs bf16; qwen family only)")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("eval")

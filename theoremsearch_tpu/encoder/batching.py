@@ -43,6 +43,7 @@ class BatchedEncoder:
         batch_size: int = 64,
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         prompts: dict | None = None,
+        quant: str = "none",
     ):
         self.params = params
         self.cfg = cfg
@@ -70,9 +71,26 @@ class BatchedEncoder:
         # batching/bucketing layer
         from .families import family_module
 
+        mod = family_module(cfg)
         self._fn = jax.jit(
-            functools.partial(family_module(cfg).encode_pooled, cfg=cfg, fused=fused)
+            functools.partial(mod.encode_pooled, cfg=cfg, fused=fused)
         )
+        # int8 (w8a8) serving mode: all projection matmuls on the int8
+        # MXU path (model.py quantization section; 1.14x measured
+        # forward). Qwen-family single-chip only — the gemma/bert towers
+        # and the tp sharding rules have no int8 variant.
+        if quant not in ("none", "int8"):
+            raise ValueError(f"unknown quant mode {quant!r}")
+        self._fn_extra: dict = {}
+        if quant == "int8":
+            if not hasattr(mod, "quantize_params_int8"):
+                raise ValueError(
+                    f"quant='int8' is not supported for the "
+                    f"{type(cfg).__name__} family"
+                )
+            if mesh is not None:
+                raise ValueError("quant='int8' is single-chip (no mesh)")
+            self._fn_extra["qlayers"] = jax.jit(mod.quantize_params_int8)(params)
         if mesh is not None:
             self._data_sharding = NamedSharding(mesh, P("data", None))
         else:
@@ -180,7 +198,9 @@ class BatchedEncoder:
         for start in range(0, len(order), bs):
             idx = order[start : start + bs]
             ids_d, mask_d, n_real = self._prep_batch(texts, tokenized, idx)
-            pieces.append((idx, self._fn(self.params, ids_d, mask_d)[:n_real]))
+            pieces.append(
+                (idx, self._fn(self.params, ids_d, mask_d, **self._fn_extra)[:n_real])
+            )
         if n_pad <= bs:   # single piece in input order, no scatter needed
             return pieces[0][1].astype(jnp.float32)
         out = jnp.zeros((n_pad, self.cfg.embedding_dim), jnp.float32)
@@ -244,6 +264,6 @@ class BatchedEncoder:
             # small serving batches get small forwards, and dynamic sizes
             # compile at most log2(bs) programs per width bucket
             ids_d, mask_d, n_real = self._prep_batch(texts, tokenized, idx)
-            emb = np.asarray(self._fn(self.params, ids_d, mask_d))
+            emb = np.asarray(self._fn(self.params, ids_d, mask_d, **self._fn_extra))
             out[idx] = emb[:n_real]
         return out

@@ -116,14 +116,22 @@ def _rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
-def _attention(layer: Params, x: jax.Array, mask: jax.Array, rope_cs: tuple, cfg: EncoderConfig) -> jax.Array:
-    b, s, _ = x.shape
+def _attention_math(
+    layer: Params, q: jax.Array, k: jax.Array, v: jax.Array,
+    mask: jax.Array, rope_cs: tuple, cfg: EncoderConfig,
+) -> jax.Array:
+    """Post-projection attention math (XLA reference composition):
+    per-head QK-RMSNorm -> RoPE -> GQA repeat -> masked softmax -> PV.
+    q/k/v are the raw (B, S, heads*Dh) projections; returns (B, S, H*Dh)
+    pre-wo. Shared by the bf16 and int8-projection paths."""
+    b, s, _ = q.shape
     h, hk, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     cos, sin = rope_cs
+    dtype = q.dtype
 
-    q = (x @ layer["wq"]).reshape(b, s, h, dh)
-    k = (x @ layer["wk"]).reshape(b, s, hk, dh)
-    v = (x @ layer["wv"]).reshape(b, s, hk, dh)
+    q = q.reshape(b, s, h, dh)
+    k = k.reshape(b, s, hk, dh)
+    v = v.reshape(b, s, hk, dh)
 
     # Qwen3: per-head RMSNorm on q and k before RoPE
     q = _rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
@@ -144,10 +152,17 @@ def _attention(layer: Params, x: jax.Array, mask: jax.Array, rope_cs: tuple, cfg
     causal = jnp.tril(jnp.ones((s, s), bool))
     valid = mask[:, None, None, :] & causal[None, None, :, :]
     logits = jnp.where(valid, logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
 
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
-    out = out.astype(x.dtype).reshape(b, s, h * dh)
+    return out.astype(dtype).reshape(b, s, h * dh)
+
+
+def _attention(layer: Params, x: jax.Array, mask: jax.Array, rope_cs: tuple, cfg: EncoderConfig) -> jax.Array:
+    out = _attention_math(
+        layer, x @ layer["wq"], x @ layer["wk"], x @ layer["wv"],
+        mask, rope_cs, cfg,
+    )
     return out @ layer["wo"]
 
 
@@ -245,12 +260,102 @@ def _mlp(layer: Params, x: jax.Array) -> jax.Array:
     return (gate * up) @ layer["w_down"]
 
 
+# ---------------------------------------------------------------------------
+# int8 (w8a8) inference quantization
+# ---------------------------------------------------------------------------
+# v5e's MXU runs int8 x int8 -> int32 at 2x the bf16 rate (394 vs 197
+# TOPS). Quantizing all seven projection matmuls (static per-output-column
+# weight scales, dynamic per-token activation scales) measured 1.14x on
+# the serving forward at both (512, 32) and (512, 16) with pooled-cosine
+# parity 0.997+ vs the bf16 path (experiments/exp_enc_int8.py) — the
+# dequant/requant elementwise chain eats the rest of the 2x. Opt-in
+# serving mode: BatchedEncoder(quant="int8"); norms, RoPE, softmax and
+# the fused attention core stay bf16/f32.
+
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def _quant_weight(w: jax.Array) -> dict[str, jax.Array]:
+    """(in, out) -> int8 codes + f32 per-output-column scales."""
+    wf = w.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(wf), axis=0) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s}
+
+
+def quantize_params_int8(params: Params) -> list[dict]:
+    """Per-layer int8 weights for the seven projection matrices.
+
+    Derived state, computed once at encoder construction (the bf16
+    params stay authoritative — embedding gather, norms and pooling
+    still read them)."""
+    return [
+        {k: _quant_weight(layer[k]) for k in _QUANT_KEYS}
+        for layer in params["layers"]
+    ]
+
+
+def _quant_act(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(..., d) -> int8 rows + f32 per-row (per-token) scales."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _q_matmul(xq: jax.Array, sx: jax.Array, w: dict, out_dtype) -> jax.Array:
+    """int8 x int8 -> int32 MXU matmul, dequantized via the two scales."""
+    acc = jax.lax.dot_general(
+        xq, w["q"], (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * sx * w["s"]).astype(out_dtype)
+
+
+def _attention_int8(
+    layer: Params, lq: dict, x: jax.Array, attention_mask: jax.Array,
+    rope_cs: tuple, cfg: EncoderConfig, use_fused: bool, interpret: bool,
+) -> jax.Array:
+    """Attention block with int8 q/k/v/o projections. One shared
+    activation quant feeds all three input projections; the attention
+    core (fused Pallas or the XLA reference math) stays bf16/f32."""
+    xq, sx = _quant_act(x)
+    q = _q_matmul(xq, sx, lq["wq"], x.dtype)
+    k = _q_matmul(xq, sx, lq["wk"], x.dtype)
+    v = _q_matmul(xq, sx, lq["wv"], x.dtype)
+    if use_fused:
+        core = _make_attn_core(
+            cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.rms_norm_eps,
+            interpret,
+        )
+        attn = core(
+            q, k, v, layer["q_norm"], layer["k_norm"], rope_cs[0], rope_cs[1],
+            attention_mask.astype(jnp.int32),
+        )
+    else:
+        attn = _attention_math(
+            layer, q, k, v, attention_mask.astype(bool), rope_cs, cfg
+        )
+    aq, sa = _quant_act(attn.astype(x.dtype))
+    return _q_matmul(aq, sa, lq["wo"], x.dtype)
+
+
+def _mlp_int8(lq: dict, x: jax.Array) -> jax.Array:
+    xq, sx = _quant_act(x)
+    gate = _q_matmul(xq, sx, lq["w_gate"], jnp.float32)
+    up = _q_matmul(xq, sx, lq["w_up"], jnp.float32)
+    h = (jax.nn.silu(gate) * up).astype(x.dtype)
+    hq, sh = _quant_act(h)
+    return _q_matmul(hq, sh, lq["w_down"], x.dtype)
+
+
 def forward(
     params: Params,
     input_ids: jax.Array,
     attention_mask: jax.Array,
     cfg: EncoderConfig,
     fused: str = "off",
+    qlayers: list | None = None,
 ) -> jax.Array:
     """Hidden states (B, S, H) after the final norm.
 
@@ -258,7 +363,11 @@ def forward(
     attention block (kernels/attention.py) when the shapes qualify
     (production TPU path — ~1/3 of the serving step was attention
     layout overhead); "interpret" = fused kernel in interpret mode
-    (CPU tests)."""
+    (CPU tests).
+
+    qlayers: per-layer int8 weights from quantize_params_int8 — runs
+    every projection matmul on the int8 MXU path (w8a8, 1.14x measured
+    forward speedup; see the quantization section above)."""
     x = params["embed"][input_ids].astype(jnp.dtype(cfg.dtype))
     positions = jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1
     positions = jnp.maximum(positions, 0)
@@ -266,8 +375,17 @@ def forward(
     rope_cs = _rope_tables(positions, cfg.head_dim, cfg.rope_theta)
     b, s = input_ids.shape
     use_fused = fused in ("on", "interpret") and _fused_ok(cfg, s, b)
-    for layer in params["layers"]:
+    for li, layer in enumerate(params["layers"]):
         xa = _rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+        if qlayers is not None:
+            x = x + _attention_int8(
+                layer, qlayers[li], xa, attention_mask, rope_cs, cfg,
+                use_fused, fused == "interpret",
+            )
+            x = x + _mlp_int8(
+                qlayers[li], _rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
+            )
+            continue
         if use_fused:
             x = x + _attention_fused(
                 layer, xa, attention_mask, rope_cs, cfg, fused == "interpret"
@@ -284,6 +402,7 @@ def encode_pooled(
     attention_mask: jax.Array,
     cfg: EncoderConfig,
     fused: str = "off",
+    qlayers: list | None = None,
 ) -> jax.Array:
     """Pooled, (optionally) L2-normalized embeddings (B, D).
 
@@ -291,7 +410,9 @@ def encode_pooled(
     pooling is available for bert/gemma-class encoders. L2 normalization
     matches the reference's normalize_embeddings=True everywhere
     (embeddings.py:27,35; streamlit_app.py:173)."""
-    hidden = forward(params, input_ids, attention_mask, cfg, fused=fused)
+    hidden = forward(
+        params, input_ids, attention_mask, cfg, fused=fused, qlayers=qlayers
+    )
     if cfg.pooling == "last_token":
         lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
         idx = jnp.maximum(lengths - 1, 0)

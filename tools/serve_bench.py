@@ -226,10 +226,15 @@ def main():
     # ---- encoder: full 0.6B-class config, random init ----
     _log(f"initializing encoder ({enc_cfg.num_layers} layers, d={enc_cfg.hidden_size})")
     params = init_params(enc_cfg, kp)
+    # SERVE_QUANT=int8: w8a8 projection matmuls (qwen family only)
+    QUANT = os.environ.get("SERVE_QUANT", "none")
     encoder = BatchedEncoder(
         params, enc_cfg, batch_size=MAX_BATCH,
         buckets=(16, 32, 64) if on_tpu else (16,),
+        quant=QUANT,
     )
+    if QUANT != "none":
+        _log(f"encoder quant mode: {QUANT}")
 
     queries = make_queries(4096)
 
