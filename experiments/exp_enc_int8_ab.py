@@ -1,0 +1,54 @@
+"""A/B the production BatchedEncoder stage: bf16 vs int8 quant mode,
+same process / same queries / same tunnel conditions (cross-session
+serve-bench comparisons drift 20-30% with tunnel state; this probe
+cancels that). Run: bash tools/tpu_run.sh experiments/exp_enc_int8_ab.py"""
+import time
+
+import numpy as np
+import jax
+
+from theoremsearch_tpu.core.config import EncoderConfig
+from theoremsearch_tpu.encoder.batching import BatchedEncoder
+from theoremsearch_tpu.encoder.model import init_params, encode_pooled, quantize_params_int8
+import functools, jax.numpy as jnp
+
+cfg = EncoderConfig(max_seq_len=64)
+params = jax.device_put(init_params(cfg, jax.random.PRNGKey(0)))
+
+rng = np.random.default_rng(0)
+WORDS = ["group", "bound", "prime", "chromatic", "measure", "algebra",
+         "sheaf", "cohomology", "of", "the", "finite", "simple", "number"]
+queries = [" ".join(rng.choice(WORDS, rng.integers(5, 14))) for _ in range(4096)]
+
+for quant in ("none", "int8"):
+    be = BatchedEncoder(params, cfg, batch_size=512, buckets=(16, 32, 64), quant=quant)
+    _ = be.encode(queries[:512])  # warm
+    best = 1e9
+    for r in range(3):
+        t0 = time.time()
+        for i in range(3):
+            _ = be.encode(queries[i*512:(i+1)*512])
+        best = min(best, (time.time() - t0) / 3)
+    print(f"{quant:5s}: {best*1e3:7.1f} ms/batch512  {512/best:7.0f} q/s", flush=True)
+
+# raw forward at the actual serving width, same process
+tok = be.tokenizer
+enc = tok(queries[:512], max_length=16, pad_to=16)
+ids, mask = jnp.asarray(enc.input_ids), jnp.asarray(enc.attention_mask)
+qlayers = jax.jit(quantize_params_int8)(params)
+f16 = jax.jit(functools.partial(encode_pooled, cfg=cfg, fused="on"))
+f8 = jax.jit(functools.partial(encode_pooled, cfg=cfg, fused="on"))
+def timed(fn, *a, **kw):
+    out = fn(*a, **kw); _ = np.asarray(out)[:1, :1]
+    best = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(10):
+            out = fn(*a, **kw)
+        _ = np.asarray(out)[:1, :1]
+        best = min(best, (time.time() - t0) / 10)
+    return best
+t = timed(f16, params, ids, mask)
+print(f"fwd bf16 (512,16): {t*1e3:6.1f} ms", flush=True)
+t = timed(f8, params, ids, mask, qlayers=qlayers)
+print(f"fwd int8 (512,16): {t*1e3:6.1f} ms", flush=True)
