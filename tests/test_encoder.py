@@ -331,13 +331,45 @@ def test_batched_encoder_int8_mode(enc):
 
     with pytest.raises(ValueError, match="quant"):
         BatchedEncoder(enc.params, enc.cfg, quant="int4")
-    from theoremsearch_tpu.core.config import GemmaEncoderConfig
-    from theoremsearch_tpu.encoder.gemma import init_params as gemma_init
+    from theoremsearch_tpu.core.config import BertEncoderConfig
+    from theoremsearch_tpu.encoder.bert import init_params as bert_init
 
-    gcfg = GemmaEncoderConfig.tiny()
-    gparams = gemma_init(gcfg, jax.random.PRNGKey(0))
+    bcfg = BertEncoderConfig.tiny()
+    bparams = bert_init(bcfg, jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="family"):
-        BatchedEncoder(gparams, gcfg, quant="int8")
+        BatchedEncoder(bparams, bcfg, quant="int8")
     mesh = make_mesh(MeshConfig(data=2, shard=1))
     with pytest.raises(ValueError, match="single-chip"):
         BatchedEncoder(enc.params, enc.cfg, mesh=mesh, quant="int8")
+
+
+def test_gemma_int8_forward_parity():
+    """The gemma tower shares the w8a8 scheme (quantize_params_int8 +
+    qlayers forward): int8 pooled output must track bf16, through both
+    the XLA bidirectional attention and the fused interpret core."""
+    from theoremsearch_tpu.core.config import GemmaEncoderConfig
+    from theoremsearch_tpu.encoder.gemma import (
+        encode_pooled as gep,
+        init_params as gemma_init,
+        quantize_params_int8 as gquant,
+    )
+
+    cfg = GemmaEncoderConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=2, num_kv_heads=1, head_dim=128,
+        max_seq_len=64, embedding_dim=128, head_hidden=128,
+        sliding_window=512, global_every=2,
+    )
+    params = gemma_init(cfg, jax.random.PRNGKey(5))
+    qlayers = gquant(params)
+    rng = np.random.default_rng(4)
+    B, S = 4, 32
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (B, S)), jnp.int32)
+    lengths = rng.integers(4, S, B)
+    mask = jnp.asarray((np.arange(S)[None, :] < lengths[:, None]).astype(np.int32))
+
+    ref = np.asarray(gep(params, ids, mask, cfg, fused="off"))
+    for fused in ("off", "interpret"):
+        q8 = np.asarray(gep(params, ids, mask, cfg, fused=fused, qlayers=qlayers))
+        cos = np.sum(ref * q8, axis=1)
+        assert (cos > 0.98).all(), (fused, cos)

@@ -662,7 +662,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--quant", default="none", choices=["none", "int8"],
                    help="int8 = w8a8 projection matmuls on the query "
                         "encoder (1.14x measured forward on v5e, pooled "
-                        "cosine 0.997+ vs bf16; qwen family only)")
+                        "cosine 0.997+ vs bf16; qwen/gemma families)")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("eval")

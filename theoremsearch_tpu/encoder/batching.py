@@ -77,8 +77,9 @@ class BatchedEncoder:
         )
         # int8 (w8a8) serving mode: all projection matmuls on the int8
         # MXU path (model.py quantization section; 1.14x measured
-        # forward). Qwen-family single-chip only — the gemma/bert towers
-        # and the tp sharding rules have no int8 variant.
+        # forward). Qwen/gemma families, single chip — the bert tower
+        # (biased projections) and the tp sharding rules have no int8
+        # variant.
         if quant not in ("none", "int8"):
             raise ValueError(f"unknown quant mode {quant!r}")
         self._fn_extra: dict = {}

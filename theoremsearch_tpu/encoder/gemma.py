@@ -140,22 +140,27 @@ def _rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
-def _attention(
+def _attention_math(
     layer: Params,
-    x: jax.Array,
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
     valid: jax.Array,
     rope_cs: tuple,
     cfg: GemmaEncoderConfig,
 ) -> jax.Array:
-    """Bidirectional attention; `valid` is the (B, 1, S, S) pair mask
-    (padding AND, for sliding layers, the symmetric window)."""
-    b, s, _ = x.shape
+    """Post-projection bidirectional attention math; `valid` is the
+    (B, 1, S, S) pair mask (padding AND, for sliding layers, the
+    symmetric window). q/k/v are raw (B, S, heads*Dh) projections;
+    returns (B, S, H*Dh) pre-wo. Shared by the bf16 and int8 paths."""
+    b, s, _ = q.shape
     h, hk, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     cos, sin = rope_cs
+    dtype = q.dtype
 
-    q = (x @ layer["wq"]).reshape(b, s, h, dh)
-    k = (x @ layer["wk"]).reshape(b, s, hk, dh)
-    v = (x @ layer["wv"]).reshape(b, s, hk, dh)
+    q = q.reshape(b, s, h, dh)
+    k = k.reshape(b, s, hk, dh)
+    v = v.reshape(b, s, hk, dh)
 
     q = _gemma_rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
     k = _gemma_rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
@@ -170,10 +175,23 @@ def _attention(
     scale = cfg.query_pre_attn_scalar ** -0.5
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
     logits = jnp.where(valid, logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
 
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
-    out = out.astype(x.dtype).reshape(b, s, h * dh)
+    return out.astype(dtype).reshape(b, s, h * dh)
+
+
+def _attention(
+    layer: Params,
+    x: jax.Array,
+    valid: jax.Array,
+    rope_cs: tuple,
+    cfg: GemmaEncoderConfig,
+) -> jax.Array:
+    out = _attention_math(
+        layer, x @ layer["wq"], x @ layer["wk"], x @ layer["wv"],
+        valid, rope_cs, cfg,
+    )
     return out @ layer["wo"]
 
 
@@ -287,12 +305,60 @@ def _mlp(layer: Params, x: jax.Array) -> jax.Array:
     return (gate * up) @ layer["w_down"]
 
 
+# ---------------------------------------------------------------------------
+# int8 (w8a8) inference quantization — same scheme as the qwen tower
+# (model.py quantization section): the gemma layer dict carries the same
+# seven projection matrices, so the quantizer is shared; only the
+# block composition (sandwich norms, GeGLU, bidirectional core) differs.
+# ---------------------------------------------------------------------------
+
+from .model import (  # noqa: E402  (shared quant machinery)
+    _q_matmul,
+    _quant_act,
+    quantize_params_int8,
+)
+
+
+def _attention_int8(
+    layer: Params, lq: dict, x: jax.Array, attention_mask: jax.Array,
+    valid: jax.Array, rope_cs: tuple, cfg: GemmaEncoderConfig,
+    use_fused: bool, interpret: bool,
+) -> jax.Array:
+    xq, sx = _quant_act(x)
+    q = _q_matmul(xq, sx, lq["wq"], x.dtype)
+    k = _q_matmul(xq, sx, lq["wk"], x.dtype)
+    v = _q_matmul(xq, sx, lq["wv"], x.dtype)
+    if use_fused:
+        core = _make_attn_core(
+            cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.rms_norm_eps,
+            float(cfg.query_pre_attn_scalar) ** -0.5, interpret,
+        )
+        attn = core(
+            q, k, v, 1.0 + layer["q_norm"], 1.0 + layer["k_norm"],
+            rope_cs[0], rope_cs[1], attention_mask.astype(jnp.int32),
+        )
+    else:
+        attn = _attention_math(layer, q, k, v, valid, rope_cs, cfg)
+    aq, sa = _quant_act(attn.astype(x.dtype))
+    return _q_matmul(aq, sa, lq["wo"], x.dtype)
+
+
+def _mlp_int8(lq: dict, x: jax.Array) -> jax.Array:
+    xq, sx = _quant_act(x)
+    gate = _q_matmul(xq, sx, lq["w_gate"], jnp.float32)
+    up = _q_matmul(xq, sx, lq["w_up"], jnp.float32)
+    h = (jax.nn.gelu(gate, approximate=True) * up).astype(x.dtype)
+    hq, sh = _quant_act(h)
+    return _q_matmul(hq, sh, lq["w_down"], x.dtype)
+
+
 def forward(
     params: Params,
     input_ids: jax.Array,
     attention_mask: jax.Array,
     cfg: GemmaEncoderConfig,
     fused: str = "off",
+    qlayers: list | None = None,
 ) -> jax.Array:
     """Hidden states (B, S, H) after the final norm.
 
@@ -300,7 +366,10 @@ def forward(
     attention (kernels/attention.py) when _fused_ok qualifies the
     shapes — at serving S the sliding window never binds, so every
     layer runs the full-bidirectional fused block with its own rope
-    tables; "interpret" = fused kernel in interpret mode (CPU tests)."""
+    tables; "interpret" = fused kernel in interpret mode (CPU tests).
+
+    qlayers: per-layer int8 weights from quantize_params_int8 (the
+    shared w8a8 scheme — see model.py's quantization section)."""
     dtype = jnp.dtype(cfg.dtype)
     # the sqrt(hidden) embed scale lives in model dtype (HF rounds
     # sqrt(3072) to 55.5 in bf16; parity requires the same rounding)
@@ -336,7 +405,12 @@ def forward(
         rope_cs = rope_global if glob else rope_local
         valid = valid_full if glob else valid_sliding
         xa = _gemma_rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
-        if use_fused:
+        if qlayers is not None:
+            attn = _attention_int8(
+                layer, qlayers[li], xa, attention_mask, valid, rope_cs, cfg,
+                use_fused, fused == "interpret",
+            )
+        elif use_fused:
             attn = _attention_fused(
                 layer, xa, attention_mask, rope_cs, cfg, fused == "interpret"
             )
@@ -344,7 +418,7 @@ def forward(
             attn = _attention(layer, xa, valid, rope_cs, cfg)
         x = x + _gemma_rms_norm(attn, layer["post_attn_norm"], cfg.rms_norm_eps)
         xm = _gemma_rms_norm(x, layer["pre_mlp_norm"], cfg.rms_norm_eps)
-        mlp = _mlp(layer, xm)
+        mlp = _mlp_int8(qlayers[li], xm) if qlayers is not None else _mlp(layer, xm)
         x = x + _gemma_rms_norm(mlp, layer["post_mlp_norm"], cfg.rms_norm_eps)
     return _gemma_rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
@@ -355,12 +429,15 @@ def encode_pooled(
     attention_mask: jax.Array,
     cfg: GemmaEncoderConfig,
     fused: str = "off",
+    qlayers: list | None = None,
 ) -> jax.Array:
     """Pooled embeddings (B, embedding_dim): mean pool over valid tokens
     -> Dense -> Dense -> L2 normalize (the sentence-transformers module
     stack of embeddinggemma: Pooling(mean), 2_Dense, 3_Dense,
     Normalize)."""
-    hidden = forward(params, input_ids, attention_mask, cfg, fused=fused)
+    hidden = forward(
+        params, input_ids, attention_mask, cfg, fused=fused, qlayers=qlayers
+    )
     m = attention_mask[:, :, None].astype(jnp.float32)
     pooled = jnp.sum(hidden.astype(jnp.float32) * m, axis=1) / jnp.maximum(
         jnp.sum(m, axis=1), 1e-9
