@@ -1,18 +1,35 @@
 """A/B the production BatchedEncoder stage: bf16 vs int8 quant mode,
 same process / same queries / same tunnel conditions (cross-session
 serve-bench comparisons drift 20-30% with tunnel state; this probe
-cancels that). Run: bash tools/tpu_run.sh experiments/exp_enc_int8_ab.py"""
+cancels that). ENC_FAMILY={qwen,gemma} picks the tower.
+
+Run: bash tools/tpu_run.sh experiments/exp_enc_int8_ab.py"""
+import functools
+import os
 import time
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
-from theoremsearch_tpu.core.config import EncoderConfig
 from theoremsearch_tpu.encoder.batching import BatchedEncoder
-from theoremsearch_tpu.encoder.model import init_params, encode_pooled, quantize_params_int8
-import functools, jax.numpy as jnp
 
-cfg = EncoderConfig(max_seq_len=64)
+FAMILY = os.environ.get("ENC_FAMILY", "qwen")
+if FAMILY == "gemma":
+    from theoremsearch_tpu.core.config import GemmaEncoderConfig
+    from theoremsearch_tpu.encoder.gemma import (
+        encode_pooled, init_params, quantize_params_int8,
+    )
+
+    cfg = GemmaEncoderConfig(max_seq_len=64)
+else:
+    from theoremsearch_tpu.core.config import EncoderConfig
+    from theoremsearch_tpu.encoder.model import (
+        encode_pooled, init_params, quantize_params_int8,
+    )
+
+    cfg = EncoderConfig(max_seq_len=64)
+
 params = jax.device_put(init_params(cfg, jax.random.PRNGKey(0)))
 
 rng = np.random.default_rng(0)
@@ -20,6 +37,7 @@ WORDS = ["group", "bound", "prime", "chromatic", "measure", "algebra",
          "sheaf", "cohomology", "of", "the", "finite", "simple", "number"]
 queries = [" ".join(rng.choice(WORDS, rng.integers(5, 14))) for _ in range(4096)]
 
+print(f"family={FAMILY}  layers={cfg.num_layers}  d={cfg.hidden_size}", flush=True)
 for quant in ("none", "int8"):
     be = BatchedEncoder(params, cfg, batch_size=512, buckets=(16, 32, 64), quant=quant)
     _ = be.encode(queries[:512])  # warm
@@ -50,5 +68,9 @@ def timed(fn, *a, **kw):
     return best
 t = timed(f16, params, ids, mask)
 print(f"fwd bf16 (512,16): {t*1e3:6.1f} ms", flush=True)
-t = timed(f8, params, ids, mask, qlayers=qlayers)
-print(f"fwd int8 (512,16): {t*1e3:6.1f} ms", flush=True)
+t8 = timed(f8, params, ids, mask, qlayers=qlayers)
+print(f"fwd int8 (512,16): {t8*1e3:6.1f} ms  speedup {t/t8:.2f}x", flush=True)
+e16 = np.asarray(f16(params, ids, mask))
+e8 = np.asarray(f8(params, ids, mask, qlayers=qlayers))
+cos = np.sum(e16 * e8, axis=1)
+print(f"cos min/mean vs bf16: {cos.min():.5f}/{cos.mean():.5f}", flush=True)

@@ -315,6 +315,7 @@ def _mlp(layer: Params, x: jax.Array) -> jax.Array:
 from .model import (  # noqa: E402  (shared quant machinery)
     _q_matmul,
     _quant_act,
+    _rmsnorm_quant_act,
     quantize_params_int8,
 )
 
@@ -324,7 +325,11 @@ def _attention_int8(
     valid: jax.Array, rope_cs: tuple, cfg: GemmaEncoderConfig,
     use_fused: bool, interpret: bool,
 ) -> jax.Array:
-    xq, sx = _quant_act(x)
+    """`x` is PRE-norm; the gemma (1+w) attn norm fuses into the shared
+    activation quant (w_offset=1.0)."""
+    xq, sx = _rmsnorm_quant_act(
+        x, layer["attn_norm"], cfg.rms_norm_eps, w_offset=1.0
+    )
     q = _q_matmul(xq, sx, lq["wq"], x.dtype)
     k = _q_matmul(xq, sx, lq["wk"], x.dtype)
     v = _q_matmul(xq, sx, lq["wv"], x.dtype)
@@ -343,8 +348,10 @@ def _attention_int8(
     return _q_matmul(aq, sa, lq["wo"], x.dtype)
 
 
-def _mlp_int8(lq: dict, x: jax.Array) -> jax.Array:
-    xq, sx = _quant_act(x)
+def _mlp_int8(layer: Params, lq: dict, x: jax.Array, eps: float) -> jax.Array:
+    """GeGLU MLP with int8 matmuls; `x` is PRE-norm (pre_mlp (1+w) norm
+    fused into the input quant)."""
+    xq, sx = _rmsnorm_quant_act(x, layer["pre_mlp_norm"], eps, w_offset=1.0)
     gate = _q_matmul(xq, sx, lq["w_gate"], jnp.float32)
     up = _q_matmul(xq, sx, lq["w_up"], jnp.float32)
     h = (jax.nn.gelu(gate, approximate=True) * up).astype(x.dtype)
@@ -404,21 +411,26 @@ def forward(
         glob = is_global_layer(cfg, li)
         rope_cs = rope_global if glob else rope_local
         valid = valid_full if glob else valid_sliding
-        xa = _gemma_rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
         if qlayers is not None:
+            # pre-norms fuse into the activation quants
             attn = _attention_int8(
-                layer, qlayers[li], xa, attention_mask, valid, rope_cs, cfg,
+                layer, qlayers[li], x, attention_mask, valid, rope_cs, cfg,
                 use_fused, fused == "interpret",
             )
-        elif use_fused:
-            attn = _attention_fused(
-                layer, xa, attention_mask, rope_cs, cfg, fused == "interpret"
-            )
         else:
-            attn = _attention(layer, xa, valid, rope_cs, cfg)
+            xa = _gemma_rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+            if use_fused:
+                attn = _attention_fused(
+                    layer, xa, attention_mask, rope_cs, cfg, fused == "interpret"
+                )
+            else:
+                attn = _attention(layer, xa, valid, rope_cs, cfg)
         x = x + _gemma_rms_norm(attn, layer["post_attn_norm"], cfg.rms_norm_eps)
-        xm = _gemma_rms_norm(x, layer["pre_mlp_norm"], cfg.rms_norm_eps)
-        mlp = _mlp_int8(qlayers[li], xm) if qlayers is not None else _mlp(layer, xm)
+        if qlayers is not None:
+            mlp = _mlp_int8(layer, qlayers[li], x, cfg.rms_norm_eps)
+        else:
+            xm = _gemma_rms_norm(x, layer["pre_mlp_norm"], cfg.rms_norm_eps)
+            mlp = _mlp(layer, xm)
         x = x + _gemma_rms_norm(mlp, layer["post_mlp_norm"], cfg.rms_norm_eps)
     return _gemma_rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 

@@ -303,6 +303,25 @@ def _quant_act(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, s
 
 
+def _rmsnorm_quant_act(
+    x: jax.Array, w: jax.Array, eps: float, w_offset: float = 0.0
+) -> tuple[jax.Array, jax.Array]:
+    """Fused RMSNorm -> per-token int8 quant, never materializing the
+    normed bf16 tensor: with y = x*rsqrt(var)*w, the row absmax is
+    max|x_j * w_j| * rsqrt(var), so both reductions (sum x^2, max|x*w|)
+    read x once and one pointwise pass writes the int8 codes — two
+    passes over HBM instead of the four the unfused norm+quant chain
+    costs. `w_offset=1.0` expresses gemma's (1 + w) norm form."""
+    xf = x.astype(jnp.float32)
+    wf = w.astype(jnp.float32) + w_offset
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + eps)
+    m = jnp.max(jnp.abs(xf) * jnp.abs(wf), axis=-1, keepdims=True) * r
+    s = jnp.maximum(m / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(xf * (r / s) * wf), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def _q_matmul(xq: jax.Array, sx: jax.Array, w: dict, out_dtype) -> jax.Array:
     """int8 x int8 -> int32 MXU matmul, dequantized via the two scales."""
     acc = jax.lax.dot_general(
@@ -316,10 +335,12 @@ def _attention_int8(
     layer: Params, lq: dict, x: jax.Array, attention_mask: jax.Array,
     rope_cs: tuple, cfg: EncoderConfig, use_fused: bool, interpret: bool,
 ) -> jax.Array:
-    """Attention block with int8 q/k/v/o projections. One shared
-    activation quant feeds all three input projections; the attention
-    core (fused Pallas or the XLA reference math) stays bf16/f32."""
-    xq, sx = _quant_act(x)
+    """Attention block with int8 q/k/v/o projections. `x` is PRE-norm:
+    the attn RMSNorm fuses into one shared activation quant
+    (_rmsnorm_quant_act) feeding all three input projections; the
+    attention core (fused Pallas or the XLA reference math) stays
+    bf16/f32."""
+    xq, sx = _rmsnorm_quant_act(x, layer["attn_norm"], cfg.rms_norm_eps)
     q = _q_matmul(xq, sx, lq["wq"], x.dtype)
     k = _q_matmul(xq, sx, lq["wk"], x.dtype)
     v = _q_matmul(xq, sx, lq["wv"], x.dtype)
@@ -340,8 +361,10 @@ def _attention_int8(
     return _q_matmul(aq, sa, lq["wo"], x.dtype)
 
 
-def _mlp_int8(lq: dict, x: jax.Array) -> jax.Array:
-    xq, sx = _quant_act(x)
+def _mlp_int8(layer: Params, lq: dict, x: jax.Array, eps: float) -> jax.Array:
+    """SwiGLU MLP with int8 matmuls; `x` is PRE-norm (mlp RMSNorm fused
+    into the input quant)."""
+    xq, sx = _rmsnorm_quant_act(x, layer["mlp_norm"], eps)
     gate = _q_matmul(xq, sx, lq["w_gate"], jnp.float32)
     up = _q_matmul(xq, sx, lq["w_up"], jnp.float32)
     h = (jax.nn.silu(gate) * up).astype(x.dtype)
@@ -376,16 +399,16 @@ def forward(
     b, s = input_ids.shape
     use_fused = fused in ("on", "interpret") and _fused_ok(cfg, s, b)
     for li, layer in enumerate(params["layers"]):
-        xa = _rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
         if qlayers is not None:
+            # pre-norms fuse into the activation quants — the normed
+            # bf16 tensors are never materialized
             x = x + _attention_int8(
-                layer, qlayers[li], xa, attention_mask, rope_cs, cfg,
+                layer, qlayers[li], x, attention_mask, rope_cs, cfg,
                 use_fused, fused == "interpret",
             )
-            x = x + _mlp_int8(
-                qlayers[li], _rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
-            )
+            x = x + _mlp_int8(layer, qlayers[li], x, cfg.rms_norm_eps)
             continue
+        xa = _rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
         if use_fused:
             x = x + _attention_fused(
                 layer, xa, attention_mask, rope_cs, cfg, fused == "interpret"
