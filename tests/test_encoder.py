@@ -338,9 +338,18 @@ def test_batched_encoder_int8_mode(enc):
     bparams = bert_init(bcfg, jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="family"):
         BatchedEncoder(bparams, bcfg, quant="int8")
-    mesh = make_mesh(MeshConfig(data=2, shard=1))
-    with pytest.raises(ValueError, match="single-chip"):
-        BatchedEncoder(enc.params, enc.cfg, mesh=mesh, quant="int8")
+    # tp meshes are rejected (no int8 sharding rules)...
+    mesh_tp = make_mesh(MeshConfig(data=1, shard=2))
+    with pytest.raises(ValueError, match="dp-only"):
+        BatchedEncoder(enc.params, enc.cfg, mesh=mesh_tp, quant="int8")
+    # ...but a pure-dp mesh replicates the int8 weights and works
+    mesh_dp = make_mesh(MeshConfig(data=2, shard=1))
+    be_dp = BatchedEncoder(
+        enc.params, enc.cfg, mesh=mesh_dp, batch_size=4, quant="int8"
+    )
+    c = be_dp.encode(texts)
+    cos_dp = np.sum(b * c, axis=1)
+    assert (cos_dp > 0.999).all(), cos_dp
 
 
 def test_gemma_int8_forward_parity():

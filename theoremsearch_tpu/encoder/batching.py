@@ -76,10 +76,10 @@ class BatchedEncoder:
             functools.partial(mod.encode_pooled, cfg=cfg, fused=fused)
         )
         # int8 (w8a8) serving mode: all projection matmuls on the int8
-        # MXU path (model.py quantization section; 1.14x measured
-        # forward). Qwen/gemma families, single chip — the bert tower
-        # (biased projections) and the tp sharding rules have no int8
-        # variant.
+        # MXU path (model.py quantization section; 1.21x measured
+        # forward). Qwen/gemma families; single chip or a pure-dp mesh
+        # (replicated weights) — the bert tower (biased projections) and
+        # the tp sharding rules have no int8 variant.
         if quant not in ("none", "int8"):
             raise ValueError(f"unknown quant mode {quant!r}")
         self._fn_extra: dict = {}
@@ -89,8 +89,11 @@ class BatchedEncoder:
                     f"quant='int8' is not supported for the "
                     f"{type(cfg).__name__} family"
                 )
-            if mesh is not None:
-                raise ValueError("quant='int8' is single-chip (no mesh)")
+            if mesh is not None and mesh.shape.get("shard", 1) > 1:
+                raise ValueError(
+                    "quant='int8' supports single-chip or dp-only meshes "
+                    "(no tp sharding rules for the int8 weights)"
+                )
             self._fn_extra["qlayers"] = jax.jit(mod.quantize_params_int8)(params)
         if mesh is not None:
             self._data_sharding = NamedSharding(mesh, P("data", None))
