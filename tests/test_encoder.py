@@ -382,3 +382,87 @@ def test_gemma_int8_forward_parity():
         q8 = np.asarray(gep(params, ids, mask, cfg, fused=fused, qlayers=qlayers))
         cos = np.sum(ref * q8, axis=1)
         assert (cos > 0.98).all(), (fused, cos)
+
+
+def test_lora_train_step_reduces_loss_and_freezes_base():
+    """LoRA mode: at init the merged encoder IS the base (B = 0); the
+    adapter step reduces loss while the base params never change; the
+    merged export differs from the base after training."""
+    from theoremsearch_tpu.train import (
+        init_lora_train_state,
+        init_train_state,
+        lora_merge,
+        lora_num_params,
+        make_lora_train_step,
+    )
+
+    cfg = EncoderConfig.tiny()
+    tcfg = TrainConfig(
+        batch_size=8, seq_len=16, learning_rate=3e-3,
+        lora_rank=4, lora_alpha=8.0,
+    )
+    base = init_train_state(cfg, tcfg).params
+    state = init_lora_train_state(base, tcfg)
+    # tiny trainable footprint: per layer wq (128->128) and wv (128->64)
+    # at rank 4: (128*4 + 4*128) + (128*4 + 4*64) = 1792
+    assert lora_num_params(state.params) == cfg.num_layers * 1792
+
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    qe = tok([f"query about topic {i}" for i in range(8)], pad_to=16)
+    pe = tok([f"theorem statement on topic {i}" for i in range(8)], pad_to=16)
+    batch = tuple(jnp.asarray(x) for x in (
+        qe.input_ids, qe.attention_mask, pe.input_ids, pe.attention_mask
+    ))
+
+    # zero-effect at init: merged forward == base forward bit-for-bit
+    merged0 = lora_merge(base, state.params, tcfg.lora_alpha)
+    e_base = np.asarray(encode_pooled(base, batch[0], batch[1], cfg))
+    e_m0 = np.asarray(encode_pooled(merged0, batch[0], batch[1], cfg))
+    np.testing.assert_array_equal(e_base, e_m0)
+
+    step = make_lora_train_step(cfg, tcfg)
+    base_snapshot = jax.tree.map(lambda a: np.asarray(a).copy(), base)
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, base, *batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+    # the base never moved
+    for a, b in zip(jax.tree.leaves(base), jax.tree.leaves(base_snapshot)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    # the merged export did
+    merged1 = lora_merge(base, state.params, tcfg.lora_alpha)
+    e_m1 = np.asarray(encode_pooled(merged1, batch[0], batch[1], cfg))
+    assert not np.allclose(e_m0, e_m1)
+
+
+def test_lora_checkpoint_roundtrip(tmp_path):
+    """Adapter checkpoints restore with the LoRA template."""
+    from theoremsearch_tpu.train import init_lora_train_state, init_train_state
+    from theoremsearch_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg = EncoderConfig.tiny()
+    tcfg = TrainConfig(lora_rank=4)
+    base = init_train_state(cfg, tcfg).params
+    state = init_lora_train_state(base, tcfg)
+    save_checkpoint(state, tmp_path)
+    template = init_lora_train_state(base, tcfg)
+    restored = restore_checkpoint(tmp_path, cfg, tcfg, template=template)
+    assert restored is not None
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_lora_rejects_bad_targets():
+    from theoremsearch_tpu.train import init_train_state, lora_init
+
+    cfg = EncoderConfig.tiny()
+    base = init_train_state(cfg, TrainConfig()).params
+    with pytest.raises(ValueError, match="target"):
+        lora_init(base, jax.random.PRNGKey(0), 4, targets=("nope",))
+    with pytest.raises(ValueError, match="rank"):
+        lora_init(base, jax.random.PRNGKey(0), 0)

@@ -398,7 +398,13 @@ def cmd_train(args):
     from .core.config import TrainConfig
     from .eval.harness import evaluate_encoder_on_validation
     from .train.checkpoint import restore_checkpoint, save_checkpoint
-    from .train.contrastive import TrainState, make_optimizer, make_train_step
+    from .train.contrastive import (
+        TrainState,
+        init_lora_train_state,
+        make_lora_train_step,
+        make_optimizer,
+        make_train_step,
+    )
     from .train.data import (
         batch_iterator,
         negatives_from_feedback,
@@ -414,7 +420,12 @@ def cmd_train(args):
         batch_size=args.batch_size, seq_len=args.seq_len,
         learning_rate=args.lr, temperature=args.temperature,
         steps=args.steps, seed=args.seed,
+        lora_rank=getattr(args, "lora_rank", 0),
+        lora_alpha=getattr(args, "lora_alpha", 16.0),
     )
+    use_lora = tcfg.lora_rank > 0
+    if use_lora:
+        from .train.lora import lora_merge, lora_num_params
 
     pairs = pairs_from_validation(args.validation, args.context_window)
     if getattr(args, "catalog", None):
@@ -441,21 +452,42 @@ def cmd_train(args):
         )
 
     # START from the encoder's CURRENT params — the loaded --model-dir
-    # checkpoint or the hermetic init — not a fresh random init
-    opt = make_optimizer(tcfg)
-    state = TrainState(
-        params=be.params, opt_state=opt.init(be.params),
-        step=jnp.zeros((), jnp.int32),
-    )
+    # checkpoint or the hermetic init — not a fresh random init. LoRA
+    # mode freezes those as the base and trains adapters only.
+    base_params = be.params
+    if use_lora:
+        state = init_lora_train_state(base_params, tcfg)
+        print(f"[train] lora rank {tcfg.lora_rank} "
+              f"({lora_num_params(state.params):,} trainable params; "
+              f"base frozen)")
+    else:
+        opt = make_optimizer(tcfg)
+        state = TrainState(
+            params=be.params, opt_state=opt.init(be.params),
+            step=jnp.zeros((), jnp.int32),
+        )
     start = 0
     if args.checkpoint_dir:
-        restored = restore_checkpoint(args.checkpoint_dir, cfg, tcfg)
+        # LoRA checkpoints hold the ADAPTER state — restore needs its
+        # structure, not the full-fine-tune template
+        restored = restore_checkpoint(
+            args.checkpoint_dir, cfg, tcfg,
+            template=state if use_lora else None,
+        )
         if restored is not None:
             state = restored
             start = int(state.step)
             print(f"[train] resumed at step {start}")
+
+    def adopt_params():
+        """Point the serving encoder at the tuned weights."""
+        be.params = (
+            lora_merge(base_params, state.params, tcfg.lora_alpha)
+            if use_lora else state.params
+        )
+
     if start >= tcfg.steps:
-        be.params = state.params
+        adopt_params()
         print(f"[train] checkpoint already at step {start} >= --steps "
               f"{tcfg.steps}; nothing to do")
         if args.eval:
@@ -479,7 +511,13 @@ def cmd_train(args):
             np.asarray(neg_enc.attention_mask, np.int32),
         )
         print(f"[train] {len(negatives)} hard negatives from feedback")
-    step_fn = make_train_step(cfg, tcfg)
+    if use_lora:
+        _lora_step = make_lora_train_step(cfg, tcfg)
+
+        def step_fn(st, *batch):
+            return _lora_step(st, base_params, *batch)
+    else:
+        step_fn = make_train_step(cfg, tcfg)
     losses = []
     saved_at = None
     # seed the stream PAST the consumed prefix: a resumed run must not
@@ -504,7 +542,7 @@ def cmd_train(args):
         print(f"[train] checkpoint saved to {args.checkpoint_dir}")
 
     # serve the tuned params through the SAME BatchedEncoder machinery
-    be.params = state.params
+    adopt_params()
     if args.eval:
         m1 = eval_metrics()
         print("[train] after:", json.dumps({k: round(v, 4) for k, v in m1.items()}))
@@ -704,6 +742,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--log-every", type=int, default=10)
     s.add_argument("--eval", action="store_true",
                    help="report validation metrics before and after")
+    s.add_argument("--lora-rank", type=int, default=0,
+                   help="> 0 = parameter-efficient fine-tuning: freeze "
+                        "the base encoder, train rank-r deltas on the "
+                        "q/v projections, merge for serving (0 = full "
+                        "fine-tune)")
+    s.add_argument("--lora-alpha", type=float, default=16.0)
     s.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("compare-embedders")

@@ -264,3 +264,9 @@ class TrainConfig(_JsonConfig):
     temperature: float = 0.05
     steps: int = 100
     seed: int = 0
+    # parameter-efficient mode (train/lora.py): 0 = full fine-tune;
+    # rank > 0 freezes the base encoder and trains low-rank deltas on
+    # lora_targets (None = the ("wq", "wv") default)
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_targets: tuple | None = None

@@ -53,16 +53,25 @@ def latest_step(path: str | Path) -> int | None:
 
 
 def restore_checkpoint(
-    path: str | Path, enc_cfg: EncoderConfig, train_cfg: TrainConfig, step: int | None = None
+    path: str | Path,
+    enc_cfg: EncoderConfig,
+    train_cfg: TrainConfig,
+    step: int | None = None,
+    template: TrainState | None = None,
 ) -> TrainState | None:
-    """Restore the given (or latest) step; None when nothing is saved."""
+    """Restore the given (or latest) step; None when nothing is saved.
+
+    `template` supplies the state structure when it isn't the default
+    full-fine-tune one (e.g. a LoRA adapter state from
+    init_lora_train_state)."""
     from .contrastive import init_train_state
 
     path = Path(path).resolve()
     step = step if step is not None else latest_step(path)
     if step is None:
         return None
-    template = init_train_state(enc_cfg, train_cfg)
+    if template is None:
+        template = init_train_state(enc_cfg, train_cfg)
     try:
         import orbax.checkpoint as ocp
 

@@ -124,6 +124,72 @@ def make_train_step(
     return run
 
 
+def make_lora_train_step(
+    enc_cfg: EncoderConfig,
+    train_cfg: TrainConfig,
+    mesh: Mesh | None = None,
+):
+    """jitted (state, base_params, q_ids, q_mask, p_ids, p_mask) ->
+    (state, loss) where state.params is the LoRA adapter pytree
+    (train/lora.py) and base_params stay frozen — gradients flow only to
+    the adapters; the merged encoder is rematerialized inside the step
+    (cheap at LoRA ranks). Base params travel as a jit ARGUMENT, not a
+    closure constant (constant-baking 0.6B of weights bloats the
+    program — the same trap the scan paths hit with corpus arrays)."""
+    from .lora import lora_merge
+
+    opt = make_optimizer(train_cfg)
+    fused = "off"  # same reasoning as make_train_step
+    alpha = train_cfg.lora_alpha
+
+    def step(state: TrainState, base_params, q_ids, q_mask, p_ids, p_mask,
+             n_ids=None, n_mask=None):
+        def loss_fn(lora):
+            p_eff = lora_merge(base_params, lora, alpha)
+            return info_nce_loss(
+                p_eff, q_ids, q_mask, p_ids, p_mask, enc_cfg,
+                train_cfg.temperature, fused, n_ids, n_mask,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt = opt.update(grads, state.opt_state, state.params)
+        new_lora = optax.apply_updates(state.params, updates)
+        return TrainState(new_lora, new_opt, state.step + 1), loss
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    batch_spec = NamedSharding(mesh, P("data", None))
+    jitted = jax.jit(step, donate_argnums=(0,))
+
+    def run(state: TrainState, base_params, q_ids, q_mask, p_ids, p_mask,
+            n_ids=None, n_mask=None):
+        q_ids = jax.device_put(q_ids, batch_spec)
+        q_mask = jax.device_put(q_mask, batch_spec)
+        p_ids = jax.device_put(p_ids, batch_spec)
+        p_mask = jax.device_put(p_mask, batch_spec)
+        # adapters are tiny: replicated, like the explicit negatives
+        return jitted(state, base_params, q_ids, q_mask, p_ids, p_mask,
+                      n_ids, n_mask)
+
+    return run
+
+
+def init_lora_train_state(
+    params: Params, train_cfg: TrainConfig, key=None,
+) -> TrainState:
+    """Adapter-only TrainState over frozen base params: opt moments
+    exist only for the LoRA leaves (~2*rank/hidden of the full-tune
+    optimizer footprint)."""
+    from .lora import DEFAULT_TARGETS, lora_init
+
+    key = key if key is not None else jax.random.PRNGKey(train_cfg.seed)
+    targets = train_cfg.lora_targets or DEFAULT_TARGETS
+    lora = lora_init(params, key, train_cfg.lora_rank, tuple(targets))
+    opt = make_optimizer(train_cfg)
+    return TrainState(params=lora, opt_state=opt.init(lora), step=jnp.zeros((), jnp.int32))
+
+
 def init_sharded_train_state(
     enc_cfg: EncoderConfig, train_cfg: TrainConfig, mesh: Mesh, key=None
 ) -> TrainState:
