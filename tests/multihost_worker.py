@@ -1,0 +1,81 @@
+"""Worker for tests/test_multihost.py — one PROCESS of a multi-process
+(multi-host-shaped) search deployment.
+
+Run as: python tests/multihost_worker.py <proc_id> <n_procs> <port> <out.json>
+
+Each process owns 4 CPU devices; jax.distributed.initialize() joins them
+into one global 8-device mesh with Gloo cross-process collectives — the
+same program shape a TPU pod runs per host over ICI/DCN (there
+jax.distributed.initialize() discovers the topology instead of taking
+explicit ids). The corpus is row-sharded over the GLOBAL mesh: each
+process places only its addressable shards (jax.device_put with a
+process-spanning NamedSharding), and the engine's all_gather merge
+crosses the process boundary. Every process must end up with the same
+top-k — the merge is replicated — which the parent test asserts against
+a single-device oracle.
+
+Mirrors the reference's scale-out unit (one Postgres, many clients,
+streamlit_app.py:275-281) with the TPU-native inversion: the corpus is
+the thing that shards; queries replicate.
+"""
+
+import json
+import sys
+
+
+def main() -> None:
+    proc, nproc, port, out_path = (
+        int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+    jax.distributed.initialize(
+        f"127.0.0.1:{port}", num_processes=nproc, process_id=proc
+    )
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from theoremsearch_tpu.core import IndexConfig
+    from theoremsearch_tpu.index import FlatIndex
+    from theoremsearch_tpu.search import SearchEngine
+
+    # deterministic corpus: every process builds the identical index
+    # (on a real pod the hosts would load the same manifest shards)
+    rng = np.random.default_rng(0)
+    n, d = 4096, 64
+    vecs = rng.standard_normal((n, d), dtype=np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    queries = vecs[:8] + 0.01 * rng.standard_normal((8, d), dtype=np.float32)
+
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    assert len(jax.devices()) == 4 * nproc, "global mesh spans all processes"
+    assert len(jax.local_devices()) == 4
+
+    idx = FlatIndex.build(
+        vecs, ids=np.arange(n),
+        config=IndexConfig(dtype="int8", int8_scale="global"),
+    )
+    eng = SearchEngine(
+        idx, mesh=mesh, use_pallas=True, pallas_interpret=True, row_block=128,
+        rescore_vectors=vecs, rescore_factor=8,
+    )
+    scores, ids = eng.search_vectors(queries, k=10)
+
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "proc": proc,
+                "n_global_devices": len(jax.devices()),
+                "sharded_speed_ok": bool(eng._sharded_speed_ok),
+                "ids": np.asarray(ids).tolist(),
+                "scores": np.asarray(scores, np.float64).round(5).tolist(),
+            },
+            f,
+        )
+
+
+if __name__ == "__main__":
+    main()
