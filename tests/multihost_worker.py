@@ -64,6 +64,46 @@ def main() -> None:
     )
     scores, ids = eng.search_vectors(queries, k=10)
 
+    # ---- dp+tp training across the process boundary: the global mesh
+    # splits (data=2, shard=4), so gradient psums cross the Gloo
+    # boundary; the same train step code runs unchanged.
+    from theoremsearch_tpu.core import EncoderConfig, MeshConfig, make_mesh
+    from theoremsearch_tpu.core.config import TrainConfig
+    from theoremsearch_tpu.encoder.tokenizer import SimpleTokenizer
+    from theoremsearch_tpu.train import init_sharded_train_state, make_train_step
+
+    cfg = EncoderConfig.tiny()
+    tcfg = TrainConfig(batch_size=8, seq_len=16, learning_rate=3e-3)
+    mesh2 = make_mesh(MeshConfig(data=2, shard=4))
+    state = init_sharded_train_state(cfg, tcfg, mesh2)
+    step = make_train_step(cfg, tcfg, mesh=mesh2)
+    tok = SimpleTokenizer(vocab_size=cfg.vocab_size)
+    qe = tok([f"query topic {i}" for i in range(8)], pad_to=16)
+    pe = tok([f"statement topic {i}" for i in range(8)], pad_to=16)
+    batch = (
+        np.asarray(qe.input_ids), np.asarray(qe.attention_mask),
+        np.asarray(pe.input_ids), np.asarray(pe.attention_mask),
+    )
+    losses = []
+    for _ in range(3):
+        state, loss = step(state, *batch)
+        losses.append(round(float(loss), 6))
+
+    # ---- data-parallel batched encode over the same global mesh vs the
+    # process-local single-device encoder: identical embeddings
+    from theoremsearch_tpu.encoder.batching import BatchedEncoder
+    from theoremsearch_tpu.encoder.model import init_params
+
+    params = init_params(cfg, __import__("jax").random.PRNGKey(0))
+    be_mesh = BatchedEncoder(
+        params, cfg, batch_size=8, buckets=(16,), mesh=mesh2
+    )
+    be_one = BatchedEncoder(params, cfg, batch_size=8, buckets=(16,))
+    texts = [f"multi host encode check {i}" for i in range(8)]
+    e_mesh = np.asarray(be_mesh.encode(texts))
+    e_one = np.asarray(be_one.encode(texts))
+    enc_cos = float(np.min(np.sum(e_mesh * e_one, axis=1)))
+
     with open(out_path, "w") as f:
         json.dump(
             {
@@ -72,6 +112,8 @@ def main() -> None:
                 "sharded_speed_ok": bool(eng._sharded_speed_ok),
                 "ids": np.asarray(ids).tolist(),
                 "scores": np.asarray(scores, np.float64).round(5).tolist(),
+                "train_losses": losses,
+                "encode_min_cos": round(enc_cos, 6),
             },
             f,
         )

@@ -73,6 +73,14 @@ def test_sharded_search_across_process_boundary(tmp_path):
         assert r["sharded_speed_ok"], "speed path must be active on the global mesh"
     # the all_gather merge is replicated: every process sees the same ids
     assert results[0]["ids"] == results[1]["ids"]
+    # dp+tp training: loss is replicated across the process boundary,
+    # finite, and decreasing
+    l0, l1 = results[0]["train_losses"], results[1]["train_losses"]
+    assert l0 == l1, (l0, l1)
+    assert all(np.isfinite(l0)) and l0[-1] < l0[0], l0
+    # data-parallel encode over the global mesh == single-device encode
+    for r in results:
+        assert r["encode_min_cos"] > 0.999, r["encode_min_cos"]
 
     # single-device oracle (same deterministic corpus as the workers)
     rng = np.random.default_rng(0)

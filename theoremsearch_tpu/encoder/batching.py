@@ -72,8 +72,20 @@ class BatchedEncoder:
         from .families import family_module
 
         mod = family_module(cfg)
+        # on a multi-process (multi-host) mesh the dp-sharded output
+        # spans non-addressable devices, so np.asarray on it fails —
+        # replicate the (B, D) output via out_shardings (XLA inserts the
+        # all_gather on the wire; the embedding block is tiny). A
+        # single-process mesh keeps the sharded output: host fetch works
+        # per-shard and encode_device feeds the scan without a gather.
+        jit_kwargs: dict = {}
+        if mesh is not None and len(
+            {d.process_index for d in mesh.devices.flat}
+        ) > 1:
+            jit_kwargs["out_shardings"] = NamedSharding(mesh, P())
         self._fn = jax.jit(
-            functools.partial(mod.encode_pooled, cfg=cfg, fused=fused)
+            functools.partial(mod.encode_pooled, cfg=cfg, fused=fused),
+            **jit_kwargs,
         )
         # int8 (w8a8) serving mode: all projection matmuls on the int8
         # MXU path (model.py quantization section; 1.21x measured
