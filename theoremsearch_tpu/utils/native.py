@@ -1,8 +1,11 @@
-"""ctypes bindings to the native host runtime (native/theoremsearch_native.cpp).
+"""ctypes bindings to the native host runtime
+(theoremsearch_tpu/native/theoremsearch_native.cpp).
 
 Loads libtheoremsearch_native.so (building it with make on first use when
 a toolchain is present); every entry point has a numpy fallback so the
-framework never hard-depends on the native build.
+framework never hard-depends on the native build. The C++ source and
+Makefile ship inside the package, so an installed wheel builds the
+native path the same way the repo checkout does.
 """
 
 from __future__ import annotations
@@ -14,7 +17,7 @@ from pathlib import Path
 
 import numpy as np
 
-_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_NATIVE_DIR = Path(__file__).resolve().parents[1] / "native"
 _LIB_PATH = _NATIVE_DIR / "libtheoremsearch_native.so"
 _SRC_PATH = _NATIVE_DIR / "theoremsearch_native.cpp"
 _lib = None
