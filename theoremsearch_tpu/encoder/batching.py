@@ -83,10 +83,17 @@ class BatchedEncoder:
             {d.process_index for d in mesh.devices.flat}
         ) > 1:
             jit_kwargs["out_shardings"] = NamedSharding(mesh, P())
-        self._fn = jax.jit(
-            functools.partial(mod.encode_pooled, cfg=cfg, fused=fused),
-            **jit_kwargs,
-        )
+        # ids and mask travel as ONE stacked (2, B, W) array: each
+        # host->device transfer over the axon tunnel costs ~18 ms of
+        # round-trip latency regardless of size (64 KB measured 37 ms as
+        # two transfers, experiments/exp_enc_stage.py), so halving the
+        # transfer count is a direct stage win
+        pooled = functools.partial(mod.encode_pooled, cfg=cfg, fused=fused)
+
+        def _stacked(params, ids_mask, **kw):
+            return pooled(params, ids_mask[0], ids_mask[1], **kw)
+
+        self._fn = jax.jit(_stacked, **jit_kwargs)
         # int8 (w8a8) serving mode: all projection matmuls on the int8
         # MXU path (model.py quantization section; 1.21x measured
         # forward). Qwen/gemma families; single chip or a pure-dp mesh
@@ -108,7 +115,8 @@ class BatchedEncoder:
                 )
             self._fn_extra["qlayers"] = jax.jit(mod.quantize_params_int8)(params)
         if mesh is not None:
-            self._data_sharding = NamedSharding(mesh, P("data", None))
+            # leading axis 2 is the stacked ids/mask pair; batch is axis 1
+            self._data_sharding = NamedSharding(mesh, P(None, "data", None))
         else:
             self._data_sharding = None
 
@@ -213,9 +221,9 @@ class BatchedEncoder:
         pieces = []
         for start in range(0, len(order), bs):
             idx = order[start : start + bs]
-            ids_d, mask_d, n_real = self._prep_batch(texts, tokenized, idx)
+            ids_mask, n_real = self._prep_batch(texts, tokenized, idx)
             pieces.append(
-                (idx, self._fn(self.params, ids_d, mask_d, **self._fn_extra)[:n_real])
+                (idx, self._fn(self.params, ids_mask, **self._fn_extra)[:n_real])
             )
         if n_pad <= bs:   # single piece in input order, no scatter needed
             return pieces[0][1].astype(jnp.float32)
@@ -253,11 +261,12 @@ class BatchedEncoder:
             ids = np.concatenate([ids, np.zeros((pad, width), np.int32)])
             mask = np.concatenate([mask, np.zeros((pad, width), np.int32)])
             mask[len(idx):, 0] = 1  # avoid fully-empty rows
-        ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
+        stacked = np.stack([ids, mask])  # one h2d transfer, not two
         if self._data_sharding is not None:
-            ids_d = jax.device_put(ids_d, self._data_sharding)
-            mask_d = jax.device_put(mask_d, self._data_sharding)
-        return ids_d, mask_d, len(idx)
+            ids_mask = jax.device_put(stacked, self._data_sharding)
+        else:
+            ids_mask = jnp.asarray(stacked)
+        return ids_mask, len(idx)
 
     def encode(self, texts: Sequence[str], role: str | None = None) -> np.ndarray:
         """(len(texts), embedding_dim) fp32, normalized per config.
@@ -274,12 +283,25 @@ class BatchedEncoder:
         out = np.zeros((len(texts), self.cfg.embedding_dim), np.float32)
 
         bs = self.batch_size
+        # software pipeline: dispatch sub-batch i+1 BEFORE pulling i's
+        # result, so the host->device transfer + forward of the next
+        # batch overlap the device->host pull of the previous one. Over
+        # the tunnel this is the difference between 2.5k and 4.3k q/s at
+        # batch 512 (experiments/exp_enc_stage.py) — the device is idle
+        # during every synchronous pull otherwise.
+        pending: tuple | None = None
         for start in range(0, len(order), bs):
             idx = order[start : start + bs]
             # sub-batches pad to their power-of-two bucket (_prep_batch):
             # small serving batches get small forwards, and dynamic sizes
             # compile at most log2(bs) programs per width bucket
-            ids_d, mask_d, n_real = self._prep_batch(texts, tokenized, idx)
-            emb = np.asarray(self._fn(self.params, ids_d, mask_d, **self._fn_extra))
-            out[idx] = emb[:n_real]
+            ids_mask, n_real = self._prep_batch(texts, tokenized, idx)
+            emb_d = self._fn(self.params, ids_mask, **self._fn_extra)
+            if pending is not None:
+                p_idx, p_n, p_emb = pending
+                out[p_idx] = np.asarray(p_emb)[:p_n]
+            pending = (idx, n_real, emb_d)
+        if pending is not None:
+            p_idx, p_n, p_emb = pending
+            out[p_idx] = np.asarray(p_emb)[:p_n]
         return out
