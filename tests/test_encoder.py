@@ -100,6 +100,23 @@ def test_batched_encoder_order_and_buckets(enc):
     assert be.encode([]).shape == (0, enc.cfg.embedding_dim)
 
 
+def test_batched_encoder_pipelined_subbatches(enc):
+    """encode() dispatches sub-batch i+1 before pulling i (software
+    pipeline over the device round-trip); every row must still land at
+    its input position. 23 texts at batch_size=4 -> 6 pipelined
+    sub-batches with mixed width buckets."""
+    texts = [f"statement {i} " + "word " * (i % 9) for i in range(23)]
+    piped = BatchedEncoder(
+        enc.params, enc.cfg, batch_size=4, buckets=(16, 32, 64)
+    ).encode(texts)
+    single = BatchedEncoder(
+        enc.params, enc.cfg, batch_size=64, buckets=(16, 32, 64)
+    ).encode(texts)
+    cos = np.sum(piped * single, axis=1)
+    assert cos.shape == (23,)
+    assert float(cos.min()) > 0.999
+
+
 def test_train_step_reduces_loss():
     cfg = EncoderConfig.tiny()
     tcfg = TrainConfig(batch_size=8, seq_len=16, learning_rate=3e-3)
