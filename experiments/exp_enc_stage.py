@@ -100,3 +100,8 @@ t = bench("serial 8 batches", serial8, n=3)
 print(f"  -> {8*512/t:7.0f} q/s", flush=True)
 t = bench("pipelined 8 batches", pipelined8, n=3)
 print(f"  -> {8*512/t:7.0f} q/s", flush=True)
+# the production path: encode() with its prefetch thread (h2d of batch
+# i+1 overlaps batch i's forward) + dispatch-ahead (pull of batch i
+# overlaps batch i+1's forward)
+t = bench("be.encode(4096) streamed", lambda: be.encode(queries), n=3)
+print(f"  -> {4096/t:7.0f} q/s", flush=True)

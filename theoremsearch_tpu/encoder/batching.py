@@ -283,24 +283,72 @@ class BatchedEncoder:
         out = np.zeros((len(texts), self.cfg.embedding_dim), np.float32)
 
         bs = self.batch_size
-        # software pipeline: dispatch sub-batch i+1 BEFORE pulling i's
-        # result, so the host->device transfer + forward of the next
-        # batch overlap the device->host pull of the previous one. Over
-        # the tunnel this is the difference between 2.5k and 4.3k q/s at
-        # batch 512 (experiments/exp_enc_stage.py) — the device is idle
-        # during every synchronous pull otherwise.
-        pending: tuple | None = None
-        for start in range(0, len(order), bs):
-            idx = order[start : start + bs]
-            # sub-batches pad to their power-of-two bucket (_prep_batch):
-            # small serving batches get small forwards, and dynamic sizes
-            # compile at most log2(bs) programs per width bucket
+        # software pipeline, two stages deep:
+        #  - a prefetch thread runs _prep_batch (pad + h2d transfer) for
+        #    sub-batch i+1 while the device computes sub-batch i — over
+        #    the axon tunnel the transfer alone is ~18 ms/batch of
+        #    latency that would otherwise serialize between forwards;
+        #  - the dispatch loop launches sub-batch i+1's forward BEFORE
+        #    pulling i's result, so the device never idles during the
+        #    device->host pull. Together: 2.5k -> ~5k q/s at batch 512
+        #    (experiments/exp_enc_stage.py).
+        sub = [order[s : s + bs] for s in range(0, len(order), bs)]
+        # sub-batches pad to their power-of-two bucket (_prep_batch):
+        # small serving batches get small forwards, and dynamic sizes
+        # compile at most log2(bs) programs per width bucket
+        if len(sub) == 1:
+            idx = sub[0]
             ids_mask, n_real = self._prep_batch(texts, tokenized, idx)
             emb_d = self._fn(self.params, ids_mask, **self._fn_extra)
-            if pending is not None:
-                p_idx, p_n, p_emb = pending
-                out[p_idx] = np.asarray(p_emb)[:p_n]
-            pending = (idx, n_real, emb_d)
+            out[idx] = np.asarray(emb_d)[:n_real]
+            return out
+
+        import queue as _queue
+        import threading as _threading
+
+        prepped: _queue.Queue = _queue.Queue(maxsize=2)
+        stop = _threading.Event()   # set if the consumer dies: unblocks
+        # a producer waiting on the bounded queue so join() can't hang
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    prepped.put(item, timeout=0.1)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
+
+        def _producer():
+            try:
+                for idx in sub:
+                    ids_mask, n_real = self._prep_batch(texts, tokenized, idx)
+                    if not _put((idx, ids_mask, n_real)):
+                        return
+            except BaseException as e:  # noqa: BLE001 - relayed to consumer
+                _put(e)
+            else:
+                _put(None)
+
+        t = _threading.Thread(target=_producer, daemon=True)
+        t.start()
+        pending: tuple | None = None
+        try:
+            while True:
+                item = prepped.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                idx, ids_mask, n_real = item
+                emb_d = self._fn(self.params, ids_mask, **self._fn_extra)
+                if pending is not None:
+                    p_idx, p_n, p_emb = pending
+                    out[p_idx] = np.asarray(p_emb)[:p_n]
+                pending = (idx, n_real, emb_d)
+        finally:
+            stop.set()
+            t.join()
         if pending is not None:
             p_idx, p_n, p_emb = pending
             out[p_idx] = np.asarray(p_emb)[:p_n]
