@@ -48,6 +48,14 @@ for quant in ("none", "int8"):
             _ = be.encode(queries[i*512:(i+1)*512])
         best = min(best, (time.time() - t0) / 3)
     print(f"{quant:5s}: {best*1e3:7.1f} ms/batch512  {512/best:7.0f} q/s", flush=True)
+    # streamed form: ONE encode() over all 4096 — the prefetch-thread +
+    # dispatch-ahead pipeline engages (batching.py), composing with int8
+    best = 1e9
+    for r in range(2):
+        t0 = time.time()
+        _ = be.encode(queries)
+        best = min(best, time.time() - t0)
+    print(f"{quant:5s} streamed(4096): {4096/best:7.0f} q/s", flush=True)
 
 # raw forward at the actual serving width, same process
 tok = be.tokenizer
