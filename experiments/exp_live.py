@@ -2,7 +2,9 @@
 config): what do the delta merge, tombstones, and compaction cost?
 
 Phases: baseline speed path -> +10k delta docs -> compact -> 1k deletes
-(tombstones now cost only a k+64 over-fetch + host drop on the fast scan). Correctness asserts at
+(tombstones cost an adaptively-sized k+margin over-fetch + host drop on
+the fast scan; light deletes pick margin 8, whose program does the same
+device work as the plain scan). Correctness asserts at
 each step. Writes LIVE_BENCH_r03.json.
 """
 
@@ -138,7 +140,7 @@ def main():
     }
     _log(f"after compact ({compact_s:.1f}s): {dt*1e3:.2f} ms -> {B/dt:,.0f} QPS")
 
-    _log("phase 4: 1k deletes -> over-fetch drop path (k+64 on the fast scan)")
+    _log("phase 4: 1k deletes -> over-fetch drop path (adaptive margin on the fast scan)")
     victims = list(range(0, 100_000, 100))
     assert eng.delete_documents(victims) == len(victims)
     s, i = eng.search_vectors(jnp.asarray(np.asarray(rescore[:4], np.float32)), k=K)

@@ -780,3 +780,25 @@ def test_heavily_deleted_corpus_stays_exact(small):
     live_vecs, live_arr = emb[540:], np.arange(540, 600)
     ref_s, ref_i = _oracle(np.asarray(q), live_vecs, live_arr, 10)
     np.testing.assert_array_equal(i, ref_i)
+
+
+def test_overfetch_margin_adapts_to_drop_rate(small):
+    """The over-fetch margin sizes to the corpus's drop probability
+    (6-sigma against exhausting the window): light deletes get the
+    smallest ladder entry — whose program does the same device work as
+    the plain scan, since rescore oversampling already retrieves more
+    than k+8 rows — and a 50%-failing broad filter needs the largest."""
+    emb, _, q = small
+    eng = _speed_engine(emb)
+    assert eng._overfetch_margin(10, 0.001) == 8
+    assert eng._overfetch_margin(10, 0.1) == 16
+    assert eng._overfetch_margin(10, 0.5) == 64
+    # 3 deletes of 600 -> margin 8: the dispatched program is keyed
+    # (k+8, unfiltered, base_k=k), so its int8-scan candidate width is
+    # rescore_factor*k (the plain scan's), not rescore_factor*(k+8)
+    assert eng.delete_documents([5, 6, 7]) == 3
+    s, i = eng.search_vectors(q, k=10)
+    assert (18, False, 10) in eng._search_fn_cache
+    keep = np.array(sorted(set(range(600)) - {5, 6, 7}))
+    ref_s, ref_i = _oracle(q, emb[keep], keep, 10)
+    np.testing.assert_array_equal(i, ref_i)

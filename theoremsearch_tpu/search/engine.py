@@ -39,16 +39,20 @@ from .filters import SearchFilters, compile_filter_mask, filter_key, infer_type
 from .metadata import CorpusMetadata
 
 
-# Over-fetch margin for the drop-on-host paths (see search_vectors_async):
+# Over-fetch margins for the drop-on-host paths (see search_vectors_async):
 # queries that would otherwise pay the ~2.3x-slower masked scan — because
 # rows are tombstoned, or because a BROAD user filter is active — fetch
 # k+margin on the FAST unfiltered path and drop non-passing ids on host.
 # Exact whenever a query's top-(k+margin) window holds <= margin dropped
 # docs — guaranteed outright while few docs are deleted, verified per
-# batch otherwise, with the masked scan as the exact fallback. 64 keeps
-# the extra device top-k/rescore width small while making the fallback
-# require >64 of a query's best 74 docs to all fail the mask.
-_TOMB_OVERFETCH = 64
+# batch otherwise, with the masked scan as the exact fallback. The margin
+# is the smallest ladder entry at >=6-sigma odds against tripping that
+# fallback (binomial over the window at the corpus drop rate): a 0.1%-
+# deleted corpus gets margin 8 — whose over-fetch program costs the same
+# as the plain scan, since the int8 stage's rescore oversampling already
+# retrieves more than k+8 rows — while a 50%-failing broad filter needs
+# the full 64 (mean 37 dropped of 74, sigma 4.3).
+_OVERFETCH_MARGINS = (8, 16, 32, 64)
 # Minimum mask pass-rate for routing a FILTERED query through the
 # over-fetch path: at >=50% passing, a k+64 window holds ~37 failing
 # docs in expectation (std ~4.3), so exhausting the 64-doc margin — the
@@ -776,23 +780,46 @@ class SearchEngine:
         call this at startup alongside their regular bucket warming."""
         with self._live_lock:   # program caches race compact()'s rebuild
             k = k or self.config.top_k
-            margin = min(_TOMB_OVERFETCH, max(self.n_valid - k, 0))
-            if margin == 0 or self.mesh is not None:
+            if self.mesh is not None or self.n_valid <= k:
                 return
-            k_q = k + margin
             do_rescore = (
                 self.rescore_vectors is not None
                 or self.rescore_residual is not None
             )
-            k_fetch = k_q * self.rescore_factor if do_rescore else k_q
-            k_dev = min(max(k_fetch, 1), self.rows_per_shard)
-            fn_k = k_q if (self._speed_ok or self._sharded_speed_ok) else k_dev
-            fn, _ = self._get_search_fn(fn_k, with_bias=False)
-            for b in batch_sizes:
-                q, _ = self._pad_queries(np.zeros((b, self.dim), np.float32))
-                jax.block_until_ready(fn(q))
-                if self.ivf is not None and b <= self.ivf_max_batch:
-                    jax.block_until_ready(self._ivf_fn(k_q)(q))
+            # warm the margin ladder's endpoints: the smallest entry is
+            # what a lightly-deleted corpus picks (the common live-update
+            # case); the largest is the broad-filter / heavy-delete pick
+            for margin in (_OVERFETCH_MARGINS[0], _OVERFETCH_MARGINS[-1]):
+                margin = min(margin, self.n_valid - k)
+                k_q = k + margin
+                k_fetch = max(k_q, k * self.rescore_factor) if do_rescore else k_q
+                k_dev = min(max(k_fetch, 1), self.rows_per_shard)
+                fn_k = (
+                    k_q if (self._speed_ok or self._sharded_speed_ok) else k_dev
+                )
+                fn, _ = self._get_search_fn(fn_k, with_bias=False, base_k=k)
+                for b in batch_sizes:
+                    q, _ = self._pad_queries(
+                        np.zeros((b, self.dim), np.float32)
+                    )
+                    jax.block_until_ready(fn(q))
+                    if self.ivf is not None and b <= self.ivf_max_batch:
+                        jax.block_until_ready(self._ivf_fn(k_q)(q))
+
+    def _overfetch_margin(self, k: int, drop_p: float) -> int:
+        """Smallest `_OVERFETCH_MARGINS` entry m such that a (k+m)
+        over-fetch window holds more than m dropped docs only at ~6-sigma
+        odds (binomial with per-doc drop probability `drop_p`). Both
+        drop-on-host routes cap drop_p at 1 - _OVERFETCH_MIN_PASS = 0.5,
+        where the largest ladder entry is feasible (mean 37 of 74,
+        sigma 4.3) — returned as the defensive fallback."""
+        for m in _OVERFETCH_MARGINS[:-1]:
+            w = k + m
+            mean = w * drop_p
+            sigma = math.sqrt(max(w * drop_p * (1.0 - drop_p), 0.0))
+            if mean + 6.0 * sigma <= m:
+                return m
+        return _OVERFETCH_MARGINS[-1]
 
     def _tomb_ids_snapshot(self) -> np.ndarray:
         """Doc ids whose MAIN row is tombstoned (sorted int64, cached per
@@ -869,15 +896,26 @@ class SearchEngine:
             chunk -= self.row_block
         return xla_mips_topk_scan(q, corpus, scales, n_valid, bias, k=k, chunk=chunk)
 
-    def _build_search_fn(self, k: int, with_bias: bool):
-        """jit-compiled (queries, bias?) -> (scores, global_doc_ids)."""
+    def _build_search_fn(self, k: int, with_bias: bool, base_k: int | None = None):
+        """jit-compiled (queries, bias?) -> (scores, global_doc_ids).
+
+        `base_k`: the final user k when `k` is an over-fetched width
+        (k = base_k + margin). The int8-scan candidate width oversamples
+        for base_k's rank accuracy — the margin rows beyond base_k only
+        need to LAND in the rescored window, so retrieving
+        rescore_factor*(base_k+margin) candidates would quadruple the
+        scan/rescore width for nothing (measured 4.4x the plain scan at
+        margin 64)."""
         n_valid = self.n_valid
         rows_per_shard = self.rows_per_shard
+        base_k = base_k or k
 
         if self.mesh is None:
             if self._speed_ok and not with_bias:
                 gscale = self._global_scale
-                kr = min(max(k, self.rescore_factor * k), self.padded_rows)
+                kr = min(
+                    max(k, self.rescore_factor * base_k), self.padded_rows
+                )
                 ids_dev = self.ids
                 rescore_dev = self._rescore_args()
                 row_block = self.row_block
@@ -1078,12 +1116,19 @@ class SearchEngine:
             )
         return device_rescore(q, li, rescore[0], n_valid, k=k)
 
-    def _get_search_fn(self, k: int, with_bias: bool) -> tuple[Callable, bool]:
+    def _get_search_fn(
+        self, k: int, with_bias: bool, base_k: int | None = None
+    ) -> tuple[Callable, bool]:
         """(search fn, already_rescored). The speed path rescores on
-        device inside the fn; other paths leave rescoring to the host."""
-        key = (k, with_bias)
+        device inside the fn; other paths leave rescoring to the host.
+        `base_k` is the caller's FINAL k when `k` is an over-fetched
+        width — the speed path's internal oversampling scales off it."""
+        base_k = base_k or k
+        key = (k, with_bias, base_k)
         if key not in self._search_fn_cache:
-            self._search_fn_cache[key] = self._build_search_fn(k, with_bias)
+            self._search_fn_cache[key] = self._build_search_fn(
+                k, with_bias, base_k
+            )
         return self._search_fn_cache[key]
 
     def _pad_queries(self, query_vecs) -> tuple[jax.Array, int]:
@@ -1163,7 +1208,9 @@ class SearchEngine:
         cached on device per filter signature, so a filtered group costs
         the same dispatch as an unfiltered one. Tombstoned (deleted) rows
         cost unfiltered queries only a k+64 over-fetch plus a host id
-        drop, not the ~2.3x-slower masked scan (`_TOMB_OVERFETCH`).
+        drop, not the ~2.3x-slower masked scan (`_OVERFETCH_MARGINS`):
+        at the usual light delete rates the margin-8 over-fetch program
+        does the same device work as the plain scan.
 
         The whole dispatch runs under the live-update RLock: a compact()
         or mutation on another thread cannot swap n_valid / tombstones /
@@ -1206,8 +1253,11 @@ class SearchEngine:
         ):
             # deletes only: drop against the (small) tombstoned-id set,
             # never materializing a row mask at all
-            margin = min(_TOMB_OVERFETCH, self.n_valid - k)
             tomb_drop = self._tomb_ids_snapshot()
+            margin = min(
+                self._overfetch_margin(k, tomb_drop.size / self.n_valid),
+                self.n_valid - k,
+            )
             k_q = k + margin
             mask = dev = None
         else:
@@ -1221,11 +1271,18 @@ class SearchEngine:
                 # filtered-path contract is id == row). The IVF route is
                 # NOT taken below (mask handling keeps it exact-class);
                 # the plain speed path serves k+margin instead.
-                margin = min(_TOMB_OVERFETCH, self.n_valid - k)
+                margin = min(
+                    self._overfetch_margin(k, 1.0 - pass_rate),
+                    self.n_valid - k,
+                )
                 drop_mask = mask
                 k_q = k + margin
                 mask = dev = None
-        k_fetch = k_q * self.rescore_factor if do_rescore else k_q
+        # candidate width for the host-rescore paths: oversample for the
+        # FINAL k, not the over-fetched k_q — the margin rows only need
+        # window membership, not the rescore-grade rank accuracy (fetching
+        # k_q*factor made a margin-64 over-fetch scan 4.4x the plain one)
+        k_fetch = max(k_q, k * self.rescore_factor) if do_rescore else k_q
         k_dev = min(max(k_fetch, 1), self.rows_per_shard)
         q, b = self._pad_queries(query_vecs)
 
@@ -1257,9 +1314,12 @@ class SearchEngine:
             s, i = self._ivf_fn(k_q)(q)   # rescores on device internally
             rescored_on_device = True
         elif mask is None:
-            # speed path builds for the FINAL k (it oversamples inside)
+            # speed path builds for the FINAL k (it oversamples inside,
+            # relative to base_k — see k_fetch's comment above)
             fn_k = k_q if (self._speed_ok or self._sharded_speed_ok) else k_dev
-            fn, rescored_on_device = self._get_search_fn(fn_k, with_bias=False)
+            fn, rescored_on_device = self._get_search_fn(
+                fn_k, with_bias=False, base_k=k
+            )
             s, i = fn(q)
         elif self._speed_ok:
             # filtered speed path: int8 mask streamed through the
