@@ -15,6 +15,17 @@ experiment decomposes the gap:
   attn-core    : the fused Pallas attention core alone x 28 at S=16
   full forward : measured reference
 
+VERDICT (2026-08-19 run on v5e): int8 floor 26.4 ms (273 TOPS = 69% of
+peak — near the practical ceiling for K=1024 shapes), quant chain 4.8,
+attn core 3.9; full int8 forward 49.4 ms -> ~14 ms residual (embedding
+gather, 56 residual adds, final norm/pool, inter-op gaps).  bf16: floor
+44.2 (163 TF/s = 83% of peak), full 62.1 -> the same ~14 ms residual.
+The projections themselves are already near peak; closing the residual
+means fusing whole layers into custom kernels (dequant+add+norm+quant
+epilogues) for at most ~1.3x — parked.  exp_mlp_int8_dtype.py rules out
+the f32-dequant materialization theory (f32 vs bf16 dequant: 19.6 vs
+20.3 ms per 28-layer MLP stack — XLA fuses the chain either way).
+
 Run: bash tools/tpu_run.sh experiments/exp_enc_profile.py
 """
 import functools
@@ -53,15 +64,22 @@ mask = jnp.ones((B, S), jnp.int32)
 x2d = jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
 
 
+def _sync(out):
+    # block_until_ready is a no-op on the remote-attached chip (see
+    # utils/profiling.py KernelTimer): sync via a 1-element host pull
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf.reshape(-1)[:1])
+
+
 def timed(label, fn, *args, n=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     best = 1e9
     for _ in range(3):
         t0 = time.time()
         for _ in range(n):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, (time.time() - t0) / n)
     print(f"{label:34s} {best*1e3:7.2f} ms", flush=True)
     return best
