@@ -785,9 +785,9 @@ def test_heavily_deleted_corpus_stays_exact(small):
 def test_overfetch_margin_adapts_to_drop_rate(small):
     """The over-fetch margin sizes to the corpus's drop probability
     (6-sigma against exhausting the window): light deletes get the
-    smallest ladder entry — whose program does the same device work as
-    the plain scan, since rescore oversampling already retrieves more
-    than k+8 rows — and a 50%-failing broad filter needs the largest."""
+    smallest ladder entry — whose program scans nearly the plain scan's
+    candidate width (the window plus the plain path's rank-noise tail)
+    — and a 50%-failing broad filter needs the largest."""
     emb, _, q = small
     eng = _speed_engine(emb)
     assert eng._overfetch_margin(10, 0.001) == 8
@@ -795,7 +795,8 @@ def test_overfetch_margin_adapts_to_drop_rate(small):
     assert eng._overfetch_margin(10, 0.5) == 64
     # 3 deletes of 600 -> margin 8: the dispatched program is keyed
     # (k+8, unfiltered, base_k=k), so its int8-scan candidate width is
-    # rescore_factor*k (the plain scan's), not rescore_factor*(k+8)
+    # k_q + (rescore_factor-1)*k (window + the plain path's rank-noise
+    # tail), not rescore_factor*(k+8)
     assert eng.delete_documents([5, 6, 7]) == 3
     s, i = eng.search_vectors(q, k=10)
     assert (18, False, 10) in eng._search_fn_cache

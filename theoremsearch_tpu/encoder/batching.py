@@ -233,8 +233,10 @@ class BatchedEncoder:
         return out
 
     def _prep_batch(self, texts, tokenized, idx):
-        """Tokenize+pad one sub-batch to its (batch-bucket, width-bucket)
-        static shape; returns (ids, mask, n_real) device arrays."""
+        """Pad one sub-batch to its (batch-bucket, width-bucket) static
+        shape; returns (ids_mask, n_real) where ids_mask is ONE stacked
+        (2, B, W) device array (ids at [0], attention mask at [1] — one
+        h2d transfer instead of two)."""
         longest = max(len(tokenized[i]) for i in idx) + 2  # specials
         width = self._bucket_for(longest)
         # assemble from the ALREADY-tokenized lists — re-running the

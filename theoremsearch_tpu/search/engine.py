@@ -48,10 +48,10 @@ from .metadata import CorpusMetadata
 # batch otherwise, with the masked scan as the exact fallback. The margin
 # is the smallest ladder entry at >=6-sigma odds against tripping that
 # fallback (binomial over the window at the corpus drop rate): a 0.1%-
-# deleted corpus gets margin 8 — whose over-fetch program costs the same
-# as the plain scan, since the int8 stage's rescore oversampling already
-# retrieves more than k+8 rows — while a 50%-failing broad filter needs
-# the full 64 (mean 37 dropped of 74, sigma 4.3).
+# deleted corpus gets margin 8 — whose over-fetch program scans nearly
+# the plain program's candidate width (the window plus the plain path's
+# rank-noise tail) — while a 50%-failing broad filter needs the full 64
+# (mean 37 dropped of 74, sigma 4.3).
 _OVERFETCH_MARGINS = (8, 16, 32, 64)
 # Minimum mask pass-rate for routing a FILTERED query through the
 # over-fetch path: at >=50% passing, a k+64 window holds ~37 failing
@@ -786,13 +786,21 @@ class SearchEngine:
                 self.rescore_vectors is not None
                 or self.rescore_residual is not None
             )
-            # warm the margin ladder's endpoints: the smallest entry is
-            # what a lightly-deleted corpus picks (the common live-update
-            # case); the largest is the broad-filter / heavy-delete pick
-            for margin in (_OVERFETCH_MARGINS[0], _OVERFETCH_MARGINS[-1]):
+            # warm the WHOLE margin ladder: a corpus drifting through
+            # delete-rate regimes (or a new filter pass rate) would
+            # otherwise hit a cold 30-120 s remote compile mid-serve,
+            # under the live lock
+            for margin in _OVERFETCH_MARGINS:
                 margin = min(margin, self.n_valid - k)
                 k_q = k + margin
-                k_fetch = max(k_q, k * self.rescore_factor) if do_rescore else k_q
+                k_fetch = (
+                    max(
+                        k * self.rescore_factor,
+                        k_q + (self.rescore_factor - 1) * k,
+                    )
+                    if do_rescore
+                    else k_q
+                )
                 k_dev = min(max(k_fetch, 1), self.rows_per_shard)
                 fn_k = (
                     k_q if (self._speed_ok or self._sharded_speed_ok) else k_dev
@@ -900,12 +908,16 @@ class SearchEngine:
         """jit-compiled (queries, bias?) -> (scores, global_doc_ids).
 
         `base_k`: the final user k when `k` is an over-fetched width
-        (k = base_k + margin). The int8-scan candidate width oversamples
-        for base_k's rank accuracy — the margin rows beyond base_k only
-        need to LAND in the rescored window, so retrieving
-        rescore_factor*(base_k+margin) candidates would quadruple the
-        scan/rescore width for nothing (measured 4.4x the plain scan at
-        margin 64)."""
+        (k = base_k + margin). The int8-scan candidate width keeps the
+        plain path's ABSOLUTE oversampling tail, (rescore_factor-1) *
+        base_k extra ranks past the window, rather than re-scaling the
+        whole over-fetched width by rescore_factor — the margin rows
+        only need window membership, and int8 rank noise is a local
+        displacement, so the same absolute headroom that protects rank
+        base_k protects rank k (retrieving rescore_factor*(base_k+64)
+        = 296 candidates measured 4.4x the plain scan; a headroom-less
+        kr = k would instead let a rank inversion at the window tail
+        slip past the dead-count fallback)."""
         n_valid = self.n_valid
         rows_per_shard = self.rows_per_shard
         base_k = base_k or k
@@ -914,7 +926,11 @@ class SearchEngine:
             if self._speed_ok and not with_bias:
                 gscale = self._global_scale
                 kr = min(
-                    max(k, self.rescore_factor * base_k), self.padded_rows
+                    max(
+                        self.rescore_factor * base_k,
+                        k + (self.rescore_factor - 1) * base_k,
+                    ),
+                    self.padded_rows,
                 )
                 ids_dev = self.ids
                 rescore_dev = self._rescore_args()
@@ -1207,10 +1223,10 @@ class SearchEngine:
         dispatch async too (VERDICT r2 item 5): the filter mask/bias is
         cached on device per filter signature, so a filtered group costs
         the same dispatch as an unfiltered one. Tombstoned (deleted) rows
-        cost unfiltered queries only a k+64 over-fetch plus a host id
-        drop, not the ~2.3x-slower masked scan (`_OVERFETCH_MARGINS`):
+        cost unfiltered queries only a k+margin over-fetch plus a host
+        id drop, not the ~2.3x-slower masked scan (`_OVERFETCH_MARGINS`):
         at the usual light delete rates the margin-8 over-fetch program
-        does the same device work as the plain scan.
+        scans within ~20% of the plain program's candidate width.
 
         The whole dispatch runs under the live-update RLock: a compact()
         or mutation on another thread cannot swap n_valid / tombstones /
@@ -1278,11 +1294,16 @@ class SearchEngine:
                 drop_mask = mask
                 k_q = k + margin
                 mask = dev = None
-        # candidate width for the host-rescore paths: oversample for the
-        # FINAL k, not the over-fetched k_q — the margin rows only need
-        # window membership, not the rescore-grade rank accuracy (fetching
-        # k_q*factor made a margin-64 over-fetch scan 4.4x the plain one)
-        k_fetch = max(k_q, k * self.rescore_factor) if do_rescore else k_q
+        # candidate width for the host-rescore paths: keep the plain
+        # path's absolute oversampling tail past the over-fetch window
+        # instead of re-scaling the whole k_q by rescore_factor (which
+        # made a margin-64 over-fetch scan 4.4x the plain one) — see
+        # _build_search_fn's base_k note for the rank-noise argument
+        k_fetch = (
+            max(k * self.rescore_factor, k_q + (self.rescore_factor - 1) * k)
+            if do_rescore
+            else k_q
+        )
         k_dev = min(max(k_fetch, 1), self.rows_per_shard)
         q, b = self._pad_queries(query_vecs)
 
