@@ -335,6 +335,86 @@ def test_int8_forward_parity():
         np.testing.assert_allclose(np.linalg.norm(q8, axis=1), 1.0, atol=1e-4)
 
 
+def test_fused_layer_kernels_parity():
+    """Whole-layer fused int8 kernels (kernels/layer_int8.py) must match
+    the op-chain int8 path: per-block (MLP / attention, interpret mode)
+    and end-to-end through encode_pooled(fused_layers=True). On chip
+    these kernels measured 1.22x (MLP) / 1.63x (attention) over the XLA
+    chain at (512, 16) — experiments/exp_enc_fusedlayer.py."""
+    from theoremsearch_tpu.encoder import model as M
+    from theoremsearch_tpu.kernels.layer_int8 import (
+        fused_attn_int8_layer,
+        fused_mlp_int8_layer,
+    )
+
+    cfg = EncoderConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=128,
+        max_seq_len=64, embedding_dim=256,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    ql = M.quantize_params_int8(params)
+    layer, lq = params["layers"][0], ql[0]
+    rng = np.random.default_rng(5)
+    B, S = 8, 32
+    x = jnp.asarray(rng.standard_normal((B, S, cfg.hidden_size)), jnp.bfloat16)
+    lengths = rng.integers(4, S, B)
+    mask = jnp.asarray((np.arange(S)[None, :] < lengths[:, None]).astype(np.int32))
+    positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+    rope_cs = M._rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+
+    def cos_flat(a, b):
+        a = np.asarray(a, np.float32).ravel()
+        b = np.asarray(b, np.float32).ravel()
+        return float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    # MLP block: x + SwiGLU_int8(norm(x)) in one kernel; padded-T path
+    # exercised too (B*S = 256 pads to the 128-row tile exactly; a
+    # non-multiple T goes through the zero-pad branch)
+    ref = x + M._mlp_int8(layer, lq, x, cfg.rms_norm_eps)
+    out = fused_mlp_int8_layer(
+        x, layer["mlp_norm"], lq["w_gate"], lq["w_up"], lq["w_down"],
+        eps=cfg.rms_norm_eps, interpret=True,
+    )
+    assert out.shape == x.shape and out.dtype == jnp.bfloat16
+    assert cos_flat(ref, out) > 0.9999
+    x_odd = x[:3].reshape(-1, cfg.hidden_size)[:70]  # T=70: pad branch
+    ref_odd = x_odd + M._mlp_int8(layer, lq, x_odd, cfg.rms_norm_eps)
+    out_odd = fused_mlp_int8_layer(
+        x_odd, layer["mlp_norm"], lq["w_gate"], lq["w_up"], lq["w_down"],
+        eps=cfg.rms_norm_eps, interpret=True,
+    )
+    assert out_odd.shape == x_odd.shape
+    assert cos_flat(ref_odd, out_odd) > 0.9999
+
+    # attention block: x + o_proj(attn(qkv_proj(norm(x)))) in one kernel,
+    # vs the chain driving the standalone fused core
+    ref_a = x + M._attention_int8(layer, lq, x, mask, rope_cs, cfg, True, True)
+    out_a = fused_attn_int8_layer(x, layer, lq, mask, rope_cs, cfg, interpret=True)
+    assert cos_flat(ref_a, out_a) > 0.9999
+
+    # end to end: fused_layers pooled output tracks the int8 chain
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (B, S)), jnp.int32)
+    a = np.asarray(
+        M.encode_pooled(params, ids, mask, cfg, fused="interpret", qlayers=ql)
+    )
+    b = np.asarray(
+        M.encode_pooled(
+            params, ids, mask, cfg, fused="interpret", qlayers=ql,
+            fused_layers=True,
+        )
+    )
+    assert (np.sum(a * b, axis=1) > 0.999).all()
+    # non-qualifying shapes fall back to the chain instead of failing
+    # (hidden 256 ok but S=13 -> bb=9 with B=8 not divisible)
+    ids13, mask13 = ids[:, :13], mask[:, :13]
+    c = M.encode_pooled(
+        params, ids13, mask13, cfg, fused="interpret", qlayers=ql,
+        fused_layers=True,
+    )
+    assert np.isfinite(np.asarray(c)).all()
+
+
 def test_batched_encoder_int8_mode(enc):
     """BatchedEncoder(quant='int8'): end-to-end encode agrees with the
     bf16 encoder, ordering preserved; unsupported configs are rejected

@@ -88,12 +88,6 @@ class BatchedEncoder:
         # round-trip latency regardless of size (64 KB measured 37 ms as
         # two transfers, experiments/exp_enc_stage.py), so halving the
         # transfer count is a direct stage win
-        pooled = functools.partial(mod.encode_pooled, cfg=cfg, fused=fused)
-
-        def _stacked(params, ids_mask, **kw):
-            return pooled(params, ids_mask[0], ids_mask[1], **kw)
-
-        self._fn = jax.jit(_stacked, **jit_kwargs)
         # int8 (w8a8) serving mode: all projection matmuls on the int8
         # MXU path (model.py quantization section; 1.21x measured
         # forward). Qwen/gemma families; single chip or a pure-dp mesh
@@ -102,6 +96,7 @@ class BatchedEncoder:
         if quant not in ("none", "int8"):
             raise ValueError(f"unknown quant mode {quant!r}")
         self._fn_extra: dict = {}
+        pooled_kw: dict = {}
         if quant == "int8":
             if not hasattr(mod, "quantize_params_int8"):
                 raise ValueError(
@@ -114,6 +109,19 @@ class BatchedEncoder:
                     "(no tp sharding rules for the int8 weights)"
                 )
             self._fn_extra["qlayers"] = jax.jit(mod.quantize_params_int8)(params)
+            if fused == "on" and hasattr(mod, "_fused_layer_ok"):
+                # whole-layer fused int8 kernels (kernels/layer_int8.py)
+                # when the per-batch shapes qualify — forward() falls
+                # back to the op-chain otherwise
+                pooled_kw["fused_layers"] = True
+        pooled = functools.partial(
+            mod.encode_pooled, cfg=cfg, fused=fused, **pooled_kw
+        )
+
+        def _stacked(params, ids_mask, **kw):
+            return pooled(params, ids_mask[0], ids_mask[1], **kw)
+
+        self._fn = jax.jit(_stacked, **jit_kwargs)
         if mesh is not None:
             # leading axis 2 is the stacked ids/mask pair; batch is axis 1
             self._data_sharding = NamedSharding(mesh, P(None, "data", None))

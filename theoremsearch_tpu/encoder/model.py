@@ -372,6 +372,19 @@ def _mlp_int8(layer: Params, lq: dict, x: jax.Array, eps: float) -> jax.Array:
     return _q_matmul(hq, sh, lq["w_down"], x.dtype)
 
 
+def _fused_layer_ok(cfg: EncoderConfig, s: int, b: int) -> bool:
+    """Whole-layer int8 kernels (kernels/layer_int8.py) additionally
+    need 128-lane-aligned model dims for the VMEM-resident weight
+    tiles. Qwen-form layers only (no bias, pre-norm, SwiGLU)."""
+    return (
+        _fused_ok(cfg, s, b)
+        and cfg.hidden_size % 128 == 0
+        and cfg.intermediate_size % 128 == 0
+        and (cfg.num_heads * cfg.head_dim) % 128 == 0
+        and (cfg.num_kv_heads * cfg.head_dim) % 128 == 0
+    )
+
+
 def forward(
     params: Params,
     input_ids: jax.Array,
@@ -379,6 +392,7 @@ def forward(
     cfg: EncoderConfig,
     fused: str = "off",
     qlayers: list | None = None,
+    fused_layers: bool = False,
 ) -> jax.Array:
     """Hidden states (B, S, H) after the final norm.
 
@@ -390,7 +404,12 @@ def forward(
 
     qlayers: per-layer int8 weights from quantize_params_int8 — runs
     every projection matmul on the int8 MXU path (w8a8, 1.14x measured
-    forward speedup; see the quantization section above)."""
+    forward speedup; see the quantization section above).
+
+    fused_layers: with qlayers set and fused on, run each transformer
+    sub-block as ONE Pallas kernel (kernels/layer_int8.py: VMEM-resident
+    int8 weights, norm/quant/dequant/residual fused around the MXU
+    dots) — no intermediate tensor touches HBM."""
     x = params["embed"][input_ids].astype(jnp.dtype(cfg.dtype))
     positions = jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1
     positions = jnp.maximum(positions, 0)
@@ -398,6 +417,29 @@ def forward(
     rope_cs = _rope_tables(positions, cfg.head_dim, cfg.rope_theta)
     b, s = input_ids.shape
     use_fused = fused in ("on", "interpret") and _fused_ok(cfg, s, b)
+    use_fused_layers = (
+        fused_layers
+        and qlayers is not None
+        and fused in ("on", "interpret")
+        and _fused_layer_ok(cfg, s, b)
+    )
+    if use_fused_layers:
+        from ..kernels.layer_int8 import (
+            fused_attn_int8_layer,
+            fused_mlp_int8_layer,
+        )
+
+        interp = fused == "interpret"
+        for li, layer in enumerate(params["layers"]):
+            lq = qlayers[li]
+            x = fused_attn_int8_layer(
+                x, layer, lq, attention_mask, rope_cs, cfg, interpret=interp
+            )
+            x = fused_mlp_int8_layer(
+                x, layer["mlp_norm"], lq["w_gate"], lq["w_up"], lq["w_down"],
+                eps=cfg.rms_norm_eps, interpret=interp,
+            )
+        return _rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     for li, layer in enumerate(params["layers"]):
         if qlayers is not None:
             # pre-norms fuse into the activation quants — the normed
@@ -426,6 +468,7 @@ def encode_pooled(
     cfg: EncoderConfig,
     fused: str = "off",
     qlayers: list | None = None,
+    fused_layers: bool = False,
 ) -> jax.Array:
     """Pooled, (optionally) L2-normalized embeddings (B, D).
 
@@ -434,7 +477,8 @@ def encode_pooled(
     matches the reference's normalize_embeddings=True everywhere
     (embeddings.py:27,35; streamlit_app.py:173)."""
     hidden = forward(
-        params, input_ids, attention_mask, cfg, fused=fused, qlayers=qlayers
+        params, input_ids, attention_mask, cfg, fused=fused, qlayers=qlayers,
+        fused_layers=fused_layers,
     )
     if cfg.pooling == "last_token":
         lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
