@@ -481,6 +481,82 @@ def test_gemma_int8_forward_parity():
         assert (cos > 0.98).all(), (fused, cos)
 
 
+def test_gemma_fused_layer_kernels_parity():
+    """Gemma-form whole-layer int8 kernels (kernels/layer_int8.py:
+    (1+w) pre/post sandwich norms, GeGLU, bidirectional core) must
+    match the gemma op-chain int8 path per-block and end-to-end."""
+    from theoremsearch_tpu.core.config import GemmaEncoderConfig
+    from theoremsearch_tpu.encoder import gemma as G
+    from theoremsearch_tpu.kernels.layer_int8 import (
+        fused_attn_int8_layer_gemma,
+        fused_mlp_int8_layer,
+    )
+
+    cfg = GemmaEncoderConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=2, num_kv_heads=1, head_dim=128,
+        max_seq_len=64, embedding_dim=128, head_hidden=128,
+        sliding_window=512, global_every=2,
+    )
+    params = G.init_params(cfg, jax.random.PRNGKey(7))
+    ql = G.quantize_params_int8(params)
+    layer, lq = params["layers"][0], ql[0]
+    rng = np.random.default_rng(11)
+    B, S = 4, 32
+    x = jnp.asarray(rng.standard_normal((B, S, cfg.hidden_size)), jnp.bfloat16)
+    lengths = rng.integers(4, S, B)
+    mask = jnp.asarray((np.arange(S)[None, :] < lengths[:, None]).astype(np.int32))
+    positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+    rope_cs = G._rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    one = jnp.float32(1.0)
+
+    def cos_flat(a, b):
+        a = np.asarray(a, np.float32).ravel()
+        b = np.asarray(b, np.float32).ravel()
+        return float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    # MLP block: x + post_norm(GeGLU_int8(pre_norm(x))) in one kernel
+    ref = x + G._gemma_rms_norm(
+        G._mlp_int8(layer, lq, x, cfg.rms_norm_eps),
+        layer["post_mlp_norm"], cfg.rms_norm_eps,
+    )
+    out = fused_mlp_int8_layer(
+        x, one + layer["pre_mlp_norm"],
+        lq["w_gate"], lq["w_up"], lq["w_down"],
+        post_w=one + layer["post_mlp_norm"],
+        eps=float(cfg.rms_norm_eps), act="gelu_tanh", interpret=True,
+    )
+    assert out.shape == x.shape and out.dtype == jnp.bfloat16
+    assert cos_flat(ref, out) > 0.9999
+
+    # attention block: sandwich norms + bidirectional core in one kernel,
+    # vs the op-chain driving the standalone fused core
+    ref_a = x + G._gemma_rms_norm(
+        G._attention_int8(
+            layer, lq, x, mask, None, rope_cs, cfg,
+            use_fused=True, interpret=True,
+        ),
+        layer["post_attn_norm"], cfg.rms_norm_eps,
+    )
+    out_a = fused_attn_int8_layer_gemma(
+        x, layer, lq, mask, rope_cs, cfg, interpret=True
+    )
+    assert cos_flat(ref_a, out_a) > 0.9999
+
+    # end to end: fused_layers pooled output tracks the int8 chain
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (B, S)), jnp.int32)
+    a = np.asarray(
+        G.encode_pooled(params, ids, mask, cfg, fused="interpret", qlayers=ql)
+    )
+    b = np.asarray(
+        G.encode_pooled(
+            params, ids, mask, cfg, fused="interpret", qlayers=ql,
+            fused_layers=True,
+        )
+    )
+    assert (np.sum(a * b, axis=1) > 0.999).all()
+
+
 def test_lora_train_step_reduces_loss_and_freezes_base():
     """LoRA mode: at init the merged encoder IS the base (B = 0); the
     adapter step reduces loss while the base params never change; the

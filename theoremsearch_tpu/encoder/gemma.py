@@ -276,6 +276,19 @@ def _fused_ok(cfg: GemmaEncoderConfig, s: int, b: int) -> bool:
     )
 
 
+def _fused_layer_ok(cfg: GemmaEncoderConfig, s: int, b: int) -> bool:
+    """Whole-layer int8 kernels (kernels/layer_int8.py) additionally
+    need 128-lane-aligned model dims for the VMEM-resident weight
+    tiles (embeddinggemma-300m: 768/1152/3x256/1x256 — all qualify)."""
+    return (
+        _fused_ok(cfg, s, b)
+        and cfg.hidden_size % 128 == 0
+        and cfg.intermediate_size % 128 == 0
+        and (cfg.num_heads * cfg.head_dim) % 128 == 0
+        and (cfg.num_kv_heads * cfg.head_dim) % 128 == 0
+    )
+
+
 def _attention_fused(
     layer: Params, x: jax.Array, attention_mask: jax.Array, rope_cs: tuple,
     cfg: GemmaEncoderConfig, interpret: bool,
@@ -366,6 +379,7 @@ def forward(
     cfg: GemmaEncoderConfig,
     fused: str = "off",
     qlayers: list | None = None,
+    fused_layers: bool = False,
 ) -> jax.Array:
     """Hidden states (B, S, H) after the final norm.
 
@@ -376,7 +390,12 @@ def forward(
     tables; "interpret" = fused kernel in interpret mode (CPU tests).
 
     qlayers: per-layer int8 weights from quantize_params_int8 (the
-    shared w8a8 scheme — see model.py's quantization section)."""
+    shared w8a8 scheme — see model.py's quantization section).
+
+    fused_layers: with qlayers set and fused on, run each sandwich
+    sub-block as ONE Pallas kernel (kernels/layer_int8.py gemma form:
+    (1+w) pre/post norms, GeGLU, bidirectional core, VMEM-resident
+    int8 weights)."""
     dtype = jnp.dtype(cfg.dtype)
     # the sqrt(hidden) embed scale lives in model dtype (HF rounds
     # sqrt(3072) to 55.5 in bf16; parity requires the same rounding)
@@ -407,6 +426,33 @@ def forward(
     valid_sliding = valid_full & (dist < half_w)[:, None, :, :]
 
     use_fused = fused in ("on", "interpret") and _fused_ok(cfg, s, b)
+    use_fused_layers = (
+        fused_layers
+        and qlayers is not None
+        and fused in ("on", "interpret")
+        and _fused_layer_ok(cfg, s, b)
+    )
+    if use_fused_layers:
+        from ..kernels.layer_int8 import (
+            fused_attn_int8_layer_gemma,
+            fused_mlp_int8_layer,
+        )
+
+        interp = fused == "interpret"
+        one = jnp.float32(1.0)
+        for li, layer in enumerate(params["layers"]):
+            lq = qlayers[li]
+            rope_cs = rope_global if is_global_layer(cfg, li) else rope_local
+            x = fused_attn_int8_layer_gemma(
+                x, layer, lq, attention_mask, rope_cs, cfg, interpret=interp
+            )
+            x = fused_mlp_int8_layer(
+                x, one + layer["pre_mlp_norm"],
+                lq["w_gate"], lq["w_up"], lq["w_down"],
+                post_w=one + layer["post_mlp_norm"],
+                eps=float(cfg.rms_norm_eps), act="gelu_tanh", interpret=interp,
+            )
+        return _gemma_rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     for li, layer in enumerate(params["layers"]):
         glob = is_global_layer(cfg, li)
         rope_cs = rope_global if glob else rope_local
@@ -442,13 +488,15 @@ def encode_pooled(
     cfg: GemmaEncoderConfig,
     fused: str = "off",
     qlayers: list | None = None,
+    fused_layers: bool = False,
 ) -> jax.Array:
     """Pooled embeddings (B, embedding_dim): mean pool over valid tokens
     -> Dense -> Dense -> L2 normalize (the sentence-transformers module
     stack of embeddinggemma: Pooling(mean), 2_Dense, 3_Dense,
     Normalize)."""
     hidden = forward(
-        params, input_ids, attention_mask, cfg, fused=fused, qlayers=qlayers
+        params, input_ids, attention_mask, cfg, fused=fused, qlayers=qlayers,
+        fused_layers=fused_layers,
     )
     m = attention_mask[:, :, None].astype(jnp.float32)
     pooled = jnp.sum(hidden.astype(jnp.float32) * m, axis=1) / jnp.maximum(

@@ -37,6 +37,13 @@ same Qwen3-Embedding forward inside sentence-transformers/PyTorch
 encoder-bound (SERVE_BENCH_r03.json), so this is where e2e leverage
 lives. Forward-only: the int8 path is an opt-in serving mode
 (training uses the bf16 XLA composition).
+
+Both reference embedder families with glu MLPs run through these
+kernels: qwen form (pre-norm only, SwiGLU, causal) and gemma form
+(sandwich norms, GeGLU, bidirectional) — the gemma (1+w) norm weights
+arrive PRE-ADJUSTED from the caller, the post-norms are an optional
+epilogue before the residual add, and the activation is a static
+switch. encoder/gemma.py:_fused_layer wires the gemma composition.
 """
 
 from __future__ import annotations
@@ -77,6 +84,23 @@ def _i8_dot(xq: jax.Array, w: jax.Array) -> jax.Array:
     )
 
 
+def _post_norm(yf: jax.Array, pw: jax.Array, eps: float) -> jax.Array:
+    """Gemma sandwich post-norm on a block output (f32, weight
+    pre-adjusted (1+w)); matches encoder/gemma.py:_gemma_rms_norm on the
+    bf16 block output, so quantize-to-bf16 first."""
+    yf = yf.astype(jnp.bfloat16).astype(jnp.float32)
+    var = jnp.mean(yf * yf, axis=-1, keepdims=True)
+    return yf * jax.lax.rsqrt(var + eps) * pw
+
+
+def _glu_act(g: jax.Array, act: str) -> jax.Array:
+    if act == "silu":
+        return jax.nn.silu(g)
+    if act == "gelu_tanh":
+        return jax.nn.gelu(g, approximate=True)
+    raise ValueError(f"unknown glu activation {act!r}")
+
+
 # ---------------------------------------------------------------------------
 # MLP block
 # ---------------------------------------------------------------------------
@@ -84,7 +108,8 @@ def _i8_dot(xq: jax.Array, w: jax.Array) -> jax.Array:
 
 def _mlp_kernel(
     x_ref,      # (TT, D) bf16 VMEM
-    nw_ref,     # (1, D) f32 VMEM — mlp_norm weight
+    nw_ref,     # (1, D) f32 VMEM — mlp pre-norm weight (pre-adjusted)
+    pw_ref,     # (1, D) f32 VMEM — post-norm weight (ones when post=False)
     wgs_ref,    # (1, I) f32 VMEM — per-column scales
     wus_ref,    # (1, I) f32
     wds_ref,    # (1, D) f32
@@ -98,6 +123,8 @@ def _mlp_kernel(
     sems,       # (3,) DMA semaphores
     *,
     eps: float,
+    act: str,
+    post: bool,
 ):
     @pl.when(pl.program_id(0) == 0)
     def _load_weights():
@@ -111,24 +138,31 @@ def _mlp_kernel(
     xq, sx = _rmsnorm_quant(xf, nw_ref[0, :][None, :], eps)
     g = _i8_dot(xq, wg_v[...]).astype(jnp.float32) * sx * wgs_ref[0, :][None, :]
     u = _i8_dot(xq, wu_v[...]).astype(jnp.float32) * sx * wus_ref[0, :][None, :]
-    h = jax.nn.silu(g) * u
+    h = _glu_act(g, act) * u
     hq, sh = _quant_rows(h)
     d = _i8_dot(hq, wd_v[...]).astype(jnp.float32) * sh * wds_ref[0, :][None, :]
+    if post:
+        d = _post_norm(d, pw_ref[0, :][None, :], eps)
     o_ref[...] = (xf + d).astype(jnp.bfloat16)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("eps", "act", "interpret"))
 def fused_mlp_int8_layer(
     x: jax.Array,        # (B, S, D) or (T, D) bf16 — pre-norm residual stream
-    norm_w: jax.Array,   # (D,) — mlp_norm weight
+    norm_w: jax.Array,   # (D,) — mlp pre-norm weight (gemma: pass 1 + w)
     wg: dict,            # {"q": (D, I) int8, "s": (I,) f32} from _quant_weight
     wu: dict,
     wd: dict,            # {"q": (I, D) int8, "s": (D,) f32}
+    post_w: jax.Array | None = None,   # (D,) sandwich post-norm (1 + w), or None
     *,
     eps: float = 1e-6,
+    act: str = "silu",
     interpret: bool = False,
 ) -> jax.Array:
-    """x + SwiGLU-MLP_int8(RMSNorm(x)), one kernel. Returns x.shape bf16."""
+    """x + [post_norm](GLU-MLP_int8(RMSNorm(x))), one kernel.
+
+    qwen form: act='silu', post_w=None; gemma form: act='gelu_tanh',
+    norm_w/post_w pre-adjusted (1 + w). Returns x.shape bf16."""
     shape = x.shape
     d = shape[-1]
     i = wg["q"].shape[1]
@@ -139,11 +173,14 @@ def fused_mlp_int8_layer(
         # zero rows stay zero through the block (q=0 -> h=0 -> d=0)
         x2 = jnp.pad(x2, ((0, t_pad - t), (0, 0)))
     grid = (t_pad // _TT,)
+    post = post_w is not None
+    pw = jnp.ones((d,), jnp.float32) if post_w is None else post_w
     out = pl.pallas_call(
-        functools.partial(_mlp_kernel, eps=float(eps)),
+        functools.partial(_mlp_kernel, eps=float(eps), act=act, post=post),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_TT, d), lambda n: (n, 0)),
+            pl.BlockSpec((1, d), lambda n: (0, 0)),
             pl.BlockSpec((1, d), lambda n: (0, 0)),
             pl.BlockSpec((1, i), lambda n: (0, 0)),
             pl.BlockSpec((1, i), lambda n: (0, 0)),
@@ -169,6 +206,7 @@ def fused_mlp_int8_layer(
     )(
         x2,
         norm_w.astype(jnp.float32).reshape(1, d),
+        pw.astype(jnp.float32).reshape(1, d),
         wg["s"].astype(jnp.float32).reshape(1, i),
         wu["s"].astype(jnp.float32).reshape(1, i),
         wd["s"].astype(jnp.float32).reshape(1, d),
@@ -193,6 +231,7 @@ def _attn_layer_kernel(
     wks_ref,    # (1, Hk*Dh) f32
     wvs_ref,    # (1, Hk*Dh) f32
     wos_ref,    # (1, D) f32
+    pw_ref,     # (1, D) f32 — post-norm weight (ones when post=False)
     cos_ref,    # (BB, S, half) f32
     sin_ref,    # (BB, S, half) f32
     mask_ref,   # (1, 1, BB*S) int32
@@ -212,6 +251,7 @@ def _attn_layer_kernel(
     eps: float,
     causal: bool,
     scale: float,
+    post: bool,
 ):
     @pl.when(pl.program_id(0) == 0)
     def _load_weights():
@@ -286,9 +326,11 @@ def _attn_layer_kernel(
             probs, vh, preferred_element_type=jnp.float32
         ).astype(jnp.bfloat16)
 
-    # --- per-token quant + o int8 projection + residual add ---
+    # --- per-token quant + o int8 projection (+ post-norm) + residual ---
     oq, so = _quant_rows(ao_buf[...].astype(jnp.float32))
     out = _i8_dot(oq, wo_v[...]).astype(jnp.float32) * so * wos_ref[0, :][None, :]
+    if post:
+        out = _post_norm(out, pw_ref[0, :][None, :], eps)
     o_ref[...] = (xf + out).astype(jnp.bfloat16).reshape(bb, s, d)
 
 
@@ -299,6 +341,7 @@ def _attn_layer_kernel(
 )
 def _fused_attn_call(
     x, norm_w, q_norm_w, k_norm_w, wq, wk, wv, wo, cos, sin, mask,
+    post_w=None,
     *, num_heads, num_kv_heads, head_dim, eps, causal, scale, interpret,
 ):
     b, s, d = x.shape
@@ -308,10 +351,12 @@ def _fused_attn_call(
     half = head_dim // 2
     t = bb * s
     hq_d, hk_d = num_heads * head_dim, num_kv_heads * head_dim
+    post = post_w is not None
+    pw = jnp.ones((d,), jnp.float32) if post_w is None else post_w
     kernel = functools.partial(
         _attn_layer_kernel,
         num_heads=num_heads, num_kv_heads=num_kv_heads, head_dim=head_dim,
-        eps=eps, causal=causal, scale=scale,
+        eps=eps, causal=causal, scale=scale, post=post,
     )
     return pl.pallas_call(
         kernel,
@@ -324,6 +369,7 @@ def _fused_attn_call(
             pl.BlockSpec((1, hq_d), lambda i: (0, 0)),
             pl.BlockSpec((1, hk_d), lambda i: (0, 0)),
             pl.BlockSpec((1, hk_d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
             pl.BlockSpec((1, d), lambda i: (0, 0)),
             pl.BlockSpec((bb, s, half), lambda i: (i, 0, 0)),
             pl.BlockSpec((bb, s, half), lambda i: (i, 0, 0)),
@@ -360,6 +406,7 @@ def _fused_attn_call(
         wk["s"].astype(jnp.float32).reshape(1, hk_d),
         wv["s"].astype(jnp.float32).reshape(1, hk_d),
         wo["s"].astype(jnp.float32).reshape(1, d),
+        pw.astype(jnp.float32).reshape(1, d),
         cos.astype(jnp.float32),
         sin.astype(jnp.float32),
         mask.astype(jnp.int32).reshape(b // bb, 1, t),
@@ -389,5 +436,34 @@ def fused_attn_int8_layer(
         num_heads=cfg.num_heads, num_kv_heads=cfg.num_kv_heads,
         head_dim=cfg.head_dim, eps=float(cfg.rms_norm_eps),
         causal=True, scale=1.0 / float(np.sqrt(cfg.head_dim)),
+        interpret=interpret,
+    )
+
+
+def fused_attn_int8_layer_gemma(
+    x: jax.Array,          # (B, S, D) bf16 — residual stream
+    layer: dict,           # gemma layer params (zero-init (1+w) norms)
+    lq: dict,              # int8 weights from quantize_params_int8
+    attention_mask: jax.Array,   # (B, S)
+    rope_cs: tuple,        # per-layer-kind (cos, sin), each (B, S, Dh//2)
+    cfg,                   # GemmaEncoderConfig
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Gemma sandwich attention block, one kernel: x + post_attn_norm(
+    o_proj(bidirectional_attention(qkv_proj(attn_norm(x))))). All (1+w)
+    norm weights pre-adjusted; same math as encoder/gemma.py's
+    _attention_int8 + post-norm chain. Only valid at shapes where the
+    sliding window cannot bind (gemma.py:_fused_ok gates callers)."""
+    one = jnp.float32(1.0)
+    return _fused_attn_call(
+        x, one + layer["attn_norm"], one + layer["q_norm"],
+        one + layer["k_norm"],
+        lq["wq"], lq["wk"], lq["wv"], lq["wo"],
+        rope_cs[0], rope_cs[1], attention_mask,
+        post_w=one + layer["post_attn_norm"],
+        num_heads=cfg.num_heads, num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim, eps=float(cfg.rms_norm_eps),
+        causal=False, scale=float(cfg.query_pre_attn_scalar) ** -0.5,
         interpret=interpret,
     )
