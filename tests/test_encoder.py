@@ -335,6 +335,33 @@ def test_int8_forward_parity():
         np.testing.assert_allclose(np.linalg.norm(q8, axis=1), 1.0, atol=1e-4)
 
 
+def test_fused_layer_vmem_gate():
+    """Alignment-qualifying but oversized towers must NOT select the
+    whole-layer kernels: their VMEM-resident weight scratch would fail
+    the Mosaic compile (kernels/layer_int8.py:_WEIGHT_VMEM_BUDGET), so
+    the gate has to route them to the int8 op-chain instead."""
+    from theoremsearch_tpu.encoder import model as M
+    from theoremsearch_tpu.kernels.layer_int8 import fused_layer_shapes_ok
+
+    # the serving towers qualify with margin
+    assert fused_layer_shapes_ok(1024, 3072, 2048, 1024)  # qwen 0.6B
+    assert fused_layer_shapes_ok(768, 1152, 768, 256)     # gemma 300m
+    # Qwen3-4B-class: every dim 128-aligned, but 3*d*i = 75 MB of MLP
+    # weight scratch — over budget, must be rejected
+    assert not fused_layer_shapes_ok(2560, 9728, 2560, 1024)
+    # misaligned dims rejected regardless of size
+    assert not fused_layer_shapes_ok(1000, 3072, 2048, 1024)
+    # wired through the family gate: a 4B-class config at a shape where
+    # the attention-core gate (_fused_ok) itself passes
+    cfg4b = EncoderConfig(
+        vocab_size=512, hidden_size=2560, intermediate_size=9728,
+        num_layers=1, num_heads=20, num_kv_heads=4, head_dim=128,
+        max_seq_len=64, embedding_dim=256,
+    )
+    assert M._fused_ok(cfg4b, 16, 8)
+    assert not M._fused_layer_ok(cfg4b, 16, 8)
+
+
 def test_fused_layer_kernels_parity():
     """Whole-layer fused int8 kernels (kernels/layer_int8.py) must match
     the op-chain int8 path: per-block (MLP / attention, interpret mode)

@@ -278,14 +278,14 @@ def _fused_ok(cfg: GemmaEncoderConfig, s: int, b: int) -> bool:
 
 def _fused_layer_ok(cfg: GemmaEncoderConfig, s: int, b: int) -> bool:
     """Whole-layer int8 kernels (kernels/layer_int8.py) additionally
-    need 128-lane-aligned model dims for the VMEM-resident weight
-    tiles (embeddinggemma-300m: 768/1152/3x256/1x256 — all qualify)."""
-    return (
-        _fused_ok(cfg, s, b)
-        and cfg.hidden_size % 128 == 0
-        and cfg.intermediate_size % 128 == 0
-        and (cfg.num_heads * cfg.head_dim) % 128 == 0
-        and (cfg.num_kv_heads * cfg.head_dim) % 128 == 0
+    need 128-lane-aligned model dims and VMEM-resident weights
+    (fused_layer_shapes_ok owns the requirement; embeddinggemma-300m:
+    768/1152/3x256/1x256 — qualifies with wide margin)."""
+    from ..kernels.layer_int8 import fused_layer_shapes_ok
+
+    return _fused_ok(cfg, s, b) and fused_layer_shapes_ok(
+        cfg.hidden_size, cfg.intermediate_size,
+        cfg.num_heads * cfg.head_dim, cfg.num_kv_heads * cfg.head_dim,
     )
 
 

@@ -374,14 +374,15 @@ def _mlp_int8(layer: Params, lq: dict, x: jax.Array, eps: float) -> jax.Array:
 
 def _fused_layer_ok(cfg: EncoderConfig, s: int, b: int) -> bool:
     """Whole-layer int8 kernels (kernels/layer_int8.py) additionally
-    need 128-lane-aligned model dims for the VMEM-resident weight
-    tiles. Qwen-form layers only (no bias, pre-norm, SwiGLU)."""
-    return (
-        _fused_ok(cfg, s, b)
-        and cfg.hidden_size % 128 == 0
-        and cfg.intermediate_size % 128 == 0
-        and (cfg.num_heads * cfg.head_dim) % 128 == 0
-        and (cfg.num_kv_heads * cfg.head_dim) % 128 == 0
+    need 128-lane-aligned model dims and the int8 weights within the
+    kernel's VMEM budget (kernels/layer_int8.py:fused_layer_shapes_ok
+    owns the requirement). Qwen-form layers only (no bias, pre-norm,
+    SwiGLU)."""
+    from ..kernels.layer_int8 import fused_layer_shapes_ok
+
+    return _fused_ok(cfg, s, b) and fused_layer_shapes_ok(
+        cfg.hidden_size, cfg.intermediate_size,
+        cfg.num_heads * cfg.head_dim, cfg.num_kv_heads * cfg.head_dim,
     )
 
 

@@ -59,6 +59,27 @@ from jax.experimental.pallas import tpu as pltpu
 _TT = 128  # token tile: MXU-native M
 
 
+# the weight scratch stays resident across every grid step, sharing
+# VMEM (128 MiB on v5e) with the per-tile activation blocks and f32
+# intermediates — cap it well under half so qualifying-alignment but
+# larger-than-serving towers (e.g. a Qwen3-4B-class config at 75 MB of
+# MLP weights) fall back to the op-chain instead of failing the Mosaic
+# compile with VMEM exhaustion
+_WEIGHT_VMEM_BUDGET = 48 * 1024 * 1024
+
+
+def fused_layer_shapes_ok(d: int, i: int, hq_d: int, hk_d: int) -> bool:
+    """Whether the whole-layer kernels support these model dims: every
+    VMEM weight tile 128-lane aligned, and the per-kernel resident int8
+    weight scratch (MLP: gate/up/down = 3*d*i; attention: q/k/v/o =
+    2*d*(hq_d + hk_d)) within budget. Both encoder families gate their
+    `_fused_layer_ok` on this — the requirement lives here, next to the
+    kernels that impose it."""
+    if any(x % 128 for x in (d, i, hq_d, hk_d)):
+        return False
+    return max(3 * d * i, 2 * d * (hq_d + hk_d)) <= _WEIGHT_VMEM_BUDGET
+
+
 def _rmsnorm_quant(xf: jax.Array, wn: jax.Array, eps: float):
     """f32 (TT, D) -> int8 codes + f32 (TT, 1) scales; same math as
     encoder/model.py:_rmsnorm_quant_act (norm fused into the quant so
@@ -392,7 +413,8 @@ def _fused_attn_call(
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * s * d * (hq_d + 2 * hk_d + d // 1)
+            # qkv projections d x (hq_d + 2 hk_d), o projection hq_d x d
+            flops=2 * b * s * d * (2 * hq_d + 2 * hk_d)
             + 4 * b * num_heads * s * t * head_dim,
             bytes_accessed=d * (hq_d + 2 * hk_d) + hq_d * d + 4 * b * s * d,
             transcendentals=b * num_heads * s * t,

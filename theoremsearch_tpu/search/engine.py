@@ -794,12 +794,7 @@ class SearchEngine:
                 margin = min(margin, self.n_valid - k)
                 k_q = k + margin
                 k_fetch = (
-                    max(
-                        k * self.rescore_factor,
-                        k_q + (self.rescore_factor - 1) * k,
-                    )
-                    if do_rescore
-                    else k_q
+                    self._candidate_width(k_q, k) if do_rescore else k_q
                 )
                 k_dev = min(max(k_fetch, 1), self.rows_per_shard)
                 fn_k = (
@@ -828,6 +823,21 @@ class SearchEngine:
             if mean + 6.0 * sigma <= m:
                 return m
         return _OVERFETCH_MARGINS[-1]
+
+    def _candidate_width(self, k_q: int, base_k: int) -> int:
+        """Rescore-candidate width for an (over-fetched) window `k_q`
+        whose final user k is `base_k`: keep the plain path's ABSOLUTE
+        oversampling tail, (rescore_factor - 1) * base_k extra ranks
+        past the window, rather than re-scaling the whole over-fetched
+        width by rescore_factor. The margin rows only need window
+        membership, and int8 rank noise is a local displacement, so the
+        same absolute headroom that protects rank base_k protects rank
+        k_q (retrieving rescore_factor*(base_k+64) = 296 candidates
+        measured 4.4x the plain scan; a headroom-less width = k_q would
+        let a rank inversion at the window tail slip past the
+        dead-count fallback). With k_q == base_k (no over-fetch) this
+        is exactly the plain rescore_factor * base_k."""
+        return k_q + (self.rescore_factor - 1) * base_k
 
     def _tomb_ids_snapshot(self) -> np.ndarray:
         """Doc ids whose MAIN row is tombstoned (sorted int64, cached per
@@ -908,16 +918,9 @@ class SearchEngine:
         """jit-compiled (queries, bias?) -> (scores, global_doc_ids).
 
         `base_k`: the final user k when `k` is an over-fetched width
-        (k = base_k + margin). The int8-scan candidate width keeps the
-        plain path's ABSOLUTE oversampling tail, (rescore_factor-1) *
-        base_k extra ranks past the window, rather than re-scaling the
-        whole over-fetched width by rescore_factor — the margin rows
-        only need window membership, and int8 rank noise is a local
-        displacement, so the same absolute headroom that protects rank
-        base_k protects rank k (retrieving rescore_factor*(base_k+64)
-        = 296 candidates measured 4.4x the plain scan; a headroom-less
-        kr = k would instead let a rank inversion at the window tail
-        slip past the dead-count fallback)."""
+        (k = base_k + margin); the int8-scan candidate width is
+        `_candidate_width(k, base_k)` — see its docstring for the
+        rank-noise argument."""
         n_valid = self.n_valid
         rows_per_shard = self.rows_per_shard
         base_k = base_k or k
@@ -925,13 +928,7 @@ class SearchEngine:
         if self.mesh is None:
             if self._speed_ok and not with_bias:
                 gscale = self._global_scale
-                kr = min(
-                    max(
-                        self.rescore_factor * base_k,
-                        k + (self.rescore_factor - 1) * base_k,
-                    ),
-                    self.padded_rows,
-                )
+                kr = min(self._candidate_width(k, base_k), self.padded_rows)
                 ids_dev = self.ids
                 rescore_dev = self._rescore_args()
                 row_block = self.row_block
@@ -1294,16 +1291,7 @@ class SearchEngine:
                 drop_mask = mask
                 k_q = k + margin
                 mask = dev = None
-        # candidate width for the host-rescore paths: keep the plain
-        # path's absolute oversampling tail past the over-fetch window
-        # instead of re-scaling the whole k_q by rescore_factor (which
-        # made a margin-64 over-fetch scan 4.4x the plain one) — see
-        # _build_search_fn's base_k note for the rank-noise argument
-        k_fetch = (
-            max(k * self.rescore_factor, k_q + (self.rescore_factor - 1) * k)
-            if do_rescore
-            else k_q
-        )
+        k_fetch = self._candidate_width(k_q, k) if do_rescore else k_q
         k_dev = min(max(k_fetch, 1), self.rows_per_shard)
         q, b = self._pad_queries(query_vecs)
 
