@@ -428,3 +428,118 @@ def test_residual_quantize_dequantize_roundtrip(rng):
     # residual reconstruction beats one-level dequantization by >10x
     one_level = gs * cg.astype(np.float32)
     assert np.abs(recon - x).max() * 10 < np.abs(one_level - x).max()
+
+
+def test_fused_g_merge_tiles_parity(rng):
+    """merge_tiles accumulates M consecutive corpus tiles into one output
+    block (kernels/mips.py:_mips_g_kernel) — id decode, scores, padding
+    and the masked path must all match the merge=1 layout and the
+    quantized-exact oracle at every M."""
+    from theoremsearch_tpu.kernels import fused_mips_topk_g
+
+    x, q, codes, scale = _make_global(rng)   # 8192 rows, rb=512 -> 16 tiles
+    n_valid = x.shape[0] - 100
+    _, ref_ids, _ = _quantized_oracle(q, codes, scale, 10, n_valid)
+    mask = np.zeros(x.shape[0], dtype=bool)
+    mask[::3] = True
+    s_m, ids_m, _ = _quantized_oracle(q, codes, scale, 10, n_valid)
+    s_m[:, ~mask] = -(10**12)
+    ref_masked = np.argsort(-s_m, axis=1, kind="stable")[:, :10]
+
+    base = None
+    for m in (1, 2, 4):
+        s, i = fused_mips_topk_g(
+            jnp.asarray(q), codes, scale, n_valid, k=10, row_block=512,
+            interpret=True, merge_tiles=m,
+        )
+        s, i = np.asarray(s), np.asarray(i)
+        assert (i[i >= 0] < n_valid).all()
+        overlap = (i[:, :, None] == ref_ids[:, None, :]).any(1).mean()
+        assert overlap >= 0.95, (m, overlap)
+        if base is None:
+            base = (s, i)
+        else:
+            # vs merge=1: same score multisets (ids can swap on the rare
+            # lane-cell collision — cells grow with M)
+            np.testing.assert_allclose(
+                np.sort(s, 1), np.sort(base[0], 1), rtol=1e-5
+            )
+        # masked path (exact epilogue) under merge
+        sm, im = fused_mips_topk_g(
+            jnp.asarray(q), codes, scale, n_valid, mask=jnp.asarray(mask),
+            k=10, row_block=512, interpret=True, merge_tiles=m,
+        )
+        im = np.asarray(im)
+        assert mask[im[im >= 0]].all()
+        overlap = (im[:, :, None] == ref_masked[:, None, :]).any(1).mean()
+        assert overlap >= 0.95, (m, overlap)
+
+
+def test_fused_g_merge_tiles_auto_and_guards(rng):
+    """Default merge_tiles=None picks the largest M in {4,2,1} that the
+    packing bound / tile count / k-width allow; explicit bad configs are
+    rejected loudly."""
+    import pytest as _pytest
+
+    from theoremsearch_tpu.kernels import fused_mips_topk_g
+
+    x, q, codes, scale = _make_global(rng)
+    # 16 tiles at rb=512: auto picks 4 and matches explicit merge=4
+    s_auto, i_auto = fused_mips_topk_g(
+        jnp.asarray(q), codes, scale, None, k=10, row_block=512, interpret=True
+    )
+    s4, i4 = fused_mips_topk_g(
+        jnp.asarray(q), codes, scale, None, k=10, row_block=512,
+        interpret=True, merge_tiles=4,
+    )
+    np.testing.assert_array_equal(np.asarray(i_auto), np.asarray(i4))
+    # tile count not a multiple -> loud reject when explicit
+    with _pytest.raises(ValueError, match="not a multiple of merge_tiles"):
+        fused_mips_topk_g(
+            jnp.asarray(q), codes[:512 * 5], scale, None, k=10,
+            row_block=512, interpret=True, merge_tiles=4,
+        )
+    # ...but auto degrades to 1 silently (5 tiles)
+    s5, i5 = fused_mips_topk_g(
+        jnp.asarray(q), codes[:512 * 5], scale, None, k=10, row_block=512,
+        interpret=True,
+    )
+    assert np.asarray(i5).shape == (q.shape[0], 10)
+    with _pytest.raises(ValueError, match="merge_tiles must be"):
+        fused_mips_topk_g(
+            jnp.asarray(q), codes, scale, None, k=10, row_block=512,
+            interpret=True, merge_tiles=3,
+        )
+
+
+def test_fused_g_negative_scores_stay_valid(rng):
+    """Regression (sentinel fix): candidates whose best available score is
+    strongly NEGATIVE must not decode as invalid. The old validity test
+    compared the PACKED value against a -2^25 threshold, which at larger
+    group shifts silently dropped legitimate anti-correlated candidates
+    (reachable under a restrictive filter); validity is now equality
+    against the exact INT32_MIN sentinel."""
+    from theoremsearch_tpu.kernels import fused_mips_topk_g
+
+    d, b = 256, 4
+    u = rng.standard_normal(d).astype(np.float32)
+    u /= np.linalg.norm(u)
+    # queries: tiny perturbations of one direction u; corpus: noisy -u
+    # rows only, so EVERY available candidate has cos ~ -1
+    q = u[None, :] + 0.01 * rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    x = -u[None, :] + 0.02 * rng.standard_normal((2048, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    from theoremsearch_tpu.index.quant import quantize_global_int8
+
+    codes, scale = quantize_global_int8(x)
+    for m in (1, 2, 4):
+        s, i = fused_mips_topk_g(
+            jnp.asarray(q), jnp.asarray(codes), scale, None, k=10,
+            row_block=512, interpret=True, merge_tiles=m,
+        )
+        s, i = np.asarray(s), np.asarray(i)
+        assert (i >= 0).all(), (m, i)          # nothing reported invalid
+        assert np.isfinite(s).all(), (m, s)
+        # scores really are the (negative) quantized products
+        assert (s < -0.5).all(), (m, s)

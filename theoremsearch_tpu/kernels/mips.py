@@ -302,6 +302,7 @@ def _mips_g_kernel(
     row_block: int,
     has_padding: bool,
     has_mask: bool = False,
+    merge_tiles: int = 1,
 ):
     """Streaming packed-lane-maxima scan on a GLOBAL-scale int8 corpus —
     the speed path of the MIPS engine.
@@ -332,6 +333,19 @@ def _mips_g_kernel(
     encodes (tile, lane) — so the epilogue recovers global row ids with
     no extra output. Packing bound: 127*127*D*G < 2^31.
 
+    merge_tiles: max-accumulate M consecutive corpus tiles into ONE
+    (B, 128) output block, packing the tile-within-group index into
+    extra group bits (G_eff = M*G). The XLA epilogue's approx_max_k
+    over the (B, n_tiles*128) maxima measured ~1.2 ms in-stream at
+    B=1024/1M (2026-08-19, experiments/exp_epilogue.py) — proportional
+    to its width, which this divides by M while keeping the fast
+    row_block=4096 matmul tile (raising row_block instead measured
+    SLOWER: the 32 MB int32 score tile beats VMEM). Packing bound now
+    127*127*D*(M*G) < 2^31 — at D=1024, M*G <= 128, i.e. M <= 4.
+    Output revisiting is the standard Mosaic accumulation pattern: the
+    out block stays VMEM-resident across the M consecutive grid steps
+    that share its index, written back once.
+
     Exactness: per (query, tile, lane-cell of G rows) only the best
     candidate survives. A true global top-k' item is lost only when a
     better item shares its cell — P ~ k'^2/(2*n_cells) per query
@@ -351,7 +365,8 @@ def _mips_g_kernel(
     i = pl.program_id(0)
     b = q_ref.shape[0]
     g = row_block // 128
-    g_shift = g.bit_length() - 1  # G is a power of two
+    g_eff = g * merge_tiles
+    g_shift = g_eff.bit_length() - 1  # G_eff is a power of two
 
     acc = jax.lax.dot_general(
         q_ref[:],
@@ -360,10 +375,19 @@ def _mips_g_kernel(
         preferred_element_type=jnp.int32,
     )
 
+    if merge_tiles > 1:
+        # group bits gain this tile's index within its merge window, so
+        # decode stays (pos, vi & (G_eff-1)) with rb_eff = M*row_block
+        grp_base = jax.lax.rem(i, merge_tiles) * g
+
     def _maxima(masked: bool, remaining=None, lane=None):
         m1 = None
         for grp in range(g):
-            sl = (acc[:, grp * 128 : (grp + 1) * 128] << g_shift) | grp
+            sl = acc[:, grp * 128 : (grp + 1) * 128] << g_shift
+            if merge_tiles > 1:
+                sl = sl | (grp_base + grp)
+            else:
+                sl = sl | grp
             if mask_ref is not None:
                 # filter mask: excluded rows drop below every real score
                 # BEFORE the lane reduction (filtered search at speed-path
@@ -375,7 +399,16 @@ def _mips_g_kernel(
             if masked:
                 sl = jnp.where(lane + grp * 128 < remaining, sl, INT32_MIN)
             m1 = sl if m1 is None else jnp.maximum(m1, sl)
-        out_ref[...] = m1
+        if merge_tiles == 1:
+            out_ref[...] = m1
+        else:
+            @pl.when(jax.lax.rem(i, merge_tiles) == 0)
+            def _first():
+                out_ref[...] = m1
+
+            @pl.when(jax.lax.rem(i, merge_tiles) != 0)
+            def _accum():
+                out_ref[...] = jnp.maximum(out_ref[...], m1)
 
     if not has_padding:
         _maxima(masked=False)
@@ -390,10 +423,6 @@ def _mips_g_kernel(
         @pl.when(remaining < row_block)
         def _masked():
             _maxima(masked=True, remaining=remaining, lane=lane)
-
-
-# any packed sentinel unpacks far below the minimum real score
-_INVALID_SCORE = INT32_LOW >> 1
 
 
 def _exact_topk_wide(cand: jax.Array, k: int, seg: int = 2048):
@@ -439,6 +468,7 @@ def fused_mips_topk_g(
     recall_target: float = 0.97,
     interpret: bool = False,
     exact_epilogue: bool | None = None,
+    merge_tiles: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Global-scale int8 fused scan (the speed path; see _mips_g_kernel).
 
@@ -459,6 +489,16 @@ def fused_mips_topk_g(
              masked default exists because contiguous-doc-id filters put
              every survivor in adjacent columns, which approx_max_k's
              bin reduction collapses on real TPU).
+    merge_tiles: accumulate M consecutive corpus tiles per output block
+             (see _mips_g_kernel), dividing the epilogue width by M.
+             None (default) picks the largest M in {4, 2, 1} that the
+             packing bound, the tile count, and the retrieval width
+             allow — measured 8.75 -> 7.52 ms on the full headline
+             pipeline at B=1024/1M (experiments/exp_merge_tiles.py);
+             pass 1 to force the unmerged layout. Selection cells grow
+             to M*128 rows; the cell-collision loss stays ~k'/cells per
+             item, immaterial next to approx_max_k's own (1-rt) at
+             k'=40, 1M rows (recall min over draws measured unchanged).
 
     Returns (scores (B, k) f32 desc, ids (B, k) i32 corpus rows; -1 ids
     and -inf scores for invalid slots).
@@ -478,6 +518,33 @@ def fused_mips_topk_g(
         raise ValueError("row_block must be a power-of-two multiple of 128")
     if 127 * 127 * d * g >= 2**31:
         raise ValueError(f"packing overflow: D={d} too large for row_block={row_block}")
+    n_tiles = n_pad // row_block
+    if merge_tiles is None:
+        # largest M whose packed (score, group) still fits int32, whose
+        # merged width keeps >= k candidate columns, and which divides
+        # the tile count (a partial last window would under-fill its
+        # output block)
+        merge_tiles = 1
+        for m in (4, 2):
+            if (
+                127 * 127 * d * g * m < 2**31
+                and n_tiles % m == 0
+                and (n_tiles // m) * 128 >= k
+            ):
+                merge_tiles = m
+                break
+    elif merge_tiles not in (1, 2, 4):
+        raise ValueError(f"merge_tiles must be 1, 2 or 4, got {merge_tiles}")
+    elif merge_tiles > 1:
+        if 127 * 127 * d * g * merge_tiles >= 2**31:
+            raise ValueError(
+                f"packing overflow: D={d}, row_block={row_block}, "
+                f"merge_tiles={merge_tiles} exceeds int32"
+            )
+        if n_tiles % merge_tiles:
+            raise ValueError(
+                f"tile count {n_tiles} not a multiple of merge_tiles={merge_tiles}"
+            )
     if n_valid is None:
         n_valid = n_pad
     has_padding = not (isinstance(n_valid, (int, np.integer)) and int(n_valid) == n_pad)
@@ -490,7 +557,7 @@ def fused_mips_topk_g(
         jnp.asarray(n_valid, jnp.int32), mask,
         k=k, row_block=row_block, recall_target=recall_target,
         interpret=interpret, has_padding=has_padding,
-        exact_epilogue=exact_epilogue,
+        exact_epilogue=exact_epilogue, merge_tiles=merge_tiles,
     )
 
 
@@ -498,7 +565,7 @@ def fused_mips_topk_g(
     jax.jit,
     static_argnames=(
         "k", "row_block", "recall_target", "interpret", "has_padding",
-        "exact_epilogue",
+        "exact_epilogue", "merge_tiles",
     ),
 )
 def _fused_mips_topk_g_impl(
@@ -514,13 +581,16 @@ def _fused_mips_topk_g_impl(
     interpret: bool,
     has_padding: bool,
     exact_epilogue: bool = False,
+    merge_tiles: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     n_pad, d = codes.shape
     b = queries.shape[0]
     g = row_block // 128
+    g_eff = g * merge_tiles
     qk, qscales = _quantize_queries(queries)
 
     n_tiles = n_pad // row_block
+    n_blocks = n_tiles // merge_tiles  # output blocks (tile merge windows)
     # VMEM high-water: int32 score tile + double-buffered corpus tiles +
     # resident queries; raise the Mosaic cap above its 16MB default when
     # the config needs it (v5e has headroom)
@@ -532,7 +602,7 @@ def _fused_mips_topk_g_impl(
         )
 
     common = dict(
-        out_shape=jax.ShapeDtypeStruct((b, n_tiles * 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, n_blocks * 128), jnp.int32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n_pad * d,
@@ -544,7 +614,7 @@ def _fused_mips_topk_g_impl(
     has_mask = mask is not None
     kernel = functools.partial(
         _mips_g_kernel, row_block=row_block, has_padding=has_padding,
-        has_mask=has_mask,
+        has_mask=has_mask, merge_tiles=merge_tiles,
     )
     mask_args = (mask,) if has_mask else ()
     if has_padding:
@@ -561,7 +631,9 @@ def _fused_mips_topk_g_impl(
                 num_scalar_prefetch=1,
                 grid=(n_tiles,),
                 in_specs=in_specs,
-                out_specs=pl.BlockSpec((b, 128), lambda i, *_: (0, i)),
+                out_specs=pl.BlockSpec(
+                    (b, 128), lambda i, *_: (0, i // merge_tiles)
+                ),
             ),
             **common,
         )(nvalid_arr, qk, codes, *mask_args)
@@ -576,12 +648,12 @@ def _fused_mips_topk_g_impl(
             kernel,
             grid=(n_tiles,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((b, 128), lambda i: (0, i)),
+            out_specs=pl.BlockSpec((b, 128), lambda i: (0, i // merge_tiles)),
             **common,
         )(qk, codes, *mask_args)
 
     # epilogue: selection over the packed maxima, then unpack ids
-    k_eff = min(k, n_tiles * 128)
+    k_eff = min(k, n_blocks * 128)
     if exact_epilogue:
         # EXACT selection for the masked path. approx_max_k bin-reduces
         # adjacent columns on real TPU; a contiguous-doc-id filter (e.g.
@@ -604,9 +676,19 @@ def _fused_mips_topk_g_impl(
         # approximate and the f32 cast rounds near-ties) — (B, k) only
         vi, order = jax.lax.top_k(vi, k_eff)
         pos = jnp.take_along_axis(pos, order, axis=1)
-    ids = (pos // 128) * row_block + (vi & (g - 1)) * 128 + pos % 128
-    valid = vi > _INVALID_SCORE
-    g_shift = g.bit_length() - 1
+    # pos encodes (merge window, lane); the group bits of vi encode
+    # (tile-within-window, column group) — rb_eff = merge_tiles*row_block
+    ids = (pos // 128) * (merge_tiles * row_block) + (vi & (g_eff - 1)) * 128 + pos % 128
+    # a cell is invalid iff EVERY row in it was masked/padding — then its
+    # packed value is exactly INT32_MIN (also _exact_topk_wide's pad).
+    # The packing guard (127*127*D*G_eff < 2^31) keeps every legitimate
+    # packed value strictly above it, so equality is the precise test; a
+    # threshold on the packed value is NOT (at g_shift=7 a threshold of
+    # -2^25 would drop legitimate candidates below cos ~ -0.26 — reachable
+    # under a restrictive filter whose few surviving docs anti-correlate
+    # with the query).
+    valid = vi != INT32_MIN
+    g_shift = g_eff.bit_length() - 1
     scores = jnp.where(
         valid,
         jax.lax.shift_right_arithmetic(vi, g_shift).astype(jnp.float32)
