@@ -476,35 +476,45 @@ def test_fused_g_merge_tiles_parity(rng):
 
 
 def test_fused_g_merge_tiles_auto_and_guards(rng):
-    """Default merge_tiles=None picks the largest M in {4,2,1} that the
-    packing bound / tile count / k-width allow; explicit bad configs are
-    rejected loudly."""
+    """The auto default (_auto_merge_tiles) merges ONLY when the
+    post-merge selection width stays >= 8192 columns (do-no-harm: below
+    that the epilogue is already cheap and at g=1 the unmerged scan is
+    exact per row — compact/delete tests pin that exactness); explicit
+    bad configs are rejected loudly."""
     import pytest as _pytest
 
     from theoremsearch_tpu.kernels import fused_mips_topk_g
+    from theoremsearch_tpu.kernels.mips import _auto_merge_tiles
+
+    # headline config: g=32, 256 tiles (1M @ rb=4096) -> M=4 (8192 wide)
+    assert _auto_merge_tiles(1024, 32, 256) == 4
+    # 2M: still divisible, wider -> 4
+    assert _auto_merge_tiles(1024, 32, 512) == 4
+    # small corpus (16 tiles @ rb=512): post-merge width < 8192 -> 1
+    assert _auto_merge_tiles(256, 4, 16) == 1
+    # width allows 4 but packing bound (127*127*D*G*M < 2^31) caps at 2
+    assert _auto_merge_tiles(2048, 32, 512) == 2
+    # tile count divisible by 2 only
+    assert _auto_merge_tiles(1024, 32, 258) == 2
+    # odd tile count -> 1 regardless of width
+    assert _auto_merge_tiles(1024, 32, 257) == 1
 
     x, q, codes, scale = _make_global(rng)
-    # 16 tiles at rb=512: auto picks 4 and matches explicit merge=4
+    # small corpus: auto (=1) must EXACTLY match explicit merge=1
     s_auto, i_auto = fused_mips_topk_g(
         jnp.asarray(q), codes, scale, None, k=10, row_block=512, interpret=True
     )
-    s4, i4 = fused_mips_topk_g(
+    s1, i1 = fused_mips_topk_g(
         jnp.asarray(q), codes, scale, None, k=10, row_block=512,
-        interpret=True, merge_tiles=4,
+        interpret=True, merge_tiles=1,
     )
-    np.testing.assert_array_equal(np.asarray(i_auto), np.asarray(i4))
+    np.testing.assert_array_equal(np.asarray(i_auto), np.asarray(i1))
     # tile count not a multiple -> loud reject when explicit
     with _pytest.raises(ValueError, match="not a multiple of merge_tiles"):
         fused_mips_topk_g(
             jnp.asarray(q), codes[:512 * 5], scale, None, k=10,
             row_block=512, interpret=True, merge_tiles=4,
         )
-    # ...but auto degrades to 1 silently (5 tiles)
-    s5, i5 = fused_mips_topk_g(
-        jnp.asarray(q), codes[:512 * 5], scale, None, k=10, row_block=512,
-        interpret=True,
-    )
-    assert np.asarray(i5).shape == (q.shape[0], 10)
     with _pytest.raises(ValueError, match="merge_tiles must be"):
         fused_mips_topk_g(
             jnp.asarray(q), codes, scale, None, k=10, row_block=512,

@@ -456,6 +456,29 @@ def _exact_topk_wide(cand: jax.Array, k: int, seg: int = 2048):
     return vi2, pos
 
 
+def _auto_merge_tiles(d: int, g: int, n_tiles: int) -> int:
+    """Default merge window for the maxima scan: the largest M in
+    {4, 2, 1} such that (a) the packed (score, group) value still fits
+    int32, (b) M divides the tile count (a partial window would
+    under-fill its output block), and (c) the POST-merge selection
+    width stays >= 8192 columns. (c) is the do-no-harm rule: below
+    that width the approx_max_k epilogue is already cheap, so merging
+    buys nothing while growing the lane cells (M*G rows each) — and at
+    g == 1 the unmerged scan is EXACT per row, a property small-corpus
+    paths (and their tests) rely on. At the 1M x 1024 headline config
+    (g=32, 256 tiles) this picks M=4: 8192-wide selection, full
+    pipeline 8.82 -> 8.36 ms with recall-min unchanged
+    (experiments/exp_merge_tiles.py, chip A/B 2026-08-19)."""
+    for m in (4, 2):
+        if (
+            127 * 127 * d * g * m < 2**31
+            and n_tiles % m == 0
+            and (n_tiles // m) * 128 >= 8192
+        ):
+            return m
+    return 1
+
+
 def fused_mips_topk_g(
     queries: jax.Array,
     codes: jax.Array,
@@ -520,19 +543,7 @@ def fused_mips_topk_g(
         raise ValueError(f"packing overflow: D={d} too large for row_block={row_block}")
     n_tiles = n_pad // row_block
     if merge_tiles is None:
-        # largest M whose packed (score, group) still fits int32, whose
-        # merged width keeps >= k candidate columns, and which divides
-        # the tile count (a partial last window would under-fill its
-        # output block)
-        merge_tiles = 1
-        for m in (4, 2):
-            if (
-                127 * 127 * d * g * m < 2**31
-                and n_tiles % m == 0
-                and (n_tiles // m) * 128 >= k
-            ):
-                merge_tiles = m
-                break
+        merge_tiles = _auto_merge_tiles(d, g, n_tiles)
     elif merge_tiles not in (1, 2, 4):
         raise ValueError(f"merge_tiles must be 1, 2 or 4, got {merge_tiles}")
     elif merge_tiles > 1:
