@@ -623,3 +623,29 @@ def test_builder_dedupes_within_one_batch(tmp_path):
     assert sorted(real.tolist()) == [5, 7]
     row5 = idx.vectors[list(real).index(5)]
     np.testing.assert_allclose(row5, emb[0], atol=1e-6)  # FIRST copy kept
+
+
+def test_engine_row_block_auto_default(corpus):
+    """row_block=None (the default pipeline.py uses) sizes the scan block
+    to the corpus: 4096 at 1M-scale (the benched fast config), small
+    blocks on small corpora so selection cells stay near-exact, and
+    explicit values untouched."""
+    emb, q = corpus
+    idx = FlatIndex.build(
+        emb, config=IndexConfig(pad_multiple=256, dtype="int8"), normalize=False
+    )
+    eng = SearchEngine(idx, use_pallas=False)
+    n = idx.vectors.shape[0]
+    assert eng.row_block == min(4096, max(128, 1 << ((n // 64).bit_length() - 1)))
+    assert eng.padded_rows % eng.row_block == 0
+    explicit = SearchEngine(idx, use_pallas=False, row_block=128)
+    assert explicit.row_block == 128
+    # 1M-scale rows resolve to the benched 4096 (shape math only)
+    big = 1 << 20
+    assert min(4096, max(128, 1 << ((big // 64).bit_length() - 1))) == 4096
+    # searches still match the oracle through the auto default
+    _, ref = exact_topk(q, emb, k=10)
+    _, ids = eng.search_vectors(q, k=10)
+    from theoremsearch_tpu.eval.metrics import recall_vs_exact
+
+    assert recall_vs_exact(np.asarray(ids), ref, k=10) >= 0.95

@@ -77,7 +77,7 @@ class SearchEngine:
         mesh: Mesh | None = None,
         config: SearchConfig | None = None,
         use_pallas: bool | None = None,
-        row_block: int = 1024,
+        row_block: int | None = None,
         rescore_vectors: np.ndarray | None = None,
         rescore_residual: tuple[np.ndarray, np.ndarray] | None = None,
         rescore_factor: int = 4,
@@ -101,7 +101,6 @@ class SearchEngine:
         self.meta = meta
         self.config = config or SearchConfig()
         self.mesh = mesh
-        self.row_block = row_block
         self.rescore_vectors = (
             np.asarray(rescore_vectors) if rescore_vectors is not None else None
         )
@@ -186,6 +185,18 @@ class SearchEngine:
 
         n_shards = mesh.shape["shard"] if mesh is not None else 1
         self.n_shards = n_shards
+
+        if row_block is None:
+            # corpus-sized default: the scan is fastest at row_block=4096
+            # (experiments/exp_floor.py: 6.50 vs 6.80 ms at rb=1024,
+            # B=1024 on 1M x 1024), but each selection cell covers
+            # g*merge rows, so small corpora need small blocks to keep
+            # the per-item collision loss ~k'*g*m/N negligible. Largest
+            # power of two <= rows/64 (>= 64 tiles), clamped to
+            # [128, 4096]; explicit row_block overrides.
+            n0 = max(int(index.vectors.shape[0]) // 64, 1)
+            row_block = min(4096, max(128, 1 << (n0.bit_length() - 1)))
+        self.row_block = row_block
 
         # Re-pad host arrays so every shard is a whole number of row blocks
         vecs, ids, scales = index.vectors, index.ids, index.scales
