@@ -27,9 +27,12 @@ native M), giving (128, D) x (D, I) int8 dots per step.
 
 Numerics match encoder/model.py's _mlp_int8/_attention_int8 chain:
 f32 norms and scale arithmetic, round-to-nearest-even clip to +-127,
-int8 x int8 -> int32 MXU dots, f32 dequant, bf16 residual I/O. The
-only divergence is op order inside a tile (bit-identical in practice
-on the random-weight parity tests).
+int8 x int8 -> int32 MXU dots, f32 dequant, bf16 residual adds, and
+the chain's bf16 round-trips at the re-quantization boundaries
+(h -> bf16 -> _quant_act, attn out -> bf16 -> _quant_act) are
+reproduced in-kernel. Residual rounding-level divergence remains in
+op order inside a tile (e.g. the fused norm+quant computes x*(r/s)*w
+in one expression); parity tests gate at cosine > 0.9999.
 
 Reference being replaced: the reference's encoder hot loop is the
 same Qwen3-Embedding forward inside sentence-transformers/PyTorch
@@ -64,8 +67,26 @@ _TT = 128  # token tile: MXU-native M
 # intermediates — cap it well under half so qualifying-alignment but
 # larger-than-serving towers (e.g. a Qwen3-4B-class config at 75 MB of
 # MLP weights) fall back to the op-chain instead of failing the Mosaic
-# compile with VMEM exhaustion
+# compile with VMEM exhaustion. Each pallas_call also passes an
+# explicit CompilerParams(vmem_limit_bytes=...) sized from the
+# resident weights + activation blocks (_vmem_params below): the
+# Mosaic DEFAULT cap (~16 MB, see kernels/mips.py) is far below this
+# budget, so a 16-48 MB tower would pass this gate and then fail the
+# compile if the kernel didn't raise the cap itself.
 _WEIGHT_VMEM_BUDGET = 48 * 1024 * 1024
+
+
+def _vmem_params(need: int) -> dict:
+    """CompilerParams raising the Mosaic VMEM cap when the resident
+    weights + activation blocks exceed its ~16 MB default (same
+    need*1.75 headroom pattern as kernels/mips.py)."""
+    if need <= 14 * 2**20:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(need * 1.75), 120 * 2**20)
+        )
+    }
 
 
 def fused_layer_shapes_ok(d: int, i: int, hq_d: int, hk_d: int) -> bool:
@@ -159,12 +180,15 @@ def _mlp_kernel(
     xq, sx = _rmsnorm_quant(xf, nw_ref[0, :][None, :], eps)
     g = _i8_dot(xq, wg_v[...]).astype(jnp.float32) * sx * wgs_ref[0, :][None, :]
     u = _i8_dot(xq, wu_v[...]).astype(jnp.float32) * sx * wus_ref[0, :][None, :]
-    h = _glu_act(g, act) * u
+    # bf16 round-trip before the re-quant, matching the op-chain's
+    # `h = (silu(gate) * up).astype(x.dtype)` feeding _quant_act
+    h = (_glu_act(g, act) * u).astype(jnp.bfloat16).astype(jnp.float32)
     hq, sh = _quant_rows(h)
     d = _i8_dot(hq, wd_v[...]).astype(jnp.float32) * sh * wds_ref[0, :][None, :]
     if post:
         d = _post_norm(d, pw_ref[0, :][None, :], eps)
-    o_ref[...] = (xf + d).astype(jnp.bfloat16)
+    # residual add in bf16 (the chain adds x + block_out with both bf16)
+    o_ref[...] = x_ref[...] + d.astype(jnp.bfloat16)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "act", "interpret"))
@@ -196,9 +220,13 @@ def fused_mlp_int8_layer(
     grid = (t_pad // _TT,)
     post = post_w is not None
     pw = jnp.ones((d,), jnp.float32) if post_w is None else post_w
+    # VMEM high-water: resident int8 weights + double-buffered bf16 x/o
+    # tiles + the f32 intermediates (xf, g, u, h) and int8 codes
+    need = 3 * d * i + _TT * (4 * d + 6 * i) * 4 + _TT * (d + i)
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, eps=float(eps), act=act, post=post),
         grid=grid,
+        **_vmem_params(need),
         in_specs=[
             pl.BlockSpec((_TT, d), lambda n: (n, 0)),
             pl.BlockSpec((1, d), lambda n: (0, 0)),
@@ -352,7 +380,10 @@ def _attn_layer_kernel(
     out = _i8_dot(oq, wo_v[...]).astype(jnp.float32) * so * wos_ref[0, :][None, :]
     if post:
         out = _post_norm(out, pw_ref[0, :][None, :], eps)
-    o_ref[...] = (xf + out).astype(jnp.bfloat16).reshape(bb, s, d)
+    # residual add in bf16 (the chain adds x + block_out with both bf16)
+    o_ref[...] = (
+        x_ref[...].reshape(t, d) + out.astype(jnp.bfloat16)
+    ).reshape(bb, s, d)
 
 
 @functools.partial(
@@ -379,9 +410,20 @@ def _fused_attn_call(
         num_heads=num_heads, num_kv_heads=num_kv_heads, head_dim=head_dim,
         eps=eps, causal=causal, scale=scale, post=post,
     )
+    # VMEM high-water: resident int8 weights + kr/ao bf16 scratch +
+    # double-buffered bf16 x/o tiles, the f32 xf, bf16 q/k/v, and the
+    # (t, t) f32 logits/bias pair
+    need = (
+        2 * d * (hq_d + hk_d)
+        + 2 * t * (hq_d + hk_d)
+        + t * (8 * d)
+        + 2 * t * (hq_d + 2 * hk_d)
+        + 2 * t * t * 4
+    )
     return pl.pallas_call(
         kernel,
         grid=(b // bb,),
+        **_vmem_params(need),
         in_specs=[
             pl.BlockSpec((bb, s, d), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, d), lambda i: (0, 0)),

@@ -196,6 +196,13 @@ class SearchEngine:
             # [128, 4096]; explicit row_block overrides.
             n0 = max(int(index.vectors.shape[0]) // 64, 1)
             row_block = min(4096, max(128, 1 << (n0.bit_length() - 1)))
+            # clamp by the maxima-scan packing bound 127*127*D*G < 2^31
+            # (kernels/mips.py:fused_mips_topk_g): a D > ~4164 corpus
+            # with the 4096 default would raise 'packing overflow' at
+            # search time where a smaller block works
+            dim0 = int(index.vectors.shape[1])
+            while row_block > 128 and 127 * 127 * dim0 * (row_block // 128) >= 2**31:
+                row_block //= 2
         self.row_block = row_block
 
         # Re-pad host arrays so every shard is a whole number of row blocks
@@ -730,10 +737,15 @@ class SearchEngine:
         filter routing decision must not rescan an O(N) mask on the
         scheduler's dispatch thread per batch."""
         pass_rate = float(np.mean(mask)) if mask.size else 0.0
-        if self._speed_ok:
+        if self._speed_ok or self._sharded_speed_ok:
             mask_host = np.zeros(self.padded_rows, np.int8)
             mask_host[: mask.shape[0]] = mask
-            return (mask, jnp.asarray(mask_host), pass_rate)
+            dev = jnp.asarray(mask_host)
+            if self._sharded_speed_ok:
+                # row-sharded like the corpus: each chip streams its own
+                # mask slice through the masked maxima scan
+                dev = jax.device_put(dev, NamedSharding(self.mesh, P("shard")))
+            return (mask, dev, pass_rate)
         bias_host = np.where(mask, 0.0, NEG_INF).astype(np.float32)
         pad = self.padded_rows - bias_host.shape[0]
         if pad:
@@ -1067,6 +1079,60 @@ class SearchEngine:
             jf = jax.jit(f)
             return (lambda q: jf(q, vectors, ids, *rescore_dev)), True
 
+        if with_bias == "mask" and self._sharded_speed_ok:
+            # SHARDED FILTERED speed path: the int8 filter mask is row-
+            # sharded like the corpus (P("shard")) and streams through
+            # each chip's masked maxima scan; local device rescore, then
+            # the usual ICI all_gather merge. Multi-chip filtered queries
+            # keep speed-path rates instead of the generic per-row
+            # kernel's (every reference query carries filters:
+            # /root/reference/streamlit_app.py:178-243).
+            from jax import shard_map as _shard_map
+
+            gscale = self._global_scale
+            kr = min(max(k, self.rescore_factor * k), self.rows_per_shard)
+            row_block = self.row_block
+            interpret = self.pallas_interpret
+            rescore_dev = self._rescore_args()
+            rescore_specs = (
+                (P("shard", None), P("shard"))
+                if self.rescore_residual is not None
+                else (P("shard", None),)
+            )
+
+            def shard_body_speed_mask(q, m, corpus, ids_shard, *rescore_shard):
+                shard_idx = jax.lax.axis_index("shard")
+                local_valid = jnp.clip(
+                    n_valid - shard_idx * rows_per_shard, 0, rows_per_shard
+                )
+                _, li = fused_mips_topk_g(
+                    q, corpus, gscale, local_valid, m,
+                    k=kr, row_block=row_block, interpret=interpret,
+                )
+                s, li = self._device_rescore(
+                    q, li, corpus, rescore_shard, local_valid, k
+                )
+                # rescoring re-ranks the (masked) candidates only; a
+                # shard with < k passing docs pads with -inf/-1 slots,
+                # which merge_topk sinks below every real candidate
+                gids = jnp.where(li >= 0, ids_shard[li.clip(0)], PAD_ID)
+                all_s = jax.lax.all_gather(s, "shard", axis=1, tiled=True)
+                all_i = jax.lax.all_gather(gids, "shard", axis=1, tiled=True)
+                return merge_topk(all_s, jnp.where(all_i < 0, PAD_ID, all_i), k)
+
+            f = _shard_map(
+                shard_body_speed_mask,
+                mesh=mesh,
+                in_specs=(
+                    P(None, None), P("shard"), P("shard", None), P("shard"),
+                    *rescore_specs,
+                ),
+                out_specs=(P(None, None), P(None, None)),
+                check_vma=False,
+            )
+            jf = jax.jit(f)
+            return (lambda q, m: jf(q, m, vectors, ids, *rescore_dev)), True
+
         def shard_body(q, corpus, ids_shard, scales_shard, bias_shard):
             shard_idx = jax.lax.axis_index("shard")
             local_valid = jnp.clip(
@@ -1341,9 +1407,10 @@ class SearchEngine:
                 fn_k, with_bias=False, base_k=k
             )
             s, i = fn(q)
-        elif self._speed_ok:
-            # filtered speed path: int8 mask streamed through the
-            # maxima-scan kernel; rescoring happens on device
+        elif self._speed_ok or self._sharded_speed_ok:
+            # filtered speed path (single-chip or sharded): int8 mask
+            # streamed through the maxima-scan kernel; rescoring happens
+            # on device (per shard in the sharded case)
             fn, rescored_on_device = self._get_search_fn(k, with_bias="mask")
             s, i = fn(q, bias_dev)
         else:
