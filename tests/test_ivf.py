@@ -556,3 +556,73 @@ def test_engine_ivf_route_with_live_updates(pallas_scale_corpus):
     assert victim not in i1[0].tolist()
     s2, i2 = eng.search_vectors(new, k=1)
     np.testing.assert_array_equal(i2[:, 0], ids)
+
+
+def test_ivf_with_updates_append_and_remove(clustered_corpus):
+    """Incremental fold (engine compact() path): appended rows land in
+    probed homes and are findable, removed ids disappear (including
+    dual-assignment copies), and base recall is preserved."""
+    emb, q = clustered_corpus
+    n = emb.shape[0]
+    idx = IVFIndex.build(
+        emb,
+        config=IndexConfig(ivf_nlist=50, dtype="int8", ivf_assign2_margin=0.05),
+        normalize=False,
+    )
+    rng = np.random.default_rng(3)
+    new = np.asarray(l2_normalize(
+        emb[:32] + 0.1 * rng.standard_normal((32, 64)).astype(np.float32)
+    ))
+    new_ids = n + np.arange(32)
+    removed = np.arange(0, 200, 10)
+    idx2 = idx.with_updates(add_emb=new, add_ids=new_ids, remove_ids=removed)
+    assert idx2.num_rows == n - removed.size + 32
+    # original index untouched (copy-on-write)
+    assert (idx.slab_ids != idx2.slab_ids).any()
+    s, i = idx2.search(new, k=1, nprobe=8)
+    assert (i[:, 0] == new_ids).all(), "appended rows must be their own top-1"
+    s, i = idx2.search(q, k=10, nprobe=50)
+    assert not (np.isin(i, removed)).any(), "removed ids must never return"
+    live = np.ones(n + 32, bool)
+    live[removed] = False
+    all_emb = np.concatenate([emb, new])
+    _, ref = exact_topk(q, all_emb[live], k=10)
+    ref_ids = np.nonzero(live)[0][np.asarray(ref)]
+    assert recall_vs_exact(i, ref_ids, k=10) >= 0.95
+
+
+def test_ivf_with_updates_spill_growth(clustered_corpus):
+    """Appends beyond every slab's slack grow the spill segment (padded
+    to whole chunks) and stay reachable."""
+    emb, _ = clustered_corpus
+    n = emb.shape[0]
+    idx = IVFIndex.build(
+        emb, config=IndexConfig(ivf_nlist=50, dtype="float32"), slab_rows=32,
+        normalize=False,
+    )
+    rng = np.random.default_rng(4)
+    new = np.asarray(l2_normalize(rng.standard_normal((400, 64)).astype(np.float32)))
+    idx2 = idx.with_updates(add_emb=new, add_ids=n + np.arange(400))
+    assert len(idx2.spill_ids) % idx2.slabs.shape[1] == 0
+    s, i = idx2.search(new[:16], k=1, nprobe=50)
+    assert (i[:, 0] == n + np.arange(16)).all()
+
+
+def test_ivf_remap_ids(clustered_corpus):
+    """compact(reclaim=True) support: ids translate through the map,
+    dropped ids become PAD slack."""
+    emb, q = clustered_corpus
+    n = emb.shape[0]
+    idx = IVFIndex.build(
+        emb, config=IndexConfig(ivf_nlist=50, dtype="int8"), normalize=False
+    )
+    drop = np.zeros(n, bool)
+    drop[::7] = True
+    id_map = np.full(n, -1, np.int64)
+    id_map[~drop] = np.arange(int((~drop).sum()))
+    idx2 = idx.remap_ids(id_map)
+    assert idx2.num_rows == int((~drop).sum())
+    s, i = idx2.search(q, k=10, nprobe=50)
+    kept = emb[~drop]
+    _, ref = exact_topk(q, kept, k=10)
+    assert recall_vs_exact(i, np.asarray(ref), k=10) >= 0.95

@@ -434,6 +434,243 @@ class IVFIndex:
             global_scale=global_scale,
         )
 
+    # ---------------- incremental updates ----------------
+
+    def _split_flat(self, flat: np.ndarray | None):
+        """(slab part (L, R, ...), spill part) views of a flat rescore
+        array laid out [slabs.reshape(-1), spill]."""
+        if flat is None:
+            return None, None
+        L, R = self.slabs.shape[:2]
+        slab_part = flat[: L * R].reshape(L, R, *flat.shape[1:])
+        return slab_part, flat[L * R :]
+
+    def with_updates(
+        self,
+        add_emb: np.ndarray | None = None,
+        add_ids: np.ndarray | None = None,
+        remove_ids: np.ndarray | None = None,
+    ) -> "IVFIndex":
+        """A new index with `remove_ids` rows dead (ALL occurrences,
+        including dual-assignment copies: ids -> PAD_ID, codes zeroed)
+        and `add_emb` rows assigned to their nearest existing centroids
+        — best cluster's slack first, then second-best, then the spill
+        segment (which every query scans). Centroids are NOT retrained:
+        this is the engine's compact() fold (one small matmul against
+        the centroids), keeping the IVF route live across live updates
+        instead of dropping it for a full finalize_ivf rebuild. Quality
+        degrades only with heavy drift — the added rows land in probed
+        homes chosen exactly like build()'s overflow relocation.
+
+        add_emb must be L2-normalized fp32 rows; int8 indexes quantize
+        them with the EXISTING global scale so scores stay comparable."""
+        int8 = self.config.dtype == "int8"
+        residual = self.res_flat is not None
+        L, R, D = self.slabs.shape
+        slabs = self.slabs.copy()
+        slab_scales = self.slab_scales.copy()
+        slab_ids = self.slab_ids.copy()
+        spill = self.spill.copy()
+        spill_scales = self.spill_scales.copy()
+        spill_ids = self.spill_ids.copy()
+        slab_raw, spill_raw = self._split_flat(self.raw_flat)
+        slab_res, spill_res = self._split_flat(self.res_flat)
+        slab_res_sc, spill_res_sc = self._split_flat(self.res_scales_flat)
+        if slab_raw is not None:
+            slab_raw, spill_raw = slab_raw.copy(), spill_raw.copy()
+        if slab_res is not None:
+            slab_res, spill_res = slab_res.copy(), spill_res.copy()
+            slab_res_sc, spill_res_sc = slab_res_sc.copy(), spill_res_sc.copy()
+
+        n_removed = 0
+        if remove_ids is not None and len(np.atleast_1d(remove_ids)):
+            rm_ids = np.asarray(remove_ids, np.int64).astype(np.int32)
+            present = set(slab_ids[np.isin(slab_ids, rm_ids)].tolist())
+            present |= set(spill_ids[np.isin(spill_ids, rm_ids)].tolist())
+            n_removed = len(present)
+            rm = np.isin(slab_ids, rm_ids)
+            slab_ids[rm] = PAD_ID
+            slabs[rm] = 0
+            slab_scales[rm] = 0
+            if slab_raw is not None:
+                slab_raw[rm] = 0
+            if slab_res is not None:
+                slab_res[rm] = 0
+                slab_res_sc[rm] = 0
+            rms = np.isin(spill_ids, rm_ids)
+            spill_ids[rms] = PAD_ID
+            spill[rms] = 0
+            spill_scales[rms] = 0
+            if spill_raw is not None:
+                spill_raw[rms] = 0
+            if spill_res is not None:
+                spill_res[rms] = 0
+                spill_res_sc[rms] = 0
+
+        m = 0 if add_emb is None else int(np.asarray(add_emb).shape[0])
+        if m:
+            emb = np.asarray(add_emb, np.float32)
+            ids_new = np.asarray(add_ids, np.int64).astype(np.int32)
+            if ids_new.shape != (m,):
+                raise ValueError("add_ids must be (m,)")
+            import ml_dtypes
+
+            if int8:
+                g = np.float32(self.global_scale)
+                codes = np.clip(np.round(emb / g), -127, 127).astype(np.int8)
+                scales = np.full(m, g, np.float32)
+                if residual:
+                    from .quant import quantize_residual_int8
+
+                    rc, rs = quantize_residual_int8(emb, codes, float(g))
+            else:
+                codes, scales = emb.astype(self.slabs.dtype), np.ones(m, np.float32)
+            sc = emb @ self.centroids.T
+            if self.centroids.shape[0] > 1:
+                top2 = np.argpartition(-sc, 1, axis=1)[:, :2]
+                swap = np.take_along_axis(sc, top2[:, :1], 1)[:, 0] < np.take_along_axis(
+                    sc, top2[:, 1:2], 1
+                )[:, 0]
+                top2[swap] = top2[swap][:, ::-1]
+            else:
+                top2 = np.zeros((m, 2), np.int64)
+            # free-slot cursors per involved cluster (slack = PAD rows,
+            # including rows freed by the removal above)
+            free: dict[int, list[int]] = {}
+            spill_add: list[int] = []
+            for j in range(m):
+                placed = False
+                for c in (int(top2[j, 0]), int(top2[j, 1])):
+                    if c not in free:
+                        free[c] = np.nonzero(slab_ids[c] == PAD_ID)[0].tolist()[::-1]
+                    if free[c]:
+                        r = free[c].pop()
+                        slabs[c, r] = codes[j]
+                        slab_scales[c, r] = scales[j]
+                        slab_ids[c, r] = ids_new[j]
+                        if slab_raw is not None:
+                            slab_raw[c, r] = emb[j].astype(ml_dtypes.bfloat16)
+                        if slab_res is not None:
+                            slab_res[c, r] = rc[j]
+                            slab_res_sc[c, r] = rs[j]
+                        placed = True
+                        break
+                if not placed:
+                    spill_add.append(j)
+            if spill_add:
+                # append to the spill after its last real row, reusing
+                # its PAD tail first, then growing in R-row chunks
+                sa = np.asarray(spill_add, np.int64)
+                tail = np.nonzero(spill_ids != PAD_ID)[0]
+                start = int(tail[-1]) + 1 if tail.size else 0
+                need = start + len(sa)
+                new_len = max(len(spill_ids), -(-need // R) * R)
+                if new_len > len(spill_ids):
+                    grow = new_len - len(spill_ids)
+                    spill = np.concatenate([spill, np.zeros((grow, D), spill.dtype)])
+                    spill_scales = np.concatenate([spill_scales, np.zeros(grow, np.float32)])
+                    spill_ids = np.concatenate([spill_ids, np.full(grow, PAD_ID, np.int32)])
+                    if spill_raw is not None:
+                        spill_raw = np.concatenate(
+                            [spill_raw, np.zeros((grow, D), spill_raw.dtype)]
+                        )
+                    if spill_res is not None:
+                        spill_res = np.concatenate([spill_res, np.zeros((grow, D), np.int8)])
+                        spill_res_sc = np.concatenate(
+                            [spill_res_sc, np.zeros(grow, np.float32)]
+                        )
+                spill[start:need] = codes[sa]
+                spill_scales[start:need] = scales[sa]
+                spill_ids[start:need] = ids_new[sa]
+                if spill_raw is not None:
+                    spill_raw[start:need] = emb[sa].astype(ml_dtypes.bfloat16)
+                if spill_res is not None:
+                    spill_res[start:need] = rc[sa]
+                    spill_res_sc[start:need] = rs[sa]
+
+        raw_flat = (
+            np.concatenate([slab_raw.reshape(-1, D), spill_raw])
+            if slab_raw is not None
+            else None
+        )
+        res_flat = res_scales_flat = None
+        if slab_res is not None:
+            res_flat = np.concatenate([slab_res.reshape(-1, D), spill_res])
+            res_scales_flat = np.concatenate([slab_res_sc.ravel(), spill_res_sc])
+        out = IVFIndex(
+            centroids=self.centroids,
+            slabs=slabs,
+            slab_scales=slab_scales,
+            slab_ids=slab_ids,
+            spill=spill,
+            spill_scales=spill_scales,
+            spill_ids=spill_ids,
+            num_rows=self.num_rows - n_removed + m,
+            config=self.config,
+            raw_flat=raw_flat,
+            res_flat=res_flat,
+            res_scales_flat=res_scales_flat,
+            global_scale=self.global_scale,
+        )
+        object.__setattr__(out, "_pallas_cache", None)
+        return out
+
+    def remap_ids(self, id_map: np.ndarray) -> "IVFIndex":
+        """A new index with every doc id translated through `id_map`
+        (old id -> new id, -1 = dropped; ids beyond the map are
+        dropped). Dropped rows become PAD slack; codes zeroed. Used by
+        the engine's compact(reclaim=True) renumbering."""
+        id_map = np.asarray(id_map, np.int64)
+
+        def _remap(ids: np.ndarray) -> np.ndarray:
+            safe = np.clip(ids, 0, len(id_map) - 1)
+            new = np.where(
+                (ids >= 0) & (ids < len(id_map)), id_map[safe], PAD_ID
+            ).astype(np.int32)
+            return new
+
+        slab_ids = _remap(self.slab_ids)
+        spill_ids = _remap(self.spill_ids)
+        dead_s = (slab_ids == PAD_ID) & (self.slab_ids != PAD_ID)
+        dead_p = (spill_ids == PAD_ID) & (self.spill_ids != PAD_ID)
+        slabs = self.slabs.copy()
+        slab_scales = self.slab_scales.copy()
+        slabs[dead_s] = 0
+        slab_scales[dead_s] = 0
+        spill = self.spill.copy()
+        spill_scales = self.spill_scales.copy()
+        spill[dead_p] = 0
+        spill_scales[dead_p] = 0
+        dead_flat = np.concatenate([dead_s.reshape(-1), dead_p])
+        # distinct live docs (dual-assignment copies collapse)
+        all_ids = np.concatenate([slab_ids.ravel(), spill_ids])
+        n_rows = int(np.unique(all_ids[all_ids != PAD_ID]).size)
+
+        def _kill_flat(flat):
+            if flat is None:
+                return None
+            flat = flat.copy()
+            flat[dead_flat] = 0
+            return flat
+
+        out = IVFIndex(
+            centroids=self.centroids,
+            slabs=slabs,
+            slab_scales=slab_scales,
+            slab_ids=slab_ids,
+            spill=spill,
+            spill_scales=spill_scales,
+            spill_ids=spill_ids,
+            num_rows=n_rows,
+            config=self.config,
+            raw_flat=_kill_flat(self.raw_flat),
+            res_flat=_kill_flat(self.res_flat),
+            res_scales_flat=_kill_flat(self.res_scales_flat),
+            global_scale=self.global_scale,
+        )
+        object.__setattr__(out, "_pallas_cache", None)
+        return out
+
     # ---------------- search ----------------
 
     # lazily-built device arrays for the Pallas probe-major path

@@ -173,6 +173,15 @@ class DeltaBuffer:
     def row_of(self, doc_id: int) -> int | None:
         return self._row_of.get(int(doc_id))
 
+    def rebuild_row_of(self) -> None:
+        """Recompute the id -> row map from the live flags. kill_rows
+        pops by id, which aliases when a dead row shares its id with a
+        LATER live row (replay of an update history); callers that
+        replay rows out of their original mutation order fix up here."""
+        self._row_of = {
+            int(self.ids[r]): r for r in range(self.n) if self.live[r]
+        }
+
     # ------------- query -------------
 
     def searcher(self, kd: int) -> Callable:

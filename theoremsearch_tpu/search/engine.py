@@ -376,6 +376,18 @@ class SearchEngine:
         # program build) and re-enters it in the mask/snapshot helpers
         if not hasattr(self, "_live_lock"):
             self._live_lock = threading.RLock()
+        # serializes whole compact() runs (the build phase is off-lock,
+        # so two concurrent compacts would race their snapshots)
+        if not hasattr(self, "_compact_lock"):
+            self._compact_lock = threading.Lock()
+        # doc-id generation: bumps on compact(reclaim=True); the remap
+        # chain translates ids of queries dispatched before a renumber
+        self._generation = 0
+        self._remap_chain: list[tuple] = []   # (gen, id_map, n_dropped)
+        self.last_id_map = None                # latest reclaim's map
+        # padded batch sizes seen by _pad_queries: compact() re-warms
+        # exactly these shapes on the rebuilt engine before swapping
+        self._seen_batches: set[int] = set()
         self._main_id_sorted = None            # lazy id->row map (custom ids)
         self._main_id_order = None
         ids_h = self._host_ids[: self.n_valid]
@@ -551,173 +563,472 @@ class SearchEngine:
         t = int(self._tombstone.sum()) if self._tombstone is not None else 0
         return self.n_valid - t + d
 
-    def compact(self) -> int:
+    def compact(
+        self,
+        reclaim: bool = False,
+        warm_batches=None,
+    ) -> int:
         """Fold live delta rows into the packed main index (re-quantized
         with the index's own scheme — global scale preserved so scores
-        stay comparable) and rebuild the device state. Tombstoned main
-        rows remain masked (append-only storage; reclaim space with a
-        full IndexBuilder rebuild). Returns rows folded in.
+        stay comparable) and swap the rebuilt engine state in WITHOUT
+        stopping serving. Returns live rows folded in.
 
-        An admin operation: it recompiles the scan programs for the new
-        padded size. The IVF route (if any) is dropped — its lists do not
-        cover the new rows; rebuild with IndexBuilder.finalize_ivf."""
+        Non-blocking by construction (the reference never pauses serving
+        on upsert — pgvector rows are live on commit,
+        /root/reference/streamlit_app.py:281):
+
+        1. snapshot (brief _live_lock): delta rows + tombstones.
+        2. build + warm (NO lock, minutes): quantize, pack, re-upload to
+           device, and compile + execute the scan programs for every
+           (k, path) x batch-bucket the serving engine had warm —
+           queries keep running against the OLD index meanwhile. HBM
+           must transiently hold both copies (2x index + rescore data).
+        3. swap (brief _live_lock, sub-second): install the new state
+           and reconcile mutations that arrived during the build — adds
+           stay in the delta; deletes/updates of already-folded docs
+           re-tombstone their new rows.
+
+        reclaim=True additionally DROPS tombstoned rows and renumbers
+        doc ids dense (the ids == arange filter/speed-path contract):
+        metadata is compacted with the same permutation, `last_id_map`
+        exposes old id -> new id (-1 = dropped), and an internal remap
+        chain translates the ids of queries dispatched against the old
+        numbering. Requires row-order doc ids.
+
+        The IVF route (if any) SURVIVES: folded rows are assigned to
+        their nearest existing centroids (IVFIndex.with_updates — best
+        cluster's slack, then second-best, then spill) instead of
+        dropping the route; updated docs move lists. Centroids are not
+        retrained — schedule IndexBuilder.finalize_ivf offline if the
+        corpus distribution drifts.
+
+        warm_batches: padded batch sizes to pre-compile on the rebuilt
+        engine (default: every bucket this engine has served)."""
         self._require_mutable()
+        with self._compact_lock:
+            snap = self._compact_snapshot(reclaim)
+            if snap is None:
+                return 0
+            built = self._compact_build(snap, reclaim)
+            if built is None:
+                # nothing to fold and nothing to reclaim: just drop the
+                # (all-dead, no-new-ids) snapshotted delta prefix
+                with self._live_lock:
+                    self._compact_trim_delta(snap)
+                return 0
+            self._compact_warm(built, warm_batches)
+            hook = getattr(self, "_compact_pre_swap_hook", None)
+            if hook is not None:
+                hook()   # test seam: inject mid-compact mutations
+            with self._live_lock:
+                return self._compact_swap(snap, built, reclaim)
+
+    def _compact_snapshot(self, reclaim: bool) -> dict | None:
+        """Phase 1: consistent copies of the delta prefix + tombstones
+        (brief lock). Rows appended after `wm` stay in the delta."""
         with self._live_lock:
             delta = self._delta
-            if delta is None or delta.n == 0:
-                return 0
-            emb_all, ids_all = delta.live_rows()
-            # docs whose id already has a main row (live upserts) are
-            # written back IN PLACE and un-tombstoned — appending them
-            # would duplicate the id and break the speed path's
-            # ids==arange contract; only genuinely new ids append
-            upd_rows, upd_j, app_j = [], [], []
-            for j, d in enumerate(ids_all):
-                r = self._doc_row(int(d))
-                if r is not None:
-                    upd_rows.append(r)
-                    upd_j.append(j)
-                else:
-                    app_j.append(j)
-            m_total = ids_all.shape[0]
-            idx, cfg = self.index, self.index.config
-            old_n = self.n_valid
-            # New ids were assigned sequentially (from len(meta) / max+1),
-            # but deletes may have punched gaps; fold the DENSE id range
-            # with tombstoned zero-rows in the gaps so arange corpora keep
-            # ids == row (the speed path + filter contract). The range is
-            # computed over ALL new ids ever assigned to the delta — dead
-            # rows included — so deleting e.g. the LOWEST new id before
-            # compacting cannot shift the base and misalign every row.
-            all_delta_ids = delta.ids[: delta.n]
-            new_all = np.array(
-                [
-                    int(d)
-                    for d in np.unique(all_delta_ids)
-                    if self._doc_row(int(d)) is None
-                ],
-                np.int64,
+            wm = delta.n if delta is not None else 0
+            tomb = self._tombstone
+            want_reclaim = reclaim and tomb is not None and bool(tomb.any())
+            if wm == 0 and not want_reclaim:
+                return None
+            return {
+                "wm": wm,
+                "meta_wm": len(self._delta_meta_rows),
+                "meta_len": len(self.meta) if self.meta is not None else 0,
+                "ids": delta.ids[:wm].copy() if wm else np.zeros(0, np.int64),
+                "live": delta.live[:wm].copy() if wm else np.zeros(0, bool),
+                "vecs": (
+                    delta.vecs[:wm].copy()
+                    if wm
+                    else np.zeros((0, self.dim), np.float32)
+                ),
+                "tomb": tomb.copy() if tomb is not None else None,
+            }
+
+    def _compact_trim_delta(self, snap: dict) -> None:
+        """Drop the snapshotted (all-dead) delta prefix, keeping rows
+        appended during the build. Caller holds _live_lock."""
+        cur = self._delta
+        if cur is None:
+            return
+        wm = snap["wm"]
+        if cur.n <= wm:
+            self._delta = None
+            self._delta_meta_rows = []
+        else:
+            self._delta = self._rebuild_delta(
+                cur.vecs[wm : cur.n], cur.ids[wm : cur.n], cur.live[wm : cur.n]
             )
-            if not upd_rows and not app_j and new_all.size == 0:
-                # every delta row was an update of a main row that then
-                # got deleted, and NO new ids were ever assigned: nothing
-                # to fold and no id-range gap to record — skip the
-                # expensive rebuild (device re-upload + scan recompile).
-                # When new ids WERE assigned (new_all non-empty), the
-                # fold below must still run even with zero live rows:
-                # discarding the dead-id range here would make the NEXT
-                # compact anchor its dense range past the gap and break
-                # ids == arange (filters, speed path, future adds).
-                delta.reset()
-                self._delta = None
-                self._delta_meta_rows = []
-                self._delta_bias_cache.clear()
-                return 0
-            app_ids = ids_all[app_j].astype(np.int64)
-            base = int(new_all.min()) if new_all.size else old_n
-            hi = int(new_all.max()) + 1 if new_all.size else base
-            m = hi - base
-            emb = np.zeros((m, self.dim), np.float32)
-            emb[app_ids - base] = emb_all[app_j]
-            gap = np.ones(m, bool)
-            gap[app_ids - base] = False
-            new_ids = np.arange(base, hi, dtype=np.int64)
-            ids_cat = np.concatenate([idx.ids[:old_n], new_ids])
+            self._delta_meta_rows = list(self._delta_meta_rows[snap["meta_wm"] :])
+        self._delta_bias_cache.clear()
 
-            def _quant(x):
-                if cfg.dtype != "int8":
-                    return x.astype(idx.vectors.dtype), None
-                if x.shape[0] == 0:
-                    return np.zeros((0, self.dim), np.int8), np.zeros(0, np.float32)
-                if cfg.int8_scale == "global":
-                    g = np.float32(idx.global_scale)
-                    return (
-                        np.clip(np.round(x / g), -127, 127).astype(np.int8),
-                        np.full(x.shape[0], g, np.float32),
-                    )
-                from ..index.quant import quantize_int8
+    def _rebuild_delta(self, vecs, ids, live):
+        """Fresh DeltaBuffer holding these rows IN ORDER (dead rows kept
+        as tombstones so _delta_meta_rows positions stay aligned)."""
+        from .delta import DeltaBuffer
 
-                return quantize_int8(x)
+        d2 = DeltaBuffer(self.dim)
+        if ids.shape[0]:
+            d2.add(np.asarray(vecs, np.float32), np.asarray(ids, np.int64))
+            dead = np.nonzero(~np.asarray(live, bool))[0]
+            if dead.size:
+                d2.kill_rows(dead.tolist())
+            # kill_rows pops by id, which aliases when a dead row shares
+            # its id with a later live row (mid-build re-update) —
+            # rebuild the id -> row map from ground truth
+            d2.rebuild_row_of()
+        return d2
 
-            codes_new, sc_new = _quant(emb)
-            vecs_cat = np.concatenate([idx.vectors[:old_n], codes_new])
-            sc_cat = (
-                np.concatenate([idx.scales[:old_n], sc_new])
-                if idx.scales is not None
-                else None
+    def _compact_build(self, snap: dict, reclaim: bool) -> dict | None:
+        """Phase 2 (NO lock): fold the snapshot into a new FlatIndex,
+        build a complete new SearchEngine around it (device upload
+        happens in its __init__), and fold the IVF route forward.
+        Reads only build-stable engine state (the packed index, ids,
+        rescore copies — all immutable until the swap this build
+        itself performs)."""
+        live = snap["live"]
+        fold_rows = np.nonzero(live)[0]
+        ids_all = snap["ids"][fold_rows]
+        emb_all = snap["vecs"][fold_rows]
+        # docs whose id already has a main row (live upserts) are
+        # written back IN PLACE and un-tombstoned — appending them
+        # would duplicate the id and break the speed path's
+        # ids==arange contract; only genuinely new ids append
+        upd_rows, upd_j, app_j = [], [], []
+        for j, d in enumerate(ids_all):
+            r = self._doc_row(int(d))
+            if r is not None:
+                upd_rows.append(r)
+                upd_j.append(j)
+            else:
+                app_j.append(j)
+        m_total = int(ids_all.shape[0])
+        idx, cfg = self.index, self.index.config
+        old_n = self.n_valid
+        # New ids were assigned sequentially (from len(meta) / max+1),
+        # but deletes may have punched gaps; fold the DENSE id range
+        # with tombstoned zero-rows in the gaps so arange corpora keep
+        # ids == row (the speed path + filter contract). The range is
+        # computed over ALL snapshotted ids — dead rows included — so
+        # deleting e.g. the LOWEST new id before compacting cannot
+        # shift the base and misalign every row.
+        new_all = np.array(
+            [
+                int(d)
+                for d in np.unique(snap["ids"])
+                if self._doc_row(int(d)) is None
+            ],
+            np.int64,
+        )
+        tomb0 = snap["tomb"]
+        want_reclaim = reclaim and tomb0 is not None and bool(tomb0.any())
+        if not upd_rows and not app_j and new_all.size == 0 and not want_reclaim:
+            # every snapshotted row was an update of a main row that
+            # then got deleted, and NO new ids were ever assigned:
+            # nothing to fold and no id-range gap to record — skip the
+            # expensive rebuild. When new ids WERE assigned (new_all
+            # non-empty), the fold below must still run even with zero
+            # live rows: discarding the dead-id range would make the
+            # NEXT compact anchor its dense range past the gap and
+            # break ids == arange.
+            return None
+        app_ids = ids_all[app_j].astype(np.int64)
+        base = int(new_all.min()) if new_all.size else old_n
+        hi = int(new_all.max()) + 1 if new_all.size else base
+        m = hi - base
+        emb = np.zeros((m, self.dim), np.float32)
+        emb[app_ids - base] = emb_all[app_j]
+        gap = np.ones(m, bool)
+        gap[app_ids - base] = False
+        new_ids = np.arange(base, hi, dtype=np.int64)
+        ids_cat = np.concatenate([idx.ids[:old_n], new_ids])
+
+        def _quant(x):
+            if cfg.dtype != "int8":
+                return x.astype(idx.vectors.dtype), None
+            if x.shape[0] == 0:
+                return np.zeros((0, self.dim), np.int8), np.zeros(0, np.float32)
+            if cfg.int8_scale == "global":
+                g = np.float32(idx.global_scale)
+                return (
+                    np.clip(np.round(x / g), -127, 127).astype(np.int8),
+                    np.full(x.shape[0], g, np.float32),
+                )
+            from ..index.quant import quantize_int8
+
+            return quantize_int8(x)
+
+        codes_new, sc_new = _quant(emb)
+        vecs_cat = np.concatenate([idx.vectors[:old_n], codes_new])
+        sc_cat = (
+            np.concatenate([idx.scales[:old_n], sc_new])
+            if idx.scales is not None
+            else None
+        )
+        res_cat = None
+        if idx.rescore_residual is not None:
+            from ..index.quant import quantize_residual_int8
+
+            rc_new, rs_new = quantize_residual_int8(
+                emb, codes_new, float(idx.global_scale)
+            ) if m else (np.zeros((0, self.dim), np.int8), np.zeros(0, np.float32))
+            rc, rs = idx.rescore_residual
+            res_cat = (
+                np.concatenate([rc[:old_n], rc_new]),
+                np.concatenate([rs[:old_n], rs_new]),
             )
-            res_cat = None
-            if idx.rescore_residual is not None:
+        rescore_vec = None
+        if self.rescore_vectors is not None:
+            rescore_vec = np.concatenate(
+                [self.rescore_vectors, emb.astype(self.rescore_vectors.dtype)]
+            )
+        # build-time tombstone view (snapshot + fold): the reclaim drop
+        # set. Docs dead at snapshot cannot resurrect mid-build (update
+        # requires a live doc; add mints fresh ids), so it is stable.
+        tomb_build = np.concatenate(
+            [tomb0 if tomb0 is not None else np.zeros(old_n, bool), gap]
+        )
+        if upd_rows:
+            emb_u = emb_all[upd_j]
+            codes_u, sc_u = _quant(emb_u)
+            vecs_cat[upd_rows] = codes_u
+            if sc_cat is not None and sc_u is not None:
+                sc_cat[upd_rows] = sc_u
+            if res_cat is not None:
                 from ..index.quant import quantize_residual_int8
 
-                rc_new, rs_new = quantize_residual_int8(
-                    emb, codes_new, float(idx.global_scale)
-                ) if m else (np.zeros((0, self.dim), np.int8), np.zeros(0, np.float32))
-                rc, rs = idx.rescore_residual
-                res_cat = (
-                    np.concatenate([rc[:old_n], rc_new]),
-                    np.concatenate([rs[:old_n], rs_new]),
+                rc_u, rs_u = quantize_residual_int8(
+                    emb_u, codes_u, float(idx.global_scale)
                 )
-            rescore_vec = None
-            if self.rescore_vectors is not None:
-                rescore_vec = np.concatenate(
-                    [self.rescore_vectors, emb.astype(self.rescore_vectors.dtype)]
-                )
-            tomb = self._tombstone
-            if upd_rows:
-                emb_u = emb_all[upd_j]
-                codes_u, sc_u = _quant(emb_u)
-                vecs_cat[upd_rows] = codes_u
-                if sc_cat is not None and sc_u is not None:
-                    sc_cat[upd_rows] = sc_u
-                if res_cat is not None:
-                    from ..index.quant import quantize_residual_int8
+                res_cat[0][upd_rows] = rc_u
+                res_cat[1][upd_rows] = rs_u
+            if rescore_vec is not None:
+                rescore_vec[upd_rows] = emb_u.astype(rescore_vec.dtype)
+            tomb_build[upd_rows] = False   # the id is live again, in place
 
-                    rc_u, rs_u = quantize_residual_int8(
-                        emb_u, codes_u, float(idx.global_scale)
-                    )
-                    res_cat[0][upd_rows] = rc_u
-                    res_cat[1][upd_rows] = rs_u
-                if rescore_vec is not None:
-                    rescore_vec[upd_rows] = emb_u.astype(rescore_vec.dtype)
-                if tomb is not None:
-                    tomb[upd_rows] = False   # the id is live again, in place
-            new_index = FlatIndex(
-                vectors=vecs_cat,
-                ids=ids_cat,
-                scales=sc_cat,
-                num_rows=old_n + m,
-                config=cfg,
-                global_scale=idx.global_scale,
-                rescore_residual=res_cat,
+        # ---- IVF route survives: fold rows into the existing lists ----
+        ivf2 = self.ivf
+        if ivf2 is not None and m_total:
+            ivf2 = ivf2.with_updates(
+                add_emb=emb_all,
+                add_ids=ids_all,
+                # updated docs may have moved in embedding space: kill
+                # their old slab entries and re-place near the new vector
+                remove_ids=ids_all[upd_j] if upd_j else None,
             )
-            ctor = dict(self._ctor)
-            if self.ivf is not None:
-                import warnings
 
-                warnings.warn(
-                    "compact() drops the IVF route: its lists do not "
-                    "cover the folded rows; rebuild via finalize_ivf",
-                    stacklevel=2,
+        # ---- reclaim: drop tombstoned rows, renumber ids dense ----
+        id_map = None
+        n_dropped = 0
+        meta_built = self.meta
+        if reclaim:
+            if not self._main_ids_arange:
+                raise ValueError(
+                    "compact(reclaim=True) requires row-order doc ids "
+                    "(ids == arange)"
                 )
-            # __init__ keeps the existing lock objects (hasattr guards),
-            # so the RLock this thread holds stays the engine's lock and
-            # concurrent dispatchers stay blocked on it throughout
-            self.__init__(  # noqa: PLC2801 — deliberate in-place rebuild
-                new_index,
-                rescore_vectors=rescore_vec,
-                rescore_residual=res_cat,
-                **ctor,
-            )
-            # restore tombstones over the (grown) row space; gap rows
-            # (delta docs deleted before folding) stay tombstoned
-            new_tomb = np.concatenate(
-                [tomb if tomb is not None else np.zeros(old_n, bool), gap]
-            )
-            if new_tomb.any():
-                self._tombstone = new_tomb
-                self._tomb_epoch = 1
-            return m_total
+            keep = ~tomb_build
+            n_new = old_n + m
+            id_map = np.full(n_new, -1, np.int64)
+            id_map[keep] = np.arange(int(keep.sum()), dtype=np.int64)
+            n_dropped = n_new - int(keep.sum())
+            vecs_cat = vecs_cat[keep]
+            ids_cat = np.arange(int(keep.sum()), dtype=np.int64)
+            if sc_cat is not None:
+                sc_cat = sc_cat[keep]
+            if res_cat is not None:
+                res_cat = (res_cat[0][keep], res_cat[1][keep])
+            if rescore_vec is not None:
+                rescore_vec = rescore_vec[keep]
+            if self.meta is not None:
+                meta_built = self._meta_subset(self.meta, keep)
+            if ivf2 is not None:
+                ivf2 = ivf2.remap_ids(id_map)
+
+        new_index = FlatIndex(
+            vectors=vecs_cat,
+            ids=ids_cat,
+            scales=sc_cat,
+            num_rows=int(ids_cat.shape[0]),
+            config=cfg,
+            global_scale=idx.global_scale,
+            rescore_residual=res_cat,
+        )
+        ctor = dict(self._ctor)
+        ctor["meta"] = meta_built
+        eng2 = SearchEngine(
+            new_index,
+            rescore_vectors=rescore_vec,
+            rescore_residual=res_cat,
+            ivf_index=ivf2,
+            ivf_nprobe=self.ivf_nprobe if ivf2 is not None else None,
+            **ctor,
+        )
+        return {
+            "eng": eng2,
+            "old_n": old_n,
+            "m": m,
+            "m_total": m_total,
+            "gap": gap,
+            "id_map": id_map,
+            "n_dropped": n_dropped,
+            # delta row -> row in the FOLDED (pre-reclaim) index, for
+            # the swap-time reconcile of mid-build deletes/updates
+            "upd_pairs": [
+                (int(fold_rows[j]), int(r)) for j, r in zip(upd_j, upd_rows)
+            ],
+            "app_pairs": [
+                (int(fold_rows[j]), old_n + int(ids_all[j]) - base)
+                for j in app_j
+            ],
+        }
+
+    @staticmethod
+    def _meta_subset(meta: CorpusMetadata, keep: np.ndarray) -> CorpusMetadata:
+        """Columnar row-filter of the metadata (reclaim permutation)."""
+        from .metadata import _LIST_COLUMNS, _NUM_COLUMNS
+
+        n = keep.shape[0]
+        kw = {}
+        for name in _LIST_COLUMNS:
+            col = getattr(meta, name)
+            kw[name] = [col[i] for i in range(n) if keep[i]]
+        for name in _NUM_COLUMNS:
+            kw[name] = np.asarray(getattr(meta, name))[:n][keep]
+        return CorpusMetadata(**kw)
+
+    def _compact_warm(self, built: dict, warm_batches) -> None:
+        """Phase 2b (NO lock): compile + execute, on the NEW engine,
+        every scan program the serving engine had warm — the first
+        post-swap query must not stall behind a 30-120 s remote device
+        compile under the live lock."""
+        eng2: SearchEngine = built["eng"]
+        batches = sorted(set(warm_batches or self._seen_batches or {8}))
+        keys = list(self._search_fn_cache.keys())
+        if not keys:
+            k0 = self.config.top_k
+            keys = [(k0, False, k0)]
+        for k, wb, bk in keys:
+            try:
+                fn, _ = eng2._get_search_fn(k, wb, bk)
+            except Exception:  # noqa: BLE001 — a stale key shape may not fit
+                continue
+            for b in batches:
+                q, _ = eng2._pad_queries(np.zeros((b, self.dim), np.float32))
+                if wb is False:
+                    out = fn(q)
+                elif wb == "mask":
+                    out = fn(q, jnp.zeros((eng2.padded_rows,), jnp.int8))
+                else:
+                    out = fn(q, jnp.zeros((eng2.padded_rows,), jnp.float32))
+                jax.block_until_ready(out)
+        if eng2.ivf is not None:
+            for kq in list(self._ivf_fns.keys()) or [self.config.top_k]:
+                for b in batches:
+                    if b > eng2.ivf_max_batch:
+                        continue
+                    q, _ = eng2._pad_queries(np.zeros((b, self.dim), np.float32))
+                    jax.block_until_ready(eng2._ivf_fn(kq)(q))
+
+    def _compact_swap(self, snap: dict, built: dict, reclaim: bool) -> int:
+        """Phase 3 (caller holds _live_lock, sub-second): install the
+        new engine state and reconcile everything that happened since
+        the snapshot."""
+        eng2: SearchEngine = built["eng"]
+        cur = self._delta
+        wm = snap["wm"]
+        old_meta = self.meta
+        cur_next_id = self._next_doc_id
+
+        # remaining delta = rows appended during the build
+        if cur is not None and cur.n > wm:
+            r_vecs = cur.vecs[wm : cur.n].copy()
+            r_ids = cur.ids[wm : cur.n].copy()
+            r_live = cur.live[wm : cur.n].copy()
+        else:
+            r_vecs = np.zeros((0, self.dim), np.float32)
+            r_ids = np.zeros(0, np.int64)
+            r_live = np.zeros(0, bool)
+        rem_meta = list(self._delta_meta_rows[snap["meta_wm"] :])
+
+        # tombstones over the FOLDED (pre-reclaim) row space, from the
+        # CURRENT state (covers mid-build deletes of main rows), then
+        # per-folded-row liveness: a folded doc deleted or re-updated
+        # mid-build re-tombstones its new row (a live newer delta row
+        # shadows it in the re-update case)
+        t = np.zeros(built["old_n"] + built["m"], bool)
+        if self._tombstone is not None:
+            t[: built["old_n"]] = self._tombstone
+        t[built["old_n"] :][built["gap"]] = True
+        for dj, row in built["upd_pairs"] + built["app_pairs"]:
+            t[row] = not bool(cur.live[dj])
+
+        id_map = built["id_map"]
+        if reclaim and id_map is not None:
+            keep = id_map >= 0
+            final_tomb = t[keep]
+            nd = built["n_dropped"]
+            if r_ids.size:
+                # remaining-delta ids renumber too; ids beyond the map
+                # (docs added mid-build) shift down by the drop count.
+                # Dropped ids cannot appear here: a dropped doc was dead
+                # at snapshot and update/add never reuses its id.
+                within = r_ids < len(id_map)
+                r_ids = np.where(
+                    within,
+                    id_map[np.clip(r_ids, 0, len(id_map) - 1)],
+                    r_ids - nd,
+                )
+            # absorb meta rows added mid-build into the compacted copy
+            if old_meta is not None:
+                extra = [
+                    old_meta.row_as_dict(i)
+                    for i in range(snap["meta_len"], len(old_meta))
+                ]
+                if extra:
+                    eng2.meta.extend(extra)
+        else:
+            final_tomb = t
+
+        # ---- transplant: eng2's state becomes ours. NEVER clear
+        # __dict__: finalize() closures and stats readers run LOCK-FREE
+        # and must always find every attribute; each key replacement is
+        # individually atomic under the GIL. The lock objects (which
+        # other threads are blocked on RIGHT NOW) are preserved, and the
+        # generation/remap fields are excluded from the bulk update so a
+        # lock-free _translate_ids never observes a rolled-back
+        # generation next to a newer chain.
+        gen = self._generation
+        chain = self._remap_chain
+        seen = self._seen_batches | eng2._seen_batches
+        d = dict(eng2.__dict__)
+        for key in (
+            "_live_lock", "_filter_cache_lock", "_compact_lock",
+            "_generation", "_remap_chain", "last_id_map", "_seen_batches",
+        ):
+            d.pop(key, None)
+        self.__dict__.update(d)
+        self._seen_batches = seen
+
+        if reclaim and id_map is not None:
+            # chain append happens-before the generation bump: a reader
+            # that sees the new generation must also see the new map
+            self._remap_chain = (chain + [(gen + 1, id_map, built["n_dropped"])])[-8:]
+            self._generation = gen + 1
+            self.last_id_map = id_map
+            self._next_doc_id = cur_next_id - built["n_dropped"]
+        else:
+            self._next_doc_id = max(cur_next_id, self._next_doc_id)
+
+        if final_tomb.any():
+            self._tombstone = final_tomb
+            self._tomb_epoch = 1
+        if r_ids.size:
+            self._delta = self._rebuild_delta(r_vecs, r_ids, r_live)
+            self._delta_meta_rows = rem_meta
+        return built["m_total"]
 
     def _require_arange_for_filters(self) -> None:
         """The whole filtered machinery (mask applied as a per-ROW
@@ -1237,6 +1548,7 @@ class SearchEngine:
             b_pad = pow2_bucket(b)
             if b_pad != b:
                 q = jnp.concatenate([q, jnp.zeros((b_pad - b, q.shape[1]), q.dtype)])
+            self._seen_batches.add(b_pad)
             return q, b
         qh = np.asarray(query_vecs, dtype=np.float32)
         if qh.ndim == 1:
@@ -1245,6 +1557,7 @@ class SearchEngine:
         b_pad = pow2_bucket(b)
         if b_pad != b:
             qh = np.concatenate([qh, np.zeros((b_pad - b, qh.shape[1]), np.float32)])
+        self._seen_batches.add(b_pad)
         return jnp.asarray(qh), b
 
     def _filter_device_inputs(self, filters: SearchFilters):
@@ -1320,6 +1633,10 @@ class SearchEngine:
         do_rescore = (
             self.rescore_vectors is not None or self.rescore_residual is not None
         )
+        # doc-id generation at dispatch: if a compact(reclaim=True)
+        # renumbers ids before finalize() runs, the remap chain
+        # translates this query's (old-generation) ids on the way out
+        gen0 = self._generation
 
         # tombstones or a BROAD user filter -> stay on the FAST unfiltered
         # path: fetch k+margin, drop non-passing ids on host in finalize()
@@ -1479,10 +1796,28 @@ class SearchEngine:
                 sel = np.argsort(-all_s, axis=1, kind="stable")[:, :k]
                 s2 = np.take_along_axis(all_s, sel, 1)
                 i2 = np.take_along_axis(all_i, sel, 1)
+            if self._generation != gen0:
+                i2 = self._translate_ids(i2, gen0)
             # -inf scores mean "fewer than k docs pass the filter"
             return s2, np.where(np.isfinite(s2), i2, PAD_ID)
 
         return finalize
+
+    def _translate_ids(self, ids: np.ndarray, gen0: int) -> np.ndarray:
+        """Translate doc ids retrieved at generation `gen0` through every
+        later reclaim's id map (old -> new, -1 = dropped; ids beyond a
+        map — docs added after that reclaim's snapshot — shift down by
+        its drop count). Chain entries are append-only, so a lock-free
+        snapshot read is consistent."""
+        for g, mp, nd in list(self._remap_chain):
+            if g <= gen0:
+                continue
+            safe = np.clip(ids, 0, len(mp) - 1)
+            within = ids < len(mp)
+            ids = np.where(
+                ids >= 0, np.where(within, mp[safe], ids - nd), PAD_ID
+            ).astype(ids.dtype)
+        return ids
 
     def search_vectors(
         self,

@@ -48,6 +48,21 @@ class _Request:
     t_submit: float = field(default_factory=time.monotonic)
 
 
+@dataclass
+class _BatchTrace:
+    """Per-dispatched-batch stage timestamps (p99 attribution:
+    VERDICT r3 item 2). All monotonic seconds; one record per engine
+    dispatch, shared by every request in it."""
+
+    n: int                    # queries in the batch
+    queue_ms: float           # oldest request's submit -> drain
+    encode_ms: float          # batched encoder dispatch (0 if no text)
+    scan_ms: float            # engine.search_vectors_async dispatch
+    resolve_wait_ms: float = 0.0   # dispatched -> a resolver picks it up
+    sync_ms: float = 0.0           # finalize(): device->host sync + host drops
+    total_ms: float = 0.0          # oldest submit -> futures resolved
+
+
 class BatchScheduler:
     def __init__(
         self,
@@ -95,6 +110,8 @@ class BatchScheduler:
         # bounded ring of recent end-to-end latencies (submit -> future
         # resolved), sampled for the stats()/metrics percentiles
         self._latencies: collections.deque[float] = collections.deque(maxlen=4096)
+        # bounded ring of per-batch stage traces (p99 attribution)
+        self._traces: collections.deque[_BatchTrace] = collections.deque(maxlen=4096)
         self._stats_lock = threading.Lock()
         # pipelined resolution: the dispatch thread enqueues device work
         # and a finalizer; a POOL of resolver threads performs the host
@@ -166,6 +183,7 @@ class BatchScheduler:
         with self._stats_lock:
             s = dict(self._stats)
             lat = sorted(self._latencies)
+            traces = list(self._traces)
         s["avg_batch"] = s["queries"] / s["batches"] if s["batches"] else 0.0
         with self._inflight_lock:
             s["inflight"] = self._inflight
@@ -175,7 +193,38 @@ class BatchScheduler:
                 q: 1000.0 * lat[min(len(lat) - 1, int(q * len(lat)))]
                 for q in (0.5, 0.95, 0.99)
             }
+        if traces:
+            s["stages_ms"] = self._stage_percentiles(traces)
         return s
+
+    @staticmethod
+    def _stage_percentiles(traces: list[_BatchTrace]) -> dict[str, dict]:
+        """Per-stage p50/p99/max over the recent batch traces, plus the
+        stage mix of the WORST batches — the attribution a p99
+        investigation needs (which stage do tail batches spend in?)."""
+        fields = ("queue_ms", "encode_ms", "scan_ms", "resolve_wait_ms",
+                  "sync_ms", "total_ms")
+        out: dict[str, Any] = {}
+        for f in fields:
+            v = sorted(getattr(t, f) for t in traces)
+            out[f] = {
+                "p50": round(v[len(v) // 2], 2),
+                "p99": round(v[min(len(v) - 1, int(0.99 * len(v)))], 2),
+                "max": round(v[-1], 2),
+            }
+        worst = sorted(traces, key=lambda t: -t.total_ms)[: max(3, len(traces) // 100)]
+        out["worst_batches"] = [
+            {f: round(getattr(t, f), 1) for f in fields} | {"n": t.n}
+            for t in worst[:5]
+        ]
+        return out
+
+    def reset_traces(self) -> None:
+        """Clear the stage-trace and latency rings (per-measurement-window
+        attribution in benches)."""
+        with self._stats_lock:
+            self._traces.clear()
+            self._latencies.clear()
 
     def shutdown(self) -> None:
         self._q.put(None)
@@ -290,12 +339,15 @@ class BatchScheduler:
         # encode ALL text requests (across every dispatching group) in
         # ONE batched forward. The result may be a DEVICE array
         # (encode_device): groups consume it without a host sync.
+        t_drain = time.monotonic()
         dispatching = [r for _, reqs in groups for r in reqs]
         text_reqs = [r for r in dispatching if r.vec is None]
         enc = None
+        encode_ms = 0.0
         if text_reqs:
             try:
                 enc = self.encode_fn([r.text for r in text_reqs])
+                encode_ms = 1000.0 * (time.monotonic() - t_drain)
             except Exception as e:  # noqa: BLE001
                 with self._stats_lock:
                     self._stats["errors"] += len(text_reqs)
@@ -322,6 +374,7 @@ class BatchScheduler:
             vreqs = [r for r in reqs if r.vec is not None]
             reqs_ord = treqs + vreqs
             try:
+                t_g = time.monotonic()
                 q = self._group_queries(
                     enc,
                     [text_pos[id(r)] for r in treqs],
@@ -332,7 +385,14 @@ class BatchScheduler:
                 fin = self.engine.search_vectors_async(
                     q, k=k_max, filters=reqs_ord[0].filters if key else None
                 )
-                self._rq.put((reqs_ord, fin))
+                t_put = time.monotonic()
+                trace = _BatchTrace(
+                    n=len(reqs_ord),
+                    queue_ms=1000.0 * (t_drain - min(r.t_submit for r in reqs_ord)),
+                    encode_ms=encode_ms,
+                    scan_ms=1000.0 * (t_put - t_g),
+                )
+                self._rq.put((reqs_ord, fin, trace, t_put))
                 n_groups += 1
                 n_queries += len(reqs_ord)
             except Exception as e:  # noqa: BLE001
@@ -416,14 +476,21 @@ class BatchScheduler:
             item = self._rq.get()
             if item is None:
                 return
-            reqs, fin = item
+            reqs, fin, trace, t_put = item
             try:
+                t_pick = time.monotonic()
                 scores, ids = fin()
                 now = time.monotonic()
+                trace.resolve_wait_ms = 1000.0 * (t_pick - t_put)
+                trace.sync_ms = 1000.0 * (now - t_pick)
                 for i, r in enumerate(reqs):
                     r.future.set_result((scores[i, : r.k], ids[i, : r.k]))
+                trace.total_ms = 1000.0 * (
+                    now - min(r.t_submit for r in reqs)
+                )
                 with self._stats_lock:
                     self._latencies.extend(now - r.t_submit for r in reqs)
+                    self._traces.append(trace)
             except Exception as e:  # noqa: BLE001
                 with self._stats_lock:
                     self._stats["errors"] += len(reqs)

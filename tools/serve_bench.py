@@ -316,6 +316,7 @@ def main():
         lat: list[float] = []
         lock = threading.Lock()
         stop = time.time() + RUN_S
+        sched.reset_traces()   # per-level stage attribution
         b0 = dict(sched.stats())
 
         def client(cid: int):
@@ -355,12 +356,27 @@ def main():
         }
         if filt_frac:
             row["filtered_frac"] = filt_frac
+        # per-batch stage percentiles + the worst batches' stage mix:
+        # the p99 attribution (which stage do tail batches spend in?)
+        stages = b1.get("stages_ms")
+        if stages:
+            row["stages_ms"] = stages
         results[tag] = row
         _log(
             f"e2e {tag:>10s}: {row['qps']:>8,.0f} QPS  "
             f"p50={row['p50_ms']:.0f}ms p95={row['p95_ms']:.0f}ms "
             f"p99={row['p99_ms']:.0f}ms  avg_batch={row['avg_batch']}"
         )
+        if stages:
+            _log(
+                "  stages p99(ms): queue=%.0f encode=%.0f scan=%.0f "
+                "resolve_wait=%.0f sync=%.0f | worst batch: %s"
+                % (
+                    stages["queue_ms"]["p99"], stages["encode_ms"]["p99"],
+                    stages["scan_ms"]["p99"], stages["resolve_wait_ms"]["p99"],
+                    stages["sync_ms"]["p99"], stages["worst_batches"][0],
+                )
+            )
 
     results = {}
     for level in LEVELS:
