@@ -666,3 +666,70 @@ def test_lora_rejects_bad_targets():
         lora_init(base, jax.random.PRNGKey(0), 4, targets=("nope",))
     with pytest.raises(ValueError, match="rank"):
         lora_init(base, jax.random.PRNGKey(0), 0)
+
+
+def test_fused_attention_bwd_kernel_direct():
+    """The fused Pallas backward (round 4) vs jax.vjp of the XLA
+    reference composition, at the kernel level: dq/dk/dv and the
+    QK-norm weight grads, with GQA (H=4, Hk=2), RAGGED padding masks,
+    and a batch that packs BB=4 items per grid block."""
+    import jax
+
+    from theoremsearch_tpu.encoder.model import _make_attn_core
+    from theoremsearch_tpu.kernels.attention import (
+        fused_qknorm_rope_attention_bwd,
+    )
+
+    H, HK, DH, S, B = 4, 2, 128, 32, 8
+    eps = 1e-6
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, S, H * DH)) * 0.5, jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, S, HK * DH)) * 0.5, jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, S, HK * DH)) * 0.5, jnp.bfloat16)
+    qw = jnp.asarray(rng.standard_normal(DH) * 0.1 + 1.0, jnp.float32)
+    kw = jnp.asarray(rng.standard_normal(DH) * 0.1 + 1.0, jnp.float32)
+    pos = np.broadcast_to(np.arange(S), (B, S))
+    inv = 1.0 / (1e6 ** (np.arange(0, DH, 2) / DH))
+    ang = pos[..., None] * inv[None, None, :]
+    cos = jnp.asarray(np.cos(ang), jnp.float32)
+    sin = jnp.asarray(np.sin(ang), jnp.float32)
+    lens = rng.integers(S // 2, S + 1, B)
+    mask = jnp.asarray(
+        (np.arange(S)[None, :] < lens[:, None]).astype(np.int32)
+    )
+    # upstream grad zeroed at padded positions (what masked pooling sends)
+    g = jnp.asarray(
+        rng.standard_normal((B, S, H * DH)) * mask.astype(np.float32)[..., None],
+        jnp.bfloat16,
+    )
+
+    core = _make_attn_core(H, HK, DH, eps, True)
+    _, vjp = jax.vjp(core._ref, q, k, v, qw, kw, cos, sin, mask)
+    dq_r, dk_r, dv_r, dqw_r, dkw_r, *_ = vjp(g)
+
+    dq, dk, dv, dqw, dkw = fused_qknorm_rope_attention_bwd(
+        q, k, v, qw, kw, cos, sin, mask, g,
+        num_heads=H, num_kv_heads=HK, head_dim=DH, eps=eps,
+        causal=True, interpret=True,
+    )
+
+    def close(a, b, tag, atol=0.05):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / denom < atol, (
+            tag, np.abs(a - b).max(), denom
+        )
+        ca = a.ravel() @ b.ravel() / max(
+            np.linalg.norm(a) * np.linalg.norm(b), 1e-12
+        )
+        assert ca > 0.999, (tag, ca)
+
+    close(dq, dq_r, "dq")
+    close(dk, dk_r, "dk")
+    close(dv, dv_r, "dv")
+    close(dqw, dqw_r, "dqw")
+    close(dkw, dkw_r, "dkw")
+    # padded positions receive zero gradient
+    pad = ~np.asarray(mask, bool)
+    assert np.abs(np.asarray(dq, np.float32)[pad]).max() < 1e-3

@@ -174,9 +174,15 @@ def _attention(layer: Params, x: jax.Array, mask: jax.Array, rope_cs: tuple, cfg
 @functools.lru_cache(maxsize=None)
 def _make_attn_core(h: int, hk: int, dh: int, eps: float, interpret: bool):
     """custom-VJP wrapper: forward = fused Pallas kernel
-    (kernels/attention.py), backward = jax.vjp of the XLA reference
-    composition (recomputed — matching the trainer's remat policy)."""
-    from ..kernels.attention import fused_qknorm_rope_attention
+    (kernels/attention.py), backward = the fused Pallas backward
+    (fused_qknorm_rope_attention_bwd), which recomputes the block's
+    intermediates in VMEM — nothing is saved from the forward, matching
+    the trainer's remat policy. (The XLA reference composition below is
+    kept as the parity oracle for tests.)"""
+    from ..kernels.attention import (
+        fused_qknorm_rope_attention,
+        fused_qknorm_rope_attention_bwd,
+    )
 
     def ref(q, k, v, qw, kw, cos, sin, mask):
         b, s, _ = q.shape
@@ -213,10 +219,25 @@ def _make_attn_core(h: int, hk: int, dh: int, eps: float, interpret: bool):
         return core(q, k, v, qw, kw, cos, sin, mask), (q, k, v, qw, kw, cos, sin, mask)
 
     def bwd(res, g):
-        _, vjp = jax.vjp(ref, *res)
-        return vjp(g)
+        q, k, v, qw, kw, cos, sin, mask = res
+        dq, dk, dv, dqw, dkw = fused_qknorm_rope_attention_bwd(
+            q, k, v, qw, kw, cos, sin, mask, g,
+            num_heads=h, num_kv_heads=hk, head_dim=dh, eps=eps,
+            causal=True, interpret=interpret,
+        )
+        # cos/sin only reach integer positions upstream (no params);
+        # mask is integer (float0 tangent)
+        import numpy as _np
+
+        return (
+            dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dqw.astype(qw.dtype), dkw.astype(kw.dtype),
+            jnp.zeros_like(cos), jnp.zeros_like(sin),
+            _np.zeros(mask.shape, dtype=jax.dtypes.float0),
+        )
 
     core.defvjp(fwd, bwd)
+    core._ref = ref   # parity oracle for tests
     return core
 
 

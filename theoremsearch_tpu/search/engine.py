@@ -15,6 +15,7 @@ passing a real mesh.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Callable
 
@@ -59,6 +60,61 @@ _OVERFETCH_MARGINS = (8, 16, 32, 64)
 # masked-scan fallback — is a many-sigma event; below it, the masked
 # scan's selectivity pays for itself.
 _OVERFETCH_MIN_PASS = 0.5
+
+# Single-device host->device uploads above this size go in bounded
+# chunks with a sync between each (see _device_put_chunked): a
+# monolithic multi-GB jnp.asarray monopolizes a remote-attached chip's
+# transfer link, and any query dispatched behind it waits the whole
+# transfer out (measured: one ~40 s query during compact()'s off-lock
+# 3 GB re-upload at 1M x 1024). Chunking caps that head-of-line stall
+# at one chunk's transfer time.
+_UPLOAD_CHUNK_BYTES = 64 << 20
+
+# Diagnostic event trace (experiments/exp_compact_diag.py): when set to a
+# list, the upload/build paths append (tag, t_start_monotonic, duration_s,
+# nbytes) so serving stalls during compact() can be attributed to a
+# specific transfer, compile, or host copy. Off (None) in production.
+_TRACE_EVENTS: list | None = None
+
+
+def _trace(tag: str, t0: float, nbytes: int = 0) -> None:
+    if _TRACE_EVENTS is not None:
+        import time as _t
+
+        _TRACE_EVENTS.append((tag, t0, _t.monotonic() - t0, nbytes))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _dus_rows(b, x, i):
+    return jax.lax.dynamic_update_slice(b, x, (i, 0))
+
+
+def _device_put_chunked(host: np.ndarray, dtype=None) -> jax.Array:
+    """jnp.asarray for corpus-sized 2-D arrays, in bounded row chunks
+    (donated dynamic_update_slice, so memory stays 1x + one chunk).
+    Small or non-2-D inputs take the direct path."""
+    import time as _t
+
+    if host.ndim != 2 or host.nbytes <= _UPLOAD_CHUNK_BYTES:
+        t0 = _t.monotonic()
+        out = jnp.asarray(host, dtype)
+        _trace("put_direct", t0, host.nbytes)
+        return out
+    out_dtype = dtype or host.dtype
+    rows = max(1, _UPLOAD_CHUNK_BYTES // max(int(host.strides[0]), 1))
+    t0 = _t.monotonic()
+    buf = jnp.zeros(host.shape, out_dtype)
+    jax.block_until_ready(buf)
+    _trace(f"zeros{host.shape}", t0, 0)
+    for i in range(0, host.shape[0], rows):
+        t0 = _t.monotonic()
+        chunk = jnp.asarray(np.ascontiguousarray(host[i : i + rows]), out_dtype)
+        buf = _dus_rows(buf, chunk, jnp.int32(i))
+        # bound the in-flight transfer so concurrently-dispatched
+        # query programs interleave between chunks
+        jax.block_until_ready(buf)
+        _trace(f"chunk@{i}/{host.shape[0]}x{out_dtype}", t0, chunk.nbytes)
+    return buf
 
 
 class SearchEngine:
@@ -230,7 +286,10 @@ class SearchEngine:
             )
             self._bias_sharding = vec_sharded
         else:
-            self.vectors = jnp.asarray(vecs)
+            # chunked upload: compact() re-uploads multi-GB arrays while
+            # queries keep serving — a monolithic transfer would stall
+            # them head-of-line for its whole duration
+            self.vectors = _device_put_chunked(vecs)
             self.ids = jnp.asarray(ids, dtype=jnp.int32)
             self.scales = jnp.asarray(scales) if scales is not None else None
             self._bias_sharding = None
@@ -275,10 +334,10 @@ class SearchEngine:
         if self._speed_ok:
             if self.rescore_residual is not None:
                 rc, rs = self.rescore_residual
-                self._res_codes_device = jnp.asarray(rc)
+                self._res_codes_device = _device_put_chunked(rc)
                 self._res_scales_device = jnp.asarray(rs, jnp.float32)
             else:
-                self._rescore_device = jnp.asarray(
+                self._rescore_device = _device_put_chunked(
                     self.rescore_vectors, jnp.bfloat16
                 )
 
@@ -605,11 +664,18 @@ class SearchEngine:
         warm_batches: padded batch sizes to pre-compile on the rebuilt
         engine (default: every bucket this engine has served)."""
         self._require_mutable()
+        import time as _time
+
         with self._compact_lock:
+            stats = {"t0": _time.monotonic()}
             snap = self._compact_snapshot(reclaim)
+            stats["snapshot_s"] = _time.monotonic() - stats["t0"]
             if snap is None:
                 return 0
             built = self._compact_build(snap, reclaim)
+            stats["build_s"] = (
+                _time.monotonic() - stats["t0"] - stats["snapshot_s"]
+            )
             if built is None:
                 # nothing to fold and nothing to reclaim: just drop the
                 # (all-dead, no-new-ids) snapshotted delta prefix
@@ -617,11 +683,20 @@ class SearchEngine:
                     self._compact_trim_delta(snap)
                 return 0
             self._compact_warm(built, warm_batches)
+            stats["warm_s"] = (
+                _time.monotonic() - stats["t0"] - stats["snapshot_s"]
+                - stats["build_s"]
+            )
             hook = getattr(self, "_compact_pre_swap_hook", None)
             if hook is not None:
                 hook()   # test seam: inject mid-compact mutations
             with self._live_lock:
-                return self._compact_swap(snap, built, reclaim)
+                t_sw = _time.monotonic()
+                out = self._compact_swap(snap, built, reclaim)
+                stats["swap_s"] = _time.monotonic() - t_sw
+                stats["total_s"] = _time.monotonic() - stats["t0"]
+                self.last_compact_stats = stats
+                return out
 
     def _compact_snapshot(self, reclaim: bool) -> dict | None:
         """Phase 1: consistent copies of the delta prefix + tombstones
@@ -760,8 +835,14 @@ class SearchEngine:
 
             return quantize_int8(x)
 
+        import time as _t
+
+        t_tr = _t.monotonic()
         codes_new, sc_new = _quant(emb)
+        _trace("build_quant", t_tr, emb.nbytes)
+        t_tr = _t.monotonic()
         vecs_cat = np.concatenate([idx.vectors[:old_n], codes_new])
+        _trace("build_cat_vecs", t_tr, vecs_cat.nbytes)
         sc_cat = (
             np.concatenate([idx.scales[:old_n], sc_new])
             if idx.scales is not None
@@ -781,9 +862,11 @@ class SearchEngine:
             )
         rescore_vec = None
         if self.rescore_vectors is not None:
+            t_tr = _t.monotonic()
             rescore_vec = np.concatenate(
                 [self.rescore_vectors, emb.astype(self.rescore_vectors.dtype)]
             )
+            _trace("build_cat_rescore", t_tr, rescore_vec.nbytes)
         # build-time tombstone view (snapshot + fold): the reclaim drop
         # set. Docs dead at snapshot cannot resurrect mid-build (update
         # requires a live doc; add mints fresh ids), so it is stable.
@@ -858,6 +941,7 @@ class SearchEngine:
         )
         ctor = dict(self._ctor)
         ctor["meta"] = meta_built
+        t_tr = _t.monotonic()
         eng2 = SearchEngine(
             new_index,
             rescore_vectors=rescore_vec,
@@ -866,6 +950,7 @@ class SearchEngine:
             ivf_nprobe=self.ivf_nprobe if ivf2 is not None else None,
             **ctor,
         )
+        _trace("build_engine_ctor", t_tr, 0)
         return {
             "eng": eng2,
             "old_n": old_n,
@@ -910,12 +995,15 @@ class SearchEngine:
         if not keys:
             k0 = self.config.top_k
             keys = [(k0, False, k0)]
+        import time as _t
+
         for k, wb, bk in keys:
             try:
                 fn, _ = eng2._get_search_fn(k, wb, bk)
             except Exception:  # noqa: BLE001 — a stale key shape may not fit
                 continue
             for b in batches:
+                t_tr = _t.monotonic()
                 q, _ = eng2._pad_queries(np.zeros((b, self.dim), np.float32))
                 if wb is False:
                     out = fn(q)
@@ -924,6 +1012,7 @@ class SearchEngine:
                 else:
                     out = fn(q, jnp.zeros((eng2.padded_rows,), jnp.float32))
                 jax.block_until_ready(out)
+                _trace(f"warm_scan(k={k},wb={wb},b={b})", t_tr, 0)
         if eng2.ivf is not None:
             for kq in list(self._ivf_fns.keys()) or [self.config.top_k]:
                 for b in batches:

@@ -82,18 +82,22 @@ def make_train_step(
     enc_cfg: EncoderConfig,
     train_cfg: TrainConfig,
     mesh: Mesh | None = None,
+    fused: str = "off",
 ):
     """jitted (state, q_ids, q_mask, p_ids, p_mask) -> (state, loss).
 
     With a mesh: params/opt-state follow the tensor-parallel rules over
     'shard', batches are sharded over 'data'; XLA/GSPMD inserts the
-    gradient psum (dp) and the attention/MLP collectives (tp)."""
+    gradient psum (dp) and the attention/MLP collectives (tp).
+
+    fused: "on" routes attention through the fused Pallas forward AND
+    the fused Pallas backward (kernels/attention.py
+    fused_qknorm_rope_attention_bwd — recompute-in-VMEM, round 4);
+    "off" keeps the XLA composition. Single-chip default stays "off"
+    until tools/train_bench.py's A/B on the target hardware says
+    otherwise for your config; the kernels require TPU (or
+    fused="interpret" for CPU tests)."""
     opt = make_optimizer(train_cfg)
-    # training keeps the XLA attention: the fused kernel's custom VJP
-    # re-runs the reference forward in backward, which measured NET
-    # SLOWER for fwd+bwd (279.6 vs 264 ms/step on chip) — the fused
-    # path pays off only for inference, where there is no backward
-    fused = "off"
 
     def step(state: TrainState, q_ids, q_mask, p_ids, p_mask,
              n_ids=None, n_mask=None):
@@ -128,6 +132,7 @@ def make_lora_train_step(
     enc_cfg: EncoderConfig,
     train_cfg: TrainConfig,
     mesh: Mesh | None = None,
+    fused: str = "off",
 ):
     """jitted (state, base_params, q_ids, q_mask, p_ids, p_mask) ->
     (state, loss) where state.params is the LoRA adapter pytree
@@ -139,7 +144,6 @@ def make_lora_train_step(
     from .lora import lora_merge
 
     opt = make_optimizer(train_cfg)
-    fused = "off"  # same reasoning as make_train_step
     alpha = train_cfg.lora_alpha
 
     def step(state: TrainState, base_params, q_ids, q_mask, p_ids, p_mask,

@@ -382,6 +382,39 @@ def main():
     for level in LEVELS:
         run_level(level, f"c{level}", 0.0)
 
+    # ---- same-session bf16-vs-int8 e2e A/B (VERDICT r3 item 3) ----
+    # ENC_INT8_r03's e2e pair came from different processes hours apart
+    # and tunnel drift swamped the stage-level win; this reruns the same
+    # levels against the SAME engine/corpus in the same process with an
+    # int8 (w8a8 fused-layer) encoder, interleaved immediately after the
+    # bf16 levels — the number the README's int8 serving claim cites.
+    if on_tpu and os.environ.get("SERVE_AB") and QUANT == "none":
+        _log("A/B: building int8 (w8a8) encoder over the same params")
+        encoder_i8 = BatchedEncoder(
+            params, enc_cfg, batch_size=MAX_BATCH,
+            buckets=(16, 32, 64), quant="int8",
+        )
+        for b in (8, 16, 32, 64, 128, 256, 512):
+            encoder_i8.encode(queries[:b])
+            engine.search_vectors_async(encoder_i8.encode_device(queries[:b]), k=10)()
+            if b > 8:
+                engine.search_vectors_async(
+                    encoder_i8.encode_device(queries[: b - 3]), k=10
+                )()
+        _log("int8 encoder buckets warmed")
+        sched_bf16, sched = sched, BatchScheduler(
+            engine, max_batch=MAX_BATCH, max_wait_ms=max_wait,
+            encode_fn=encoder_i8.encode_device,
+        )
+        for level in (128, 512):
+            run_level(level, f"c{level}_int8", 0.0)
+        sched.shutdown()
+        sched = sched_bf16
+        # immediate bf16 re-run at the same levels: brackets the int8
+        # runs so tunnel drift within the session is visible
+        for level in (128, 512):
+            run_level(level, f"c{level}_bf16_recheck", 0.0)
+
     # mixed filtered traffic: warm each signature's mask + masked-scan
     # buckets first, then measure 20% filtered at the two operating points
     if on_tpu:

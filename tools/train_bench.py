@@ -53,6 +53,9 @@ def main():
     _log(f"init train state ({enc_cfg.num_layers}L d={enc_cfg.hidden_size})")
     state = init_train_state(enc_cfg, tcfg)
     step = make_train_step(enc_cfg, tcfg)
+    # round-4 A/B: the fused Pallas attention forward + fused Pallas
+    # backward (recompute-in-VMEM) vs the XLA composition
+    step_fused = make_train_step(enc_cfg, tcfg, fused="on") if on_tpu else None
 
     rng = np.random.default_rng(0)
     # hard synthetic task: every row is the SAME template sequence; pair
@@ -88,9 +91,10 @@ def main():
     n_params = 28 * 15.7e6 + enc_cfg.vocab_size * enc_cfg.hidden_size if on_tpu else 1e6
     tokens = 2 * B * S  # query + positive sides
     model_flops = 6 * n_params * tokens  # fwd+bwd approximation
-    _log(f"steady step: {dt*1e3:.1f} ms  {tokens/dt:,.0f} tokens/s  "
+    _log(f"XLA steady step: {dt*1e3:.1f} ms  {tokens/dt:,.0f} tokens/s  "
          f"{model_flops/dt/1e12:.1f} TF/s")
-    print(json.dumps({
+
+    out = {
         "metric": "train_step_0p6b" if on_tpu else "train_step_cpu_smoke",
         "batch_pairs": B, "seq_len": S,
         "step_ms": round(dt * 1e3, 1),
@@ -99,7 +103,43 @@ def main():
         "loss_first": round(losses[0], 4),
         "loss_last": round(losses[-1], 4),
         "loss_fell": losses[-1] < losses[0],
-    }))
+    }
+
+    if step_fused is not None:
+        # same data, fresh state: fused Pallas fwd + fused Pallas bwd
+        _log("A/B: fused attention fwd + fused Pallas bwd")
+        state_f = init_train_state(enc_cfg, tcfg)
+        state_f, loss_f0 = step_fused(
+            state_f, jnp.asarray(q_ids[0]), jnp.asarray(mask),
+            jnp.asarray(p_ids[0]), jnp.asarray(mask),
+        )
+        losses_f = [float(loss_f0)]
+        t0 = time.time()
+        for i in range(1, STEPS):
+            state_f, loss = step_fused(
+                state_f, jnp.asarray(q_ids[i]), jnp.asarray(mask),
+                jnp.asarray(p_ids[i]), jnp.asarray(mask),
+            )
+            losses_f.append(float(loss))
+        dt_f = (time.time() - t0) / (STEPS - 1)
+        _log(f"fused steady step: {dt_f*1e3:.1f} ms  "
+             f"{model_flops/dt_f/1e12:.1f} TF/s  "
+             f"(XLA {dt*1e3:.1f} ms -> {dt/dt_f:.2f}x)")
+        # same-initial-state loss trajectories must track (both paths
+        # start from init_train_state's identical PRNG-keyed params)
+        drift = max(abs(a - b) for a, b in zip(losses, losses_f))
+        _log(f"loss trajectory max |XLA - fused| = {drift:.4f} "
+             f"(first {losses_f[0]:.4f}, last {losses_f[-1]:.4f})")
+        out["fused"] = {
+            "step_ms": round(dt_f * 1e3, 1),
+            "model_tflops_per_s": round(model_flops / dt_f / 1e12, 1),
+            "speedup_vs_xla": round(dt / dt_f, 3),
+            "loss_first": round(losses_f[0], 4),
+            "loss_last": round(losses_f[-1], 4),
+            "loss_fell": losses_f[-1] < losses_f[0],
+            "loss_traj_max_drift": round(drift, 4),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
