@@ -22,6 +22,27 @@ def _log(msg):
 T0 = time.time()
 
 
+def stall_fields(during: list) -> dict:
+    """Worst-query fields with transport-retry attribution: the axon
+    tunnel exhibits a FIXED ~10.02 s RPC timeout-retry under sustained
+    load on this 1-vCPU host (exp_upload_stall.py / exp_compile_stall.py
+    / exp_alloc_stall.py: the same 10,023-10,057 ms latency regardless
+    of what the client is doing — compiles and allocations ruled out,
+    it also fires during plain paced uploads). Queries caught behind one
+    retry are reported separately from engine-caused stalls."""
+    lat_ms = [1000.0 * x for x in during]
+    transport = [x for x in lat_ms if 9000.0 <= x <= 11000.0]
+    rest = [x for x in lat_ms if not (9000.0 <= x <= 11000.0)]
+    return {
+        "stall_ms": round(max(lat_ms), 1),
+        "stall_ms_ex_transport": round(max(rest), 1) if rest else 0.0,
+        "transport_timeout_events": len(transport),
+        "query_p50_ms_during_compact": (
+            round(float(np.median(lat_ms)), 1) if lat_ms else None
+        ),
+    }
+
+
 def timed_pipelined(engine, qd, iters=30, rounds=3, k=10):
     fin = engine.search_vectors_async(qd, k=k)
     fin()
@@ -164,8 +185,7 @@ def main():
         "qps": round(B / dt, 1),
         "compact_s": round(compact_s, 2),
         "rows": eng.n_valid,
-        "stall_ms": round(stall_ms, 1),
-        "query_p50_ms_during_compact": round(p50_during, 1),
+        **stall_fields(during),
         "queries_completed_during_compact": len(during),
     }
     _log(f"compact {compact_s:.1f}s with {len(during)} queries completing "
@@ -224,7 +244,7 @@ def main():
         "qps": round(B / dt, 1),
         "reclaim_s": round(reclaim_s, 2),
         "rows": eng.n_valid,
-        "stall_ms": round(1000.0 * max(during2), 1),
+        **stall_fields(during2),
         "vs_baseline_pct": round(100 * (dt * 1e3 / out["baseline"]["ms"] - 1), 1),
     }
     _log(f"reclaim {reclaim_s:.1f}s, worst query {out['after_reclaim']['stall_ms']:.0f} ms; "

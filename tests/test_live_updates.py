@@ -981,3 +981,50 @@ def test_compact_reclaim_translates_inflight_ids(small):
     s_new, i_new = eng.search_vectors(q, k=5)
     np.testing.assert_array_equal(i_old, i_new)
     np.testing.assert_allclose(s_old, s_new, atol=1e-3)
+
+
+def test_compact_device_fold_bitexact(small):
+    """compact() rebuilds the device arrays device-side from the OLD
+    device copies plus delta-row uploads (round 4: only ~delta-sized
+    data crosses the host<->device link). The folded device state must
+    be BIT-IDENTICAL to what a fresh host upload of the folded index
+    would produce — including pad rows (zeros) and in-place updates."""
+    emb, new, q = small
+    eng = _speed_engine(emb)
+    ids = eng.add_documents(new, normalize=False)
+    eng.update_document(5, new[0])          # in-place scatter path
+    eng.delete_documents([7, int(ids[2])])  # gap + tombstone
+    eng.compact()
+
+    fresh = SearchEngine(
+        eng.index,
+        use_pallas=True,
+        pallas_interpret=True,
+        row_block=128,
+        rescore_vectors=eng.rescore_vectors,
+        rescore_factor=8,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(eng.vectors), np.asarray(fresh.vectors)
+    )
+    assert eng._rescore_device is not None
+    np.testing.assert_array_equal(
+        np.asarray(eng._rescore_device), np.asarray(fresh._rescore_device)
+    )
+    # second compact folds on top of the first fold (inductive case)
+    eng.add_documents(new[:3], normalize=False)
+    eng.compact()
+    fresh2 = SearchEngine(
+        eng.index,
+        use_pallas=True,
+        pallas_interpret=True,
+        row_block=128,
+        rescore_vectors=eng.rescore_vectors,
+        rescore_factor=8,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(eng.vectors), np.asarray(fresh2.vectors)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(eng._rescore_device), np.asarray(fresh2._rescore_device)
+    )

@@ -67,8 +67,13 @@ _OVERFETCH_MIN_PASS = 0.5
 # transfer link, and any query dispatched behind it waits the whole
 # transfer out (measured: one ~40 s query during compact()'s off-lock
 # 3 GB re-upload at 1M x 1024). Chunking caps that head-of-line stall
-# at one chunk's transfer time.
-_UPLOAD_CHUNK_BYTES = 64 << 20
+# at one chunk's transfer time. 8 MiB: the remote tunnel moves ~20-26
+# MB/s with ~2x variance spikes (exp_compact_diag.py round 4 — a
+# 64 MiB chunk blocked queries ~2.5 s; 16 MiB chunks mostly ~0.8 s but
+# spiked to 1.4 s), so 8 MiB holds the worst stall well under 1 s; the
+# extra per-chunk syncs cost ~30 ms each (~12 s on a 3 GB compact),
+# noise against the ~120 s build.
+_UPLOAD_CHUNK_BYTES = 8 << 20
 
 # Diagnostic event trace (experiments/exp_compact_diag.py): when set to a
 # list, the upload/build paths append (tag, t_start_monotonic, duration_s,
@@ -87,6 +92,93 @@ def _trace(tag: str, t0: float, nbytes: int = 0) -> None:
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _dus_rows(b, x, i):
     return jax.lax.dynamic_update_slice(b, x, (i, 0))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(b, idx, vals):
+    return b.at[idx].set(vals)
+
+
+def _yield_concat_rows(parts: list[np.ndarray]) -> np.ndarray:
+    """np.concatenate for corpus-sized row arrays, in bounded slices
+    with a scheduler yield between them. On a 1-vCPU host a monolithic
+    multi-GB concatenate (first-touch page faults included) starves the
+    remote-device proxy process long enough to trip its ~10 s RPC
+    timeout, which stalls every in-flight query for the retry interval
+    (exp_compact_diag round 4: build_cat_rescore 13-81 s wall on 2 GB).
+    Slicing keeps each CPU burst ~tens of ms."""
+    import time as _t
+
+    parts = [np.asarray(p) for p in parts]
+    total = sum(p.shape[0] for p in parts)
+    if not total:
+        return np.concatenate(parts)
+    out = np.empty((total, *parts[0].shape[1:]), parts[0].dtype)
+    row_bytes = max(1, int(out.strides[0]) if out.ndim > 1 else out.itemsize)
+    step = max(1, (8 << 20) // row_bytes)
+    at = 0
+    for p in parts:
+        for i in range(0, p.shape[0], step):
+            j = min(i + step, p.shape[0])
+            out[at + i : at + j] = p[i:j]
+            _t.sleep(0.002)
+        at += p.shape[0]
+    return out
+
+
+def _fold_device_rows(
+    old_dev: jax.Array,
+    target_rows: int,
+    new_rows_host: np.ndarray | None,
+    start: int,
+    upd_idx: np.ndarray | None = None,
+    upd_vals: np.ndarray | None = None,
+) -> jax.Array:
+    """Grow a device-resident 2-D row array WITHOUT re-uploading it:
+    zeros(target) <- old_dev (device-to-device, rides HBM bandwidth)
+    <- new rows at `start` (the only tunnel transfer) <- scattered
+    in-place row updates. compact() uses this to rebuild multi-GB
+    device state while moving only delta-sized data over the
+    host<->device link: a full re-upload of the 1M x 1024 index held
+    the remote tunnel saturated for ~150 s per compact, during which a
+    fixed ~10 s transport timeout-retry hit about once per run and
+    stalled a concurrent query for its full duration
+    (experiments/exp_upload_stall.py; exp_compile_stall.py and
+    exp_alloc_stall.py ruled out compiles and allocations)."""
+    import time as _t
+
+    dt = old_dev.dtype
+    t0 = _t.monotonic()
+    buf = jnp.zeros((target_rows, old_dev.shape[1]), dt)
+    jax.block_until_ready(buf)
+    if old_dev.shape[0] > target_rows:
+        # the old array's pad tail can exceed the new target when the
+        # fold drops it (host path slices [:old_n]); pad rows are zeros,
+        # so a plain prefix slice is the same data
+        old_dev = old_dev[:target_rows]
+    buf = _dus_rows(buf, old_dev, jnp.int32(0))
+    jax.block_until_ready(buf)
+    _trace(f"fold_d2d{old_dev.shape}->{target_rows}", t0, 0)
+    if new_rows_host is not None and new_rows_host.shape[0]:
+        rows_dev = _device_put_chunked(
+            np.ascontiguousarray(new_rows_host), dt
+        )
+        buf = _dus_rows(buf, rows_dev, jnp.int32(start))
+        jax.block_until_ready(buf)
+    if upd_idx is not None and len(upd_idx):
+        # pow2-bucket the scatter so compiles are bounded; padding
+        # repeats pair 0 (same index, same value — order-independent)
+        n = len(upd_idx)
+        pad = 1 << (n - 1).bit_length()
+        idx = np.concatenate(
+            [np.asarray(upd_idx), np.repeat(np.asarray(upd_idx[:1]), pad - n)]
+        ).astype(np.int32)
+        vals = np.concatenate(
+            [upd_vals, np.repeat(upd_vals[:1], pad - n, axis=0)]
+        )
+        buf = _scatter_rows(buf, jnp.asarray(idx), jnp.asarray(vals, dt))
+        jax.block_until_ready(buf)
+    return buf
 
 
 def _device_put_chunked(host: np.ndarray, dtype=None) -> jax.Array:
@@ -108,6 +200,14 @@ def _device_put_chunked(host: np.ndarray, dtype=None) -> jax.Array:
     _trace(f"zeros{host.shape}", t0, 0)
     for i in range(0, host.shape[0], rows):
         t0 = _t.monotonic()
+        # ragged tail: slide the window back so every update is the SAME
+        # full-size shape — a novel tail shape forces a fresh remote
+        # compile of _dus_rows mid-transfer, which blocked concurrent
+        # queries ~11 s on chip (exp_compact_diag.py round 4). The
+        # overlap rewrites a few already-written rows with identical
+        # data, which is harmless.
+        if i + rows > host.shape[0]:
+            i = host.shape[0] - rows
         chunk = jnp.asarray(np.ascontiguousarray(host[i : i + rows]), out_dtype)
         buf = _dus_rows(buf, chunk, jnp.int32(i))
         # bound the in-flight transfer so concurrently-dispatched
@@ -141,6 +241,7 @@ class SearchEngine:
         ivf_index=None,
         ivf_nprobe: int | None = None,
         ivf_max_batch: int = 16,
+        device_init: dict | None = None,
     ):
         """rescore_vectors: optional host-resident (num_rows, D) bf16/f32
         copy of the original embeddings; when present, int8/bf16 scans
@@ -153,7 +254,13 @@ class SearchEngine:
         Rescoring reconstructs gscale*cg + s_r*cr from the scan codes
         plus the residual codes (~15 effective bits, less error than the
         bf16 copy) at 2 bytes/dim total — the capacity mode (~6M rows/
-        chip at D=1024). Requires a global-scale int8 index."""
+        chip at D=1024). Requires a global-scale int8 index.
+
+        device_init: compact()'s device-side fold — pre-built device
+        arrays ("vectors"/"rescore"/"res_codes", padded exactly as this
+        ctor would pad the host data) that replace the corresponding
+        host->device uploads. Single-device only; shapes/dtypes are
+        validated and a mismatch raises."""
         self.meta = meta
         self.config = config or SearchConfig()
         self.mesh = mesh
@@ -276,6 +383,21 @@ class SearchEngine:
         self.dim = vecs.shape[1]
         self._host_ids = ids
 
+        if device_init is not None and mesh is not None:
+            raise ValueError("device_init is single-device only")
+        di = device_init or {}
+
+        def _di(key: str, shape: tuple, dtype) -> jax.Array | None:
+            arr = di.get(key)
+            if arr is None:
+                return None
+            if tuple(arr.shape) != tuple(shape) or arr.dtype != jnp.dtype(dtype):
+                raise ValueError(
+                    f"device_init[{key!r}] is {arr.dtype}{tuple(arr.shape)}, "
+                    f"engine needs {jnp.dtype(dtype)}{tuple(shape)}"
+                )
+            return arr
+
         if mesh is not None:
             row_sharded = NamedSharding(mesh, P("shard", None))
             vec_sharded = NamedSharding(mesh, P("shard"))
@@ -288,8 +410,13 @@ class SearchEngine:
         else:
             # chunked upload: compact() re-uploads multi-GB arrays while
             # queries keep serving — a monolithic transfer would stall
-            # them head-of-line for its whole duration
-            self.vectors = _device_put_chunked(vecs)
+            # them head-of-line for its whole duration. compact() itself
+            # passes device_init arrays folded device-side instead.
+            self.vectors = (
+                _di("vectors", vecs.shape, vecs.dtype)
+                if "vectors" in di
+                else _device_put_chunked(vecs)
+            )
             self.ids = jnp.asarray(ids, dtype=jnp.int32)
             self.scales = jnp.asarray(scales) if scales is not None else None
             self._bias_sharding = None
@@ -334,11 +461,19 @@ class SearchEngine:
         if self._speed_ok:
             if self.rescore_residual is not None:
                 rc, rs = self.rescore_residual
-                self._res_codes_device = _device_put_chunked(rc)
+                self._res_codes_device = (
+                    _di("res_codes", rc.shape, jnp.int8)
+                    if "res_codes" in di
+                    else _device_put_chunked(rc)
+                )
                 self._res_scales_device = jnp.asarray(rs, jnp.float32)
             else:
-                self._rescore_device = _device_put_chunked(
-                    self.rescore_vectors, jnp.bfloat16
+                self._rescore_device = (
+                    _di(
+                        "rescore", self.rescore_vectors.shape, jnp.bfloat16
+                    )
+                    if "rescore" in di
+                    else _device_put_chunked(self.rescore_vectors, jnp.bfloat16)
                 )
 
         # multi-chip speed path: per-shard maxima scan + LOCAL device
@@ -664,6 +799,32 @@ class SearchEngine:
         warm_batches: padded batch sizes to pre-compile on the rebuilt
         engine (default: every bucket this engine has served)."""
         self._require_mutable()
+        import os as _os
+        import threading as _threading
+        import time as _time
+
+        # deprioritize the build: on small hosts (1 vCPU here) the
+        # builder's numpy bursts otherwise starve the remote-device
+        # proxy and the query dispatch threads; nice 19 lets them
+        # preempt it (restored on exit — the caller may be a pool
+        # thread that goes on to serve other work)
+        _tid = None
+        try:
+            _tid = _threading.get_native_id()
+            _prio0 = _os.getpriority(_os.PRIO_PROCESS, _tid)
+            _os.setpriority(_os.PRIO_PROCESS, _tid, 19)
+        except (OSError, AttributeError):
+            _tid = None
+        try:
+            return self._compact_inner(reclaim, warm_batches)
+        finally:
+            if _tid is not None:
+                try:
+                    _os.setpriority(_os.PRIO_PROCESS, _tid, _prio0)
+                except OSError:
+                    pass
+
+    def _compact_inner(self, reclaim: bool, warm_batches) -> int:
         import time as _time
 
         with self._compact_lock:
@@ -841,7 +1002,7 @@ class SearchEngine:
         codes_new, sc_new = _quant(emb)
         _trace("build_quant", t_tr, emb.nbytes)
         t_tr = _t.monotonic()
-        vecs_cat = np.concatenate([idx.vectors[:old_n], codes_new])
+        vecs_cat = _yield_concat_rows([idx.vectors[:old_n], codes_new])
         _trace("build_cat_vecs", t_tr, vecs_cat.nbytes)
         sc_cat = (
             np.concatenate([idx.scales[:old_n], sc_new])
@@ -857,13 +1018,13 @@ class SearchEngine:
             ) if m else (np.zeros((0, self.dim), np.int8), np.zeros(0, np.float32))
             rc, rs = idx.rescore_residual
             res_cat = (
-                np.concatenate([rc[:old_n], rc_new]),
+                _yield_concat_rows([rc[:old_n], rc_new]),
                 np.concatenate([rs[:old_n], rs_new]),
             )
         rescore_vec = None
         if self.rescore_vectors is not None:
             t_tr = _t.monotonic()
-            rescore_vec = np.concatenate(
+            rescore_vec = _yield_concat_rows(
                 [self.rescore_vectors, emb.astype(self.rescore_vectors.dtype)]
             )
             _trace("build_cat_rescore", t_tr, rescore_vec.nbytes)
@@ -873,6 +1034,7 @@ class SearchEngine:
         tomb_build = np.concatenate(
             [tomb0 if tomb0 is not None else np.zeros(old_n, bool), gap]
         )
+        emb_u = codes_u = rc_u = None
         if upd_rows:
             emb_u = emb_all[upd_j]
             codes_u, sc_u = _quant(emb_u)
@@ -930,6 +1092,44 @@ class SearchEngine:
             if ivf2 is not None:
                 ivf2 = ivf2.remap_ids(id_map)
 
+        # ---- device-side fold: rebuild the multi-GB device arrays from
+        # the OLD device copies (HBM-to-HBM) + delta-row uploads, so only
+        # ~tens of MB cross the tunnel instead of the full index (see
+        # _fold_device_rows). reclaim reorders rows, so it keeps the full
+        # re-upload path (rare admin op).
+        device_init = None
+        if self.mesh is None and not reclaim:
+            t_tr = _t.monotonic()
+            device_init = {
+                "vectors": _fold_device_rows(
+                    self.vectors,
+                    _round_up(vecs_cat.shape[0], self.row_block),
+                    codes_new,
+                    old_n,
+                    upd_rows or None,
+                    codes_u,
+                )
+            }
+            if rescore_vec is not None and self._rescore_device is not None:
+                device_init["rescore"] = _fold_device_rows(
+                    self._rescore_device,
+                    rescore_vec.shape[0],
+                    emb,
+                    old_n,
+                    upd_rows or None,
+                    emb_u,
+                )
+            if res_cat is not None and self._res_codes_device is not None:
+                device_init["res_codes"] = _fold_device_rows(
+                    self._res_codes_device,
+                    res_cat[0].shape[0],
+                    rc_new,
+                    old_n,
+                    upd_rows or None,
+                    rc_u,
+                )
+            _trace("build_device_fold", t_tr, 0)
+
         new_index = FlatIndex(
             vectors=vecs_cat,
             ids=ids_cat,
@@ -948,6 +1148,7 @@ class SearchEngine:
             rescore_residual=res_cat,
             ivf_index=ivf2,
             ivf_nprobe=self.ivf_nprobe if ivf2 is not None else None,
+            device_init=device_init,
             **ctor,
         )
         _trace("build_engine_ctor", t_tr, 0)
