@@ -323,3 +323,32 @@ def test_feedback_persists_with_path(tmp_path, server):
     from theoremsearch_tpu.train.data import pairs_from_feedback
 
     assert pairs_from_feedback(fb) == [("q", "primes are infinite")]
+
+
+def test_gc_freeze_permanent():
+    """SearchServer.start() freezes the permanent object graph so
+    periodic gen-2 GC passes stop scanning it (the r03 serving p99
+    tail: one ~300 ms stop-the-world pass per ~10 s at 1M rows —
+    experiments/exp_serve_tail.py). Collection must stay ON for
+    post-startup garbage, and the helper must be idempotent."""
+    import gc
+
+    from theoremsearch_tpu.utils.gc_tuning import freeze_permanent
+
+    before = gc.get_freeze_count()
+    marker = [object() for _ in range(64)]  # live -> must get frozen
+    out = freeze_permanent()
+    try:
+        assert out["frozen"] > before
+        assert gc.isenabled()
+        # post-freeze cycles are still collectible
+        a: list = []
+        b = [a]
+        a.append(b)
+        del a, b
+        assert gc.collect() >= 2
+        # idempotent re-tiering
+        out2 = freeze_permanent()
+        assert out2["frozen"] >= len(marker)
+    finally:
+        gc.unfreeze()  # don't leak frozen test state into other tests

@@ -29,6 +29,7 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from ..utils.gc_tuning import freeze_permanent
 from .app import SearchService, _filters_from_ui
 from .scheduler import SchedulerOverloaded
 
@@ -174,6 +175,10 @@ class SearchServer:
         return self.httpd.server_address[1]
 
     def start(self) -> "SearchServer":
+        # serving-path GC discipline: the corpus metadata / param graph
+        # is permanent — freezing it keeps periodic gen-2 passes from
+        # stalling every thread ~300 ms (utils/gc_tuning.py)
+        freeze_permanent()
         self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
         self._thread.start()
         return self
@@ -188,5 +193,6 @@ class SearchServer:
 def serve(service: SearchService, host: str = "0.0.0.0", port: int = 8080) -> None:
     """Blocking entrypoint."""
     server = SearchServer(service, host, port)
+    freeze_permanent()
     print(f"serving on {host}:{server.port}")
     server.httpd.serve_forever()

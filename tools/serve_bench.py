@@ -291,6 +291,14 @@ def main():
         engine.warm_overfetch(batch_sizes=(8, 16, 32, 64, 128, 256, 512), k=10)
     _log("batch buckets warmed")
 
+    # serving-path GC discipline (exp_serve_tail.py): freeze the
+    # permanent graph (params, metadata strings, device handles) so
+    # periodic gen-2 passes stop stalling every thread ~300 ms — the
+    # entire r03 c128 p99 tail. Production servers do the same in
+    # SearchServer.start().
+    from theoremsearch_tpu.utils.gc_tuning import freeze_permanent
+    _log(f"gc freeze_permanent: {freeze_permanent()}")
+
     # ---- end-to-end under concurrency ----
     # encode_device keeps embeddings on device; the scheduler's resolver
     # thread performs the single host sync per batch, pipelined
@@ -402,6 +410,7 @@ def main():
                     encoder_i8.encode_device(queries[: b - 3]), k=10
                 )()
         _log("int8 encoder buckets warmed")
+        _log(f"gc re-freeze (int8 tower): {freeze_permanent()}")
         sched_bf16, sched = sched, BatchScheduler(
             engine, max_batch=MAX_BATCH, max_wait_ms=max_wait,
             encode_fn=encoder_i8.encode_device,
