@@ -333,6 +333,14 @@ def cmd_serve(args):
     streamlit_app.py` equivalent, but through the production
     micro-batched path (POST /search, GET /facets, GET /health)."""
     srv, sched = make_search_server(args)
+    # serving-path GC discipline: the engine/encoder/metadata graph is
+    # permanent — freeze it so periodic gen-2 passes stop stalling every
+    # serving thread ~300 ms (utils/gc_tuning.py; SearchServer.start()
+    # does the same for programmatic users, but this path calls
+    # serve_forever directly)
+    from .utils.gc_tuning import freeze_permanent
+
+    freeze_permanent()
     print(f"serving on http://{args.host}:{srv.port}  "
           f"(batching={'off' if sched is None else 'on'})")
     try:

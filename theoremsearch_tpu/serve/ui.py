@@ -47,7 +47,14 @@ def main():  # pragma: no cover - requires streamlit runtime
 
     @st.cache_resource
     def _svc():
-        return build_service()
+        svc = build_service()
+        # once per process (cache_resource): freeze the engine/encoder/
+        # metadata graph out of GC scans — a gen-2 pass over it stalls
+        # every thread ~300 ms at 1M rows (utils/gc_tuning.py)
+        from ..utils.gc_tuning import freeze_permanent
+
+        freeze_permanent()
+        return svc
 
     svc = _svc()
     st.write(f"Searching {svc.load_theorem_count():,} theorems semantically.")
