@@ -320,3 +320,38 @@ def test_scheduler_over_multichip_engine():
             assert all(eng.meta.primary_category[d] == "math.AG"
                        for d in ids if d >= 0)
     sched.shutdown()
+
+
+def test_stage_traces_attribute_batches(engine):
+    """stats()['stages_ms'] carries per-batch stage percentiles and the
+    worst batches' stage mix — the p99 attribution that convicted GC in
+    round 4 (experiments/exp_serve_tail.py). Every dispatched batch must
+    produce one trace whose stages are finite and whose total covers
+    queue+encode+scan+sync; reset_traces() clears the window."""
+    eng, emb = engine
+    rng = np.random.default_rng(7)
+    queries = np.asarray(
+        l2_normalize(rng.standard_normal((24, 64)).astype(np.float32))
+    )
+    sched = BatchScheduler(eng, max_batch=8, max_wait_ms=5)
+    try:
+        futs = [sched.submit(q, k=3) for q in queries]
+        for f in futs:
+            f.result(timeout=30)
+        st = sched.stats()
+        stages = st["stages_ms"]
+        for field in ("queue_ms", "encode_ms", "scan_ms",
+                      "resolve_wait_ms", "sync_ms", "total_ms"):
+            pct = stages[field]
+            assert 0.0 <= pct["p50"] <= pct["p99"] <= pct["max"]
+        worst = stages["worst_batches"]
+        assert worst and all(w["n"] >= 1 for w in worst)
+        # total >= the stages the dispatch thread itself timed
+        for w in worst:
+            assert w["total_ms"] >= w["sync_ms"] - 1e-6
+        assert sum(w["n"] for w in worst) <= st["queries"]
+        sched.reset_traces()
+        st2 = sched.stats()
+        assert "stages_ms" not in st2 and "latency_ms" not in st2
+    finally:
+        sched.shutdown()
