@@ -352,3 +352,42 @@ def test_gc_freeze_permanent():
         assert out2["frozen"] >= len(marker)
     finally:
         gc.unfreeze()  # don't leak frozen test state into other tests
+
+
+def test_compact_maintains_freeze_discipline():
+    """After a frozen process compacts, the replacement host arrays get
+    re-tiered into the permanent generation (no collection pass — that
+    would itself stop the world mid-serving); a never-frozen process is
+    left alone (library code must not impose GC policy)."""
+    import gc
+
+    import numpy as np
+
+    from theoremsearch_tpu.core import IndexConfig
+    from theoremsearch_tpu.index.flat import FlatIndex
+    from theoremsearch_tpu.search.engine import SearchEngine
+    from theoremsearch_tpu.utils.gc_tuning import freeze_permanent
+
+    def _make():
+        rng = np.random.default_rng(0)
+        emb = rng.standard_normal((128, 16)).astype(np.float32)
+        idx = FlatIndex.build(
+            emb, config=IndexConfig(dim=16, pad_multiple=16), normalize=True
+        )
+        eng = SearchEngine(idx, use_pallas=False, row_block=16)
+        eng.add_documents(rng.standard_normal((4, 16)).astype(np.float32))
+        return eng
+
+    gc.unfreeze()
+    try:
+        eng = _make()
+        assert eng.compact() == 4
+        assert gc.get_freeze_count() == 0  # never opted in -> untouched
+
+        freeze_permanent()
+        n0 = gc.get_freeze_count()
+        eng2 = _make()  # new engine is young-gen
+        assert eng2.compact() == 4
+        assert gc.get_freeze_count() > n0  # re-tiered after the swap
+    finally:
+        gc.unfreeze()

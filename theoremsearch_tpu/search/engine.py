@@ -857,7 +857,14 @@ class SearchEngine:
                 stats["swap_s"] = _time.monotonic() - t_sw
                 stats["total_s"] = _time.monotonic() - stats["t0"]
                 self.last_compact_stats = stats
-                return out
+            # maintain the process's GC freeze discipline (no-op if the
+            # app never froze): the fold just replaced multi-GB host
+            # arrays which would otherwise re-enter every gen-2 scan
+            # and bring back the ~300 ms serving stalls (gc_tuning.py)
+            from ..utils.gc_tuning import refreeze_if_frozen
+
+            refreeze_if_frozen()
+            return out
 
     def _compact_snapshot(self, reclaim: bool) -> dict | None:
         """Phase 1: consistent copies of the delta prefix + tombstones

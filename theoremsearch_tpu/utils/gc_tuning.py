@@ -25,17 +25,41 @@ from __future__ import annotations
 import gc
 
 
-def freeze_permanent() -> dict:
+def freeze_permanent(collect: bool = True) -> dict:
     """Move every currently-live object into CPython's permanent
     generation so periodic collections stop scanning them.
 
     Runs one full collection first (anything unreachable now should die
-    rather than be frozen forever). Idempotent; cheap to call again
-    after large post-startup allocations (e.g. a compact() fold or a
-    big live-add batch) to re-tier the new long-lived objects.
+    rather than be frozen forever) unless ``collect=False`` — a full
+    pass over a large graph is itself a stop-the-world; re-tiering
+    calls made WHILE SERVING (e.g. after a compact() fold) pass False
+    and accept that any cyclic garbage alive at that instant is frozen
+    (reference-counted objects — numpy/jax buffers — free normally
+    either way; only unreachable *cycles* would leak, and the serving
+    paths don't build them at scale).
+
+    Idempotent; cheap to call again after large post-startup
+    allocations to re-tier the new long-lived objects.
 
     Returns {"collected": n, "frozen": n} for logging.
     """
-    collected = gc.collect()
+    collected = gc.collect() if collect else 0
     gc.freeze()
     return {"collected": collected, "frozen": gc.get_freeze_count()}
+
+
+def refreeze_if_frozen() -> bool:
+    """Maintain the freeze discipline after replacing long-lived state:
+    if this process previously opted in via :func:`freeze_permanent`,
+    re-tier the current graph (no collection pass — see above); if it
+    never froze, do nothing, so library code can call this without
+    imposing GC policy on embedders/notebooks. Returns whether it ran.
+
+    SearchEngine.compact() calls this after its state swap — the fold
+    allocates replacement multi-GB host arrays that would otherwise
+    re-enter every gen-2 scan and bring back the ~300 ms serving
+    stalls the startup freeze removed."""
+    if gc.get_freeze_count() == 0:
+        return False
+    freeze_permanent(collect=False)
+    return True
