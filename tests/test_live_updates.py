@@ -1028,3 +1028,45 @@ def test_compact_device_fold_bitexact(small):
     np.testing.assert_array_equal(
         np.asarray(eng._rescore_device), np.asarray(fresh2._rescore_device)
     )
+
+
+def test_inflight_host_rescore_survives_reclaim_swap(small):
+    """finalize() runs lock-free with OLD-generation candidate ids; a
+    reclaim swap replaces rescore_vectors with a row-permuted copy
+    mid-flight. The rescore sources are snapshotted at DISPATCH, so the
+    in-flight query rescored against the arrays its ids index — then
+    gets translated — and must match a fresh post-compact search."""
+    emb, new, q = small
+    eng = _fp32_engine(emb, rescore_vectors=emb.copy(), rescore_factor=8)
+    assert eng.delete_documents(list(range(0, 100))) == 100
+    fin = eng.search_vectors_async(q, k=5)        # dispatched at gen 0
+    assert eng.compact(reclaim=True) == 0         # rows shift down by 100
+    s_old, i_old = fin()                          # finalized at gen 1
+    s_new, i_new = eng.search_vectors(q, k=5)
+    np.testing.assert_array_equal(i_old, i_new)
+    np.testing.assert_allclose(s_old, s_new, atol=1e-3)
+
+
+def test_update_document_meta_survives_reclaim_build(small):
+    """update_document(meta_row=...) landing WHILE a reclaim compact is
+    building must not revert: the build copies metadata early
+    (_meta_subset) and the swap replays the in-place column updates onto
+    the compacted copy, renumbered through the id map."""
+    emb, new, q = small
+    eng = _fp32_engine(emb, meta=CorpusMetadata.from_rows(_meta_rows(600)))
+    assert eng.delete_documents(list(range(0, 50))) == 50
+
+    def mid_build():
+        eng.update_document(300, new[0], meta_row={"year": 2031})
+
+    eng._compact_pre_swap_hook = mid_build
+    try:
+        eng.compact(reclaim=True)
+    finally:
+        eng._compact_pre_swap_hook = None
+    nid = int(eng.last_id_map[300])
+    assert nid == 250                       # 50 dropped rows below it
+    assert int(np.asarray(eng.meta.year)[nid]) == 2031
+    # the updated vector is live under the translated id
+    s, i = eng.search_vectors(new[:1], k=1)
+    assert int(i[0, 0]) == nid

@@ -560,6 +560,11 @@ class SearchEngine:
         self.index = index
         self._delta = None                     # DeltaBuffer, lazy
         self._delta_meta_rows: list = []       # meta of delta docs, in order
+        # (doc_id, cols) log of update_document(meta_row=...) calls made
+        # while a reclaim compact is building: the build copies metadata
+        # early (_meta_subset) and the swap only re-absorbs APPENDED
+        # rows, so in-place column updates would silently revert
+        self._meta_update_log: list | None = None
         self._tombstone = None                 # (num_rows,) bool, True = deleted
         self._tomb_epoch = 0                   # bumps on main-row deletes
         self._tomb_mask_cache: dict[tuple, tuple] = {}
@@ -706,6 +711,10 @@ class SearchEngine:
             if self.meta is not None:
                 if meta_row:
                     self.meta.update_row(int(doc_id), meta_row)
+                    if self._meta_update_log is not None:
+                        self._meta_update_log.append(
+                            (int(doc_id), dict(meta_row))
+                        )
                 self._delta_meta_rows.append(self.meta.row_as_dict(int(doc_id)))
             if self._delta is None:
                 from .delta import DeltaBuffer
@@ -801,28 +810,37 @@ class SearchEngine:
         self._require_mutable()
         import os as _os
         import threading as _threading
-        import time as _time
 
         # deprioritize the build: on small hosts (1 vCPU here) the
         # builder's numpy bursts otherwise starve the remote-device
-        # proxy and the query dispatch threads; nice 19 lets them
-        # preempt it (restored on exit — the caller may be a pool
-        # thread that goes on to serve other work)
-        _tid = None
-        try:
-            _tid = _threading.get_native_id()
-            _prio0 = _os.getpriority(_os.PRIO_PROCESS, _tid)
-            _os.setpriority(_os.PRIO_PROCESS, _tid, 19)
-        except (OSError, AttributeError):
-            _tid = None
-        try:
-            return self._compact_inner(reclaim, warm_batches)
-        finally:
-            if _tid is not None:
-                try:
-                    _os.setpriority(_os.PRIO_PROCESS, _tid, _prio0)
-                except OSError:
-                    pass
+        # proxy and the query dispatch threads. The build runs on a
+        # DISPOSABLE worker thread that nices ITSELF to 19 — an
+        # unprivileged process can raise a nice value but never lower
+        # it back (RLIMIT_NICE defaults to 0), so "restore on exit"
+        # would silently leave a caller pool thread deprioritized for
+        # all its later serving work. The thread dies with the build;
+        # nothing needs restoring.
+        result: list = [None]
+        error: list = [None]
+
+        def _run():
+            try:
+                _os.setpriority(
+                    _os.PRIO_PROCESS, _threading.get_native_id(), 19
+                )
+            except (OSError, AttributeError):
+                pass
+            try:
+                result[0] = self._compact_inner(reclaim, warm_batches)
+            except BaseException as e:  # noqa: BLE001 — relay to caller
+                error[0] = e
+
+        t = _threading.Thread(target=_run, name="compact-build")
+        t.start()
+        t.join()
+        if error[0] is not None:
+            raise error[0]
+        return result[0]
 
     def _compact_inner(self, reclaim: bool, warm_batches) -> int:
         import time as _time
@@ -842,6 +860,7 @@ class SearchEngine:
                 # (all-dead, no-new-ids) snapshotted delta prefix
                 with self._live_lock:
                     self._compact_trim_delta(snap)
+                    self._meta_update_log = None
                 return 0
             self._compact_warm(built, warm_batches)
             stats["warm_s"] = (
@@ -876,6 +895,8 @@ class SearchEngine:
             want_reclaim = reclaim and tomb is not None and bool(tomb.any())
             if wm == 0 and not want_reclaim:
                 return None
+            if reclaim and self.meta is not None:
+                self._meta_update_log = []
             return {
                 "wm": wm,
                 "meta_wm": len(self._delta_meta_rows),
@@ -1212,22 +1233,35 @@ class SearchEngine:
                 continue
             for b in batches:
                 t_tr = _t.monotonic()
-                q, _ = eng2._pad_queries(np.zeros((b, self.dim), np.float32))
-                if wb is False:
-                    out = fn(q)
-                elif wb == "mask":
-                    out = fn(q, jnp.zeros((eng2.padded_rows,), jnp.int8))
-                else:
-                    out = fn(q, jnp.zeros((eng2.padded_rows,), jnp.float32))
-                jax.block_until_ready(out)
+                # a failing warm run (transient compile/transport error,
+                # OOM while HBM briefly holds both indexes) must not
+                # abort the compact after the expensive build — the
+                # un-warmed program just compiles on its first real
+                # query instead
+                try:
+                    q, _ = eng2._pad_queries(np.zeros((b, self.dim), np.float32))
+                    if wb is False:
+                        out = fn(q)
+                    elif wb == "mask":
+                        out = fn(q, jnp.zeros((eng2.padded_rows,), jnp.int8))
+                    else:
+                        out = fn(q, jnp.zeros((eng2.padded_rows,), jnp.float32))
+                    jax.block_until_ready(out)
+                except Exception:  # noqa: BLE001
+                    continue
                 _trace(f"warm_scan(k={k},wb={wb},b={b})", t_tr, 0)
         if eng2.ivf is not None:
             for kq in list(self._ivf_fns.keys()) or [self.config.top_k]:
                 for b in batches:
                     if b > eng2.ivf_max_batch:
                         continue
-                    q, _ = eng2._pad_queries(np.zeros((b, self.dim), np.float32))
-                    jax.block_until_ready(eng2._ivf_fn(kq)(q))
+                    try:
+                        q, _ = eng2._pad_queries(
+                            np.zeros((b, self.dim), np.float32)
+                        )
+                        jax.block_until_ready(eng2._ivf_fn(kq)(q))
+                    except Exception:  # noqa: BLE001
+                        continue
 
     def _compact_swap(self, snap: dict, built: dict, reclaim: bool) -> int:
         """Phase 3 (caller holds _live_lock, sub-second): install the
@@ -1286,6 +1320,16 @@ class SearchEngine:
                 ]
                 if extra:
                     eng2.meta.extend(extra)
+                # replay in-place column updates made while the build's
+                # _meta_subset copy was aging (update_document(meta_row=))
+                # onto the compacted copy, renumbered; replaying ones the
+                # copy already saw is idempotent (same values)
+                for did, cols in self._meta_update_log or ():
+                    nid = (
+                        int(id_map[did]) if did < len(id_map) else did - nd
+                    )
+                    if 0 <= nid < len(eng2.meta):
+                        eng2.meta.update_row(nid, cols)
         else:
             final_tomb = t
 
@@ -1306,14 +1350,25 @@ class SearchEngine:
             "_generation", "_remap_chain", "last_id_map", "_seen_batches",
         ):
             d.pop(key, None)
+
+        if reclaim and id_map is not None:
+            # publish order for lock-free finalize() readers:
+            # chain append -> generation bump -> state install. A reader
+            # that sees the new generation must also see the new map
+            # (chain before gen), and a reader must NEVER see the new
+            # (renumbered) state with the OLD generation — its scan ran
+            # pre-swap, so its ids are old-numbering and skipping
+            # _translate_ids would resolve them against renumbered
+            # metadata. Bumping gen first is safe the other way around:
+            # ids from any pre-swap scan are old-numbering regardless of
+            # when finalize runs, so translating them is always correct.
+            self._remap_chain = (chain + [(gen + 1, id_map, built["n_dropped"])])[-8:]
+            self._generation = gen + 1
+
         self.__dict__.update(d)
         self._seen_batches = seen
 
         if reclaim and id_map is not None:
-            # chain append happens-before the generation bump: a reader
-            # that sees the new generation must also see the new map
-            self._remap_chain = (chain + [(gen + 1, id_map, built["n_dropped"])])[-8:]
-            self._generation = gen + 1
             self.last_id_map = id_map
             self._next_doc_id = cur_next_id - built["n_dropped"]
         else:
@@ -1934,6 +1989,13 @@ class SearchEngine:
         # renumbers ids before finalize() runs, the remap chain
         # translates this query's (old-generation) ids on the way out
         gen0 = self._generation
+        # rescore sources SNAPSHOTTED at dispatch: finalize() runs
+        # lock-free and its candidate ids are old-generation — a
+        # reclaim swap replacing self.rescore_vectors/_host_codes with
+        # row-permuted arrays mid-flight would gather the WRONG rows.
+        # The old arrays stay alive via this closure and are consistent
+        # with the old ids; _translate_ids renumbers on the way out.
+        rescore_src = self._rescore_src()
 
         # tombstones or a BROAD user filter -> stay on the FAST unfiltered
         # path: fetch k+margin, drop non-passing ids on host in finalize()
@@ -2055,7 +2117,9 @@ class SearchEngine:
                     s_h, i_h = jax.device_get((s, i))
                 s_h, i_h = s_h[:b], i_h[:b]
                 if do_rescore and not on_device:
-                    s_h, i_h = self._rescore(np.asarray(q)[:b], s_h, i_h, k_q)
+                    s_h, i_h = self._rescore(
+                        np.asarray(q)[:b], s_h, i_h, k_q, src=rescore_src
+                    )
                 if tomb_drop is not None or drop_mask is not None:
                     idsw = i_h[:, :k_q]
                     if tomb_drop is not None:
@@ -2126,32 +2190,56 @@ class SearchEngine:
         doc_id PAD_ID (-1) marks slots beyond the number of matching docs."""
         return self.search_vectors_async(query_vecs, k, filters)()
 
-    def _rescore(self, q: np.ndarray, s: np.ndarray, ids: np.ndarray, k: int):
+    def _rescore_src(self) -> tuple:
+        """The host arrays _rescore reads, snapshotted as one tuple at
+        DISPATCH time: a lock-free finalize() holds old-generation
+        candidate ids, and a concurrent reclaim swap replaces these
+        attributes with row-permuted arrays — gathering the live
+        attributes would rescore every candidate against a different
+        document's vector."""
+        return (
+            self.rescore_vectors,
+            self.rescore_residual,
+            self._host_codes,
+            self._global_scale,
+            self._rescore_sorted_ids,
+            self._rescore_order,
+        )
+
+    def _rescore(
+        self, q: np.ndarray, s: np.ndarray, ids: np.ndarray, k: int,
+        src: tuple | None = None,
+    ):
         """Exact fp32 rescoring of the oversampled candidates: gather the
         original rows for each (query, candidate) and re-rank. Host-side —
-        the gather is (B, C, D), tiny next to the device scan."""
+        the gather is (B, C, D), tiny next to the device scan.
+
+        src: dispatch-time _rescore_src() snapshot (see above); defaults
+        to the live attributes for synchronous callers."""
+        (rescore_vectors, rescore_residual, host_codes, global_scale,
+         sorted_ids, order) = src if src is not None else self._rescore_src()
         b, c = ids.shape
-        if self._rescore_sorted_ids is not None:
+        if sorted_ids is not None:
             # doc id -> index row via the sorted-id map (custom ids)
-            pos = np.searchsorted(self._rescore_sorted_ids, np.maximum(ids, 0))
-            pos = np.clip(pos, 0, self._rescore_order.shape[0] - 1)
-            safe = self._rescore_order[pos]
-        elif self.rescore_vectors is not None:
-            safe = np.clip(ids, 0, self.rescore_vectors.shape[0] - 1)
+            pos = np.searchsorted(sorted_ids, np.maximum(ids, 0))
+            pos = np.clip(pos, 0, order.shape[0] - 1)
+            safe = order[pos]
+        elif rescore_vectors is not None:
+            safe = np.clip(ids, 0, rescore_vectors.shape[0] - 1)
         else:
-            safe = np.clip(ids, 0, self.rescore_residual[0].shape[0] - 1)
-        if self.rescore_vectors is not None:
-            cand = self.rescore_vectors[safe].astype(np.float32)    # (B, C, D)
+            safe = np.clip(ids, 0, rescore_residual[0].shape[0] - 1)
+        if rescore_vectors is not None:
+            cand = rescore_vectors[safe].astype(np.float32)    # (B, C, D)
         else:
             # capacity mode fallback: two-level reconstruction on host —
             # the ONE formula lives in quant.dequantize_residual_int8
             # (device twin: kernels/mips.py device_rescore_residual)
             from ..index.quant import dequantize_residual_int8
 
-            rc, rs = self.rescore_residual
+            rc, rs = rescore_residual
             flat = safe.reshape(-1)
             cand = dequantize_residual_int8(
-                self._host_codes[flat], self._global_scale, rc[flat], rs[flat]
+                host_codes[flat], global_scale, rc[flat], rs[flat]
             ).reshape(*safe.shape, -1)
         re_s = np.einsum("bcd,bd->bc", cand, q.astype(np.float32))
         re_s = np.where((ids >= 0) & np.isfinite(s), re_s, -np.inf)
