@@ -1070,3 +1070,136 @@ def test_update_document_meta_survives_reclaim_build(small):
     # the updated vector is live under the translated id
     s, i = eng.search_vectors(new[:1], k=1)
     assert int(i[0, 0]) == nid
+
+
+# ---------------------------------------------------------------------------
+# Randomized differential stress: the live-update state machine vs a
+# host-side dict oracle. Deterministic per seed; every step's top-k must
+# be EXACT against brute force over the oracle's live vectors (fp32
+# engine, no quantization), across random interleavings of
+# add / update / delete / compact / compact(reclaim=True).
+# ---------------------------------------------------------------------------
+
+
+def _check_topk_vs_oracle(eng, oracle: dict, queries, k, atol=2.5e-3):
+    """Engine top-k == brute force over the oracle dict (tie-tolerant:
+    the returned ids' oracle scores must match the returned scores AND
+    dominate the oracle's kth-best score). atol covers the delta
+    buffer's bf16 storage (search/delta.py: ~1e-3 rounding at |s|<=1,
+    matching TPU fp32-matmul bf16 truncation); state-machine bugs —
+    stale folds, wrong vectors, resurrected deletes — err at >>1e-2."""
+    live_ids = np.fromiter(oracle.keys(), np.int64)
+    live_vecs = np.stack([oracle[i] for i in live_ids])
+    kk = min(k, len(live_ids))
+    s, i = eng.search_vectors(queries, k=kk)
+    ref = queries @ live_vecs.T                      # (B, L)
+    kth_best = np.sort(ref, axis=1)[:, -kk]          # kth-largest per query
+    pos = {int(d): r for r, d in enumerate(live_ids)}
+    for b in range(queries.shape[0]):
+        rows = [pos.get(int(d), -1) for d in i[b]]
+        assert -1 not in rows, f"dead/unknown id returned: {i[b]}"
+        got = ref[b, rows]
+        np.testing.assert_allclose(s[b], got, atol=atol)
+        assert (got >= kth_best[b] - atol).all(), (
+            f"rank violation: {got} vs kth {kth_best[b]}"
+        )
+
+
+def _random_op(rng, eng, oracle, dim, p_compact=0.08):
+    """Apply one random mutation to engine AND oracle. Returns op tag."""
+    r = rng.random()
+    live = list(oracle.keys())
+    if r < 0.40:                                     # add 1-4 docs
+        m = int(rng.integers(1, 5))
+        vecs = np.asarray(
+            l2_normalize(rng.standard_normal((m, dim)).astype(np.float32))
+        )
+        ids = eng.add_documents(vecs, normalize=False)
+        for j, d in enumerate(ids):
+            oracle[int(d)] = vecs[j]
+        return f"add{m}"
+    if r < 0.60 and live:                            # update one live doc
+        d = int(live[rng.integers(len(live))])
+        v = np.asarray(
+            l2_normalize(rng.standard_normal((dim,)).astype(np.float32))
+        )
+        eng.update_document(d, v)
+        oracle[d] = v
+        return "update"
+    if r < 0.60 + 0.32 and len(live) > 12:           # delete 1-6 docs
+        m = int(rng.integers(1, 7))
+        picks = rng.choice(live, size=m, replace=False)
+        n = eng.delete_documents(picks)
+        assert n == m
+        for d in picks:
+            oracle.pop(int(d))
+        return f"del{m}"
+    # compact; sometimes reclaim (renumber oracle through last_id_map)
+    reclaim = rng.random() < 0.5
+    eng.compact(reclaim=reclaim)
+    if reclaim:
+        mp = eng.last_id_map
+        if mp is not None:
+            remapped = {}
+            for old, vec in oracle.items():
+                nid = int(mp[old]) if old < len(mp) else int(old)
+                assert nid >= 0, f"live doc {old} dropped by reclaim"
+                remapped[nid] = vec
+            oracle.clear()
+            oracle.update(remapped)
+    return "reclaim" if reclaim else "compact"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_randomized_live_ops_vs_oracle(seed):
+    dim, n0, steps = 32, 96, 28
+    rng = np.random.default_rng(100 + seed)
+    base = _norm(rng.standard_normal((n0, dim)))
+    eng = _fp32_engine(base)
+    oracle = {i: base[i] for i in range(n0)}
+    qs = _norm(rng.standard_normal((3, dim)))
+    trail = []
+    for step in range(steps):
+        trail.append(_random_op(rng, eng, oracle, dim))
+        assert eng.num_live == len(oracle), f"after {trail}"
+        _check_topk_vs_oracle(eng, oracle, qs, k=8)
+    # quiesce: a final reclaim folds everything; exactness must hold
+    eng.compact(reclaim=True)
+    mp = eng.last_id_map
+    if mp is not None:
+        oracle = {
+            (int(mp[d]) if d < len(mp) else d): v for d, v in oracle.items()
+        }
+    assert eng.num_live == len(oracle)
+    _check_topk_vs_oracle(eng, oracle, qs, k=8)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_randomized_mid_build_mutations_vs_oracle(seed):
+    """Random mutations landing WHILE compact() builds (via the pre-swap
+    hook) must fold into the post-swap state exactly: the swap's
+    reconcile replays snapshot-to-swap deltas into the next delta."""
+    dim, n0 = 32, 96
+    rng = np.random.default_rng(200 + seed)
+    base = _norm(rng.standard_normal((n0, dim)))
+    eng = _fp32_engine(base)
+    oracle = {i: base[i] for i in range(n0)}
+    qs = _norm(rng.standard_normal((3, dim)))
+    # dirty the engine first so the compact has real work
+    for _ in range(6):
+        _random_op(rng, eng, oracle, dim, p_compact=0.0)
+
+    def mid_build():
+        for _ in range(4):
+            _random_op(rng, eng, oracle, dim, p_compact=0.0)
+
+    eng._compact_pre_swap_hook = mid_build
+    try:
+        eng.compact()            # non-reclaim: ids stable throughout
+    finally:
+        eng._compact_pre_swap_hook = None
+    assert eng.num_live == len(oracle)
+    _check_topk_vs_oracle(eng, oracle, qs, k=8)
+    # the replayed mid-build rows then fold cleanly themselves
+    eng.compact()
+    _check_topk_vs_oracle(eng, oracle, qs, k=8)
