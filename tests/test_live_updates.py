@@ -1106,8 +1106,10 @@ def _check_topk_vs_oracle(eng, oracle: dict, queries, k, atol=2.5e-3):
 
 
 def _random_op(rng, eng, oracle, dim, p_compact=0.08):
-    """Apply one random mutation to engine AND oracle. Returns op tag."""
-    r = rng.random()
+    """Apply one random mutation to engine AND oracle. Returns op tag.
+    p_compact=0 keeps compaction out of the mix (the mid-build hook
+    must never nest compact() — _compact_lock is non-reentrant)."""
+    r = rng.random() * (1.0 if p_compact else 0.92)
     live = list(oracle.keys())
     if r < 0.40:                                     # add 1-4 docs
         m = int(rng.integers(1, 5))
