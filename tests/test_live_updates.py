@@ -1205,3 +1205,33 @@ def test_randomized_mid_build_mutations_vs_oracle(seed):
     # the replayed mid-build rows then fold cleanly themselves
     eng.compact()
     _check_topk_vs_oracle(eng, oracle, qs, k=8)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_randomized_live_ops_speed_path(seed):
+    """The same randomized interleavings over the PRODUCTION speed path
+    (int8 global-scale maxima scan + exact rescore, interpret mode):
+    every returned id must be live, and per-query recall@k vs the fp32
+    oracle must clear 0.9 (the adaptive over-fetch margin covers the
+    tombstone drop rate; the exact rescore bounds rank noise)."""
+    dim, n0, steps = 32, 96, 12
+    rng = np.random.default_rng(300 + seed)
+    base = _norm(rng.standard_normal((n0, dim)))
+    eng = _speed_engine(base)
+    oracle = {i: base[i] for i in range(n0)}
+    qs = _norm(rng.standard_normal((3, dim)))
+    for step in range(steps):
+        _random_op(rng, eng, oracle, dim)
+        assert eng.num_live == len(oracle)
+        live_ids = np.fromiter(oracle.keys(), np.int64)
+        live_vecs = np.stack([oracle[i] for i in live_ids])
+        kk = min(8, len(live_ids))
+        s, i = eng.search_vectors(qs, k=kk)
+        ref = qs @ live_vecs.T
+        kth_best = np.sort(ref, axis=1)[:, -kk]
+        pos = {int(d): r for r, d in enumerate(live_ids)}
+        for b in range(qs.shape[0]):
+            rows = [pos.get(int(d), -1) for d in i[b]]
+            assert -1 not in rows, f"dead/unknown id returned: {i[b]}"
+            hits = (ref[b, rows] >= kth_best[b] - 2.5e-3).sum()
+            assert hits / kk >= 0.9, f"recall {hits}/{kk} at step {step}"
