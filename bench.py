@@ -210,8 +210,12 @@ def main():
         absmax = 0.0
         for c in range(n_chunks):
             x = gen_chunk(keys[c], rows=chunk)
+            # float() syncs every chunk: a tunnel RPC lost here would
+            # otherwise hang silently mid-build (seen once on axon) —
+            # the per-chunk log line makes the stall attributable
             absmax = max(absmax, float(chunk_absmax(x)))
             top_s, top_i = oracle_step(qall, x, top_s, top_i, jnp.int32(c * chunk))
+            _log(f"  pass1 chunk {c + 1}/{n_chunks}")
         oracle = np.asarray(top_i).reshape(ndraws, B_SPEED, K)
         return chunk, keys, absmax / 127.0, [oracle[i] for i in range(ndraws)]
 
@@ -241,6 +245,7 @@ def main():
             x = gen_chunk(keys[c], rows=chunk)
             codes = pack_int8(codes, x, gscale, jnp.int32(c * chunk))
             bf16 = pack_bf16(bf16, x, jnp.int32(c * chunk))
+        _log("  pack dispatched; waiting on device")
         jax.block_until_ready((codes, bf16))
         return codes, bf16, gscale, oracles
 
