@@ -1235,3 +1235,87 @@ def test_randomized_live_ops_speed_path(seed):
             assert -1 not in rows, f"dead/unknown id returned: {i[b]}"
             hits = (ref[b, rows] >= kth_best[b] - 2.5e-3).sum()
             assert hits / kk >= 0.9, f"recall {hits}/{kk} at step {step}"
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_randomized_live_ops_with_meta_and_filters(seed):
+    """Randomized interleavings WITH metadata serving: meta rows travel
+    with adds/updates, year-range-filtered searches agree with a host
+    oracle restricted to passing docs, and reclaim renumbering carries
+    the metadata columns (the swap-time meta replay surface)."""
+    dim, n0, steps = 32, 80, 20
+    rng = np.random.default_rng(400 + seed)
+    base = _norm(rng.standard_normal((n0, dim)))
+    years = list(2000 + rng.integers(0, 20, size=n0))
+    meta_rows = _meta_rows(n0)
+    for r, y in zip(meta_rows, years):
+        r["year"] = int(y)
+    eng = _fp32_engine(base, meta=CorpusMetadata.from_rows(meta_rows))
+    oracle = {i: (base[i], int(years[i])) for i in range(n0)}
+    qs = _norm(rng.standard_normal((2, dim)))
+
+    def rand_meta(i):
+        return dict(_meta_rows(1, start=i)[0], year=int(2000 + rng.integers(0, 20)))
+
+    for step in range(steps):
+        r = rng.random()
+        live = list(oracle.keys())
+        if r < 0.35:                                   # add with meta
+            m = int(rng.integers(1, 4))
+            vecs = np.asarray(l2_normalize(
+                rng.standard_normal((m, dim)).astype(np.float32)))
+            rows = [rand_meta(0) for _ in range(m)]
+            ids = eng.add_documents(vecs, meta_rows=rows, normalize=False)
+            for j, d in enumerate(ids):
+                oracle[int(d)] = (vecs[j], int(rows[j]["year"]))
+        elif r < 0.55 and live:                        # update vec + year
+            d = int(live[rng.integers(len(live))])
+            v = np.asarray(l2_normalize(
+                rng.standard_normal((dim,)).astype(np.float32)))
+            nr = rand_meta(d)
+            eng.update_document(d, v, meta_row={"year": nr["year"]})
+            oracle[d] = (v, int(nr["year"]))
+        elif r < 0.85 and len(live) > 10:              # delete
+            m = int(rng.integers(1, 5))
+            picks = rng.choice(live, size=m, replace=False)
+            assert eng.delete_documents(picks) == m
+            for d in picks:
+                oracle.pop(int(d))
+        else:                                          # compact / reclaim
+            reclaim = rng.random() < 0.5
+            eng.compact(reclaim=reclaim)
+            if reclaim and eng.last_id_map is not None:
+                mp = eng.last_id_map
+                oracle = {
+                    (int(mp[d]) if d < len(mp) else d): v
+                    for d, v in oracle.items()
+                }
+        assert eng.num_live == len(oracle)
+        # filtered search vs the oracle restricted to passing years
+        lo = int(2000 + rng.integers(0, 15))
+        f = SearchFilters(year_range=(lo, lo + 5))
+        passing = {d: v for d, (v, y) in oracle.items() if lo <= y <= lo + 5}
+        s, i = eng.search_vectors(qs, k=6, filters=f)
+        if not passing:
+            continue
+        live_ids = np.fromiter(passing.keys(), np.int64)
+        live_vecs = np.stack([passing[d] for d in live_ids])
+        kk = min(6, len(live_ids))
+        ref = qs @ live_vecs.T
+        kth = np.sort(ref, axis=1)[:, -kk]
+        pos = {int(d): r2 for r2, d in enumerate(live_ids)}
+        for b in range(qs.shape[0]):
+            got_ids = [int(d) for d in i[b] if d >= 0][:kk]
+            assert len(got_ids) == kk, f"step {step}: {i[b]} vs {kk} passing"
+            rows2 = [pos.get(d, -1) for d in got_ids]
+            assert -1 not in rows2, (
+                f"step {step}: non-passing/dead id in {got_ids}"
+            )
+            gotv = ref[b, rows2]
+            np.testing.assert_allclose(
+                np.asarray(s[b])[: len(gotv)], gotv, atol=2.5e-3
+            )
+            assert (gotv >= kth[b] - 2.5e-3).all()
+        # metadata joins stay consistent for a random passing doc
+        d0 = int(live_ids[0])
+        assert int(np.asarray(eng.meta.year)[d0]) == oracle[d0][1]
