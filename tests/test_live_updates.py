@@ -1319,3 +1319,87 @@ def test_randomized_live_ops_with_meta_and_filters(seed):
         # metadata joins stay consistent for a random passing doc
         d0 = int(live_ids[0])
         assert int(np.asarray(eng.meta.year)[d0]) == oracle[d0][1]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_randomized_live_ops_ivf_route(seed):
+    """Randomized add/update/delete/compact interleavings with the IVF
+    route active: the route must survive every compact (folded rows
+    assign to nearest centroids), every returned id must be live, and
+    small-batch (IVF-routed) recall@k vs the exact oracle must hold."""
+    from theoremsearch_tpu.index.ivf import IVFIndex
+
+    dim, n0, steps = 64, 512, 10
+    rng = np.random.default_rng(500 + seed)
+    centers = np.asarray(l2_normalize(
+        rng.standard_normal((16, dim)).astype(np.float32)))
+    pts = centers[rng.integers(0, 16, n0)] + (
+        0.5 / np.sqrt(dim)
+    ) * rng.standard_normal((n0, dim)).astype(np.float32)
+    base = np.asarray(l2_normalize(pts))
+    ivf = IVFIndex.build(
+        base,
+        config=IndexConfig(ivf_nlist=16, dtype="int8", ivf_assign2_margin=0.02),
+        slab_rows=128,
+        normalize=False,
+    )
+    idx = FlatIndex.build(
+        base, config=IndexConfig(pad_multiple=128, dtype="float32"),
+        normalize=False,
+    )
+    eng = SearchEngine(
+        idx, use_pallas=True, pallas_interpret=True, row_block=128,
+        ivf_index=ivf, ivf_nprobe=8, rescore_factor=8,
+    )
+    oracle = {i: base[i] for i in range(n0)}
+
+    def new_vec(m=1):
+        v = centers[rng.integers(0, 16, m)] + (
+            0.5 / np.sqrt(dim)
+        ) * rng.standard_normal((m, dim)).astype(np.float32)
+        return np.asarray(l2_normalize(v))
+
+    for step in range(steps):
+        r = rng.random()
+        live = list(oracle.keys())
+        if r < 0.35:
+            m = int(rng.integers(1, 4))
+            vecs = new_vec(m)
+            ids = eng.add_documents(vecs, normalize=False)
+            for j, d in enumerate(ids):
+                oracle[int(d)] = vecs[j]
+        elif r < 0.55 and live:
+            d = int(live[rng.integers(len(live))])
+            v = new_vec(1)[0]
+            eng.update_document(d, v)
+            oracle[d] = v
+        elif r < 0.80 and len(live) > 20:
+            m = int(rng.integers(1, 6))
+            picks = rng.choice(live, size=m, replace=False)
+            assert eng.delete_documents(picks) == m
+            for d in picks:
+                oracle.pop(int(d))
+        else:
+            eng.compact()
+            assert eng.ivf is not None, f"IVF route lost at step {step}"
+        assert eng.num_live == len(oracle)
+        # small batch -> IVF route; oracle restricted to live docs
+        live_ids = np.fromiter(oracle.keys(), np.int64)
+        live_vecs = np.stack([oracle[i] for i in live_ids])
+        qs = new_vec(4)
+        kk = min(8, len(live_ids))
+        s, i = eng.search_vectors(qs, k=kk)
+        ref = qs @ live_vecs.T
+        kth = np.sort(ref, axis=1)[:, -kk]
+        pos = {int(d): r2 for r2, d in enumerate(live_ids)}
+        hits = 0
+        for b in range(qs.shape[0]):
+            rows = [pos.get(int(d), -1) for d in i[b]]
+            assert -1 not in rows, f"dead id at step {step}: {i[b]}"
+            hits += (ref[b, rows] >= kth[b] - 2.5e-3).sum()
+        assert hits / (4 * kk) >= 0.85, (
+            f"IVF recall {hits}/{4 * kk} at step {step}"
+        )
+    # final fold keeps the route and full recall class
+    eng.compact()
+    assert eng.ivf is not None and eng.ivf.num_rows >= len(oracle)
