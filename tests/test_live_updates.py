@@ -1403,3 +1403,114 @@ def test_randomized_live_ops_ivf_route(seed):
     # final fold keeps the route and full recall class
     eng.compact()
     assert eng.ivf is not None and eng.ivf.num_rows >= len(oracle)
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_randomized_scheduler_stress_with_compacts(seed):
+    """Randomized serving-layer stress: 4 query threads drive mixed
+    filtered/unfiltered searches through the BatchScheduler while a
+    mutator thread runs random adds/updates/deletes and NON-RECLAIM
+    compacts (ids stable). Every response must be structurally valid
+    (shape, finite descending scores, ids within the minted range);
+    after quiesce the engine must agree exactly with the dict oracle."""
+    import threading
+
+    from theoremsearch_tpu.serve.scheduler import BatchScheduler
+
+    dim, n0 = 32, 128
+    rng = np.random.default_rng(600 + seed)
+    base = _norm(rng.standard_normal((n0, dim)))
+    meta_rows = _meta_rows(n0)
+    for j, r in enumerate(meta_rows):
+        r["year"] = int(2000 + (j % 20))
+    eng = _fp32_engine(base, meta=CorpusMetadata.from_rows(meta_rows))
+    oracle = {i: (base[i], 2000 + (i % 20)) for i in range(n0)}
+    olock = threading.Lock()
+    minted = [n0]            # upper bound on ever-minted doc ids
+    qs = _norm(rng.standard_normal((8, dim)))
+    stop = threading.Event()
+    errors = []
+    sched = BatchScheduler(eng, max_batch=16, max_wait_ms=3)
+
+    def mutate():
+        mrng = np.random.default_rng(1600 + seed)
+        try:
+            for step in range(24):
+                r = mrng.random()
+                with olock:
+                    live = list(oracle.keys())
+                if r < 0.4:
+                    m = int(mrng.integers(1, 4))
+                    vecs = _norm(mrng.standard_normal((m, dim)))
+                    rows = _meta_rows(m, start=minted[0])
+                    for rr in rows:
+                        rr["year"] = int(2000 + mrng.integers(0, 20))
+                    ids = eng.add_documents(vecs, meta_rows=rows,
+                                            normalize=False)
+                    with olock:
+                        for j, d in enumerate(ids):
+                            oracle[int(d)] = (vecs[j], rows[j]["year"])
+                        minted[0] = max(minted[0], int(ids[-1]) + 1)
+                elif r < 0.6 and live:
+                    d = int(live[mrng.integers(len(live))])
+                    v = _norm(mrng.standard_normal((dim,)))
+                    y = int(2000 + mrng.integers(0, 20))
+                    try:
+                        eng.update_document(d, v, meta_row={"year": y})
+                    except KeyError:
+                        continue          # raced with nothing: id was live
+                    with olock:
+                        oracle[d] = (v, y)
+                elif r < 0.85 and len(live) > 16:
+                    m = int(mrng.integers(1, 5))
+                    picks = [int(x) for x in
+                             mrng.choice(live, size=m, replace=False)]
+                    eng.delete_documents(picks)
+                    with olock:
+                        for d in picks:
+                            oracle.pop(d, None)
+                else:
+                    eng.compact()
+        except Exception as e:  # noqa: BLE001
+            errors.append(("mutate", e))
+        finally:
+            stop.set()
+
+    def query(ti):
+        qrng = np.random.default_rng(2600 + 10 * seed + ti)
+        try:
+            while not stop.is_set():
+                k = int(qrng.integers(3, 9))
+                f = None
+                if qrng.random() < 0.5:
+                    lo = int(2000 + qrng.integers(0, 15))
+                    f = SearchFilters(year_range=(lo, lo + 6))
+                s, ids = sched.search(
+                    qs[ti % len(qs)], k=k, filters=f, timeout=30.0
+                )
+                assert ids.shape == (k,)
+                s = np.asarray(s, np.float64)
+                real = ids >= 0
+                assert np.isfinite(s[real]).all()
+                assert (np.diff(s[real]) <= 1e-6).all(), f"not sorted: {s}"
+                assert (ids[real] < minted[0] + 8).all(), (
+                    f"id beyond minted range: {ids}"
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append((f"query{ti}", e))
+
+    threads = [threading.Thread(target=query, args=(i,)) for i in range(4)]
+    mt = threading.Thread(target=mutate)
+    for t in threads:
+        t.start()
+    mt.start()
+    mt.join()
+    for t in threads:
+        t.join()
+    sched.shutdown()
+    assert not errors, errors
+    # quiesce: exact differential against the oracle (vectors only)
+    with olock:
+        vec_oracle = {d: v for d, (v, _y) in oracle.items()}
+    assert eng.num_live == len(vec_oracle)
+    _check_topk_vs_oracle(eng, vec_oracle, qs[:3], k=8)
