@@ -276,19 +276,6 @@ def test_delta_capacity_growth():
     )
 
 
-def test_mesh_engine_rejects_mutation(small):
-    emb, new, _ = small
-    from theoremsearch_tpu.core import MeshConfig, make_mesh
-
-    idx = FlatIndex.build(
-        emb, config=IndexConfig(pad_multiple=128, dtype="float32"), normalize=False
-    )
-    eng = SearchEngine(idx, mesh=make_mesh(MeshConfig(data=1, shard=8)),
-                       use_pallas=False, row_block=128)
-    with pytest.raises(ValueError, match="single-chip"):
-        eng.add_documents(new[:1])
-
-
 def test_service_and_http_live_updates(small):
     emb, _, _ = small
     import json
@@ -1526,3 +1513,218 @@ def test_randomized_scheduler_stress_with_compacts(seed):
         vec_oracle = {d: v for d, (v, _y) in oracle.items()}
     assert eng.num_live == len(vec_oracle)
     _check_topk_vs_oracle(eng, vec_oracle, qs[:3], k=8)
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip live updates (VERDICT r4 item 1): the reference's rows are
+# searchable-on-commit at ANY corpus size (streamlit_app.py:281 — pgvector
+# scans whatever is in the table). A sharded engine must therefore accept
+# add/update/delete/compact(reclaim) and track the single-device live
+# engine id-for-id at every step: the delta buffer replicates across the
+# mesh (P()), deletes ride the row-sharded masked scan, and compact's
+# build-aside-and-swap rebuilds the sharded arrays off-lock.
+# ---------------------------------------------------------------------------
+
+from theoremsearch_tpu.core import MeshConfig, make_mesh  # noqa: E402
+
+
+def _sharded_fp32_engine(emb, meta=None, n_shards=8):
+    mesh = make_mesh(MeshConfig(data=1, shard=n_shards))
+    idx = FlatIndex.build(
+        emb, config=IndexConfig(pad_multiple=128, dtype="float32"), normalize=False
+    )
+    return SearchEngine(idx, meta=meta, mesh=mesh, use_pallas=False, row_block=128)
+
+
+def _sharded_speed_engine(emb, meta=None, n_shards=4):
+    mesh = make_mesh(MeshConfig(data=1, shard=n_shards))
+    idx = FlatIndex.build(
+        emb,
+        config=IndexConfig(pad_multiple=256, dtype="int8", int8_scale="global"),
+        normalize=False,
+    )
+    return SearchEngine(
+        idx, meta=meta, mesh=mesh, use_pallas=True, pallas_interpret=True,
+        row_block=128, rescore_vectors=emb, rescore_factor=8,
+    )
+
+
+def test_sharded_live_mutations_match_single_device(small):
+    """add/update/delete on an 8-shard mesh engine == the single-device
+    live engine, id-for-id, after every mutation."""
+    emb, new, q = small
+    eng_m = _sharded_fp32_engine(emb)
+    eng_1 = _fp32_engine(emb)
+
+    def check():
+        s_m, i_m = eng_m.search_vectors(q, k=8)
+        s_1, i_1 = eng_1.search_vectors(q, k=8)
+        np.testing.assert_array_equal(i_m, i_1)
+        np.testing.assert_allclose(s_m, s_1, atol=2e-3)
+
+    ids_m = eng_m.add_documents(new[:6], normalize=False)
+    ids_1 = eng_1.add_documents(new[:6], normalize=False)
+    np.testing.assert_array_equal(ids_m, ids_1)
+    check()
+    eng_m.update_document(42, new[6])
+    eng_1.update_document(42, new[6])
+    check()
+    assert eng_m.delete_documents([17, int(ids_m[0]), 42]) == 3
+    assert eng_1.delete_documents([17, int(ids_1[0]), 42]) == 3
+    assert eng_m.num_live == eng_1.num_live == 600 + 6 - 3
+    check()
+
+
+def test_sharded_compact_and_reclaim_match_single_device(small):
+    """compact() and compact(reclaim=True) on the mesh engine fold/renumber
+    exactly as the single-device engine (same id maps, same results)."""
+    emb, new, q = small
+    eng_m = _sharded_fp32_engine(emb)
+    eng_1 = _fp32_engine(emb)
+    for e in (eng_m, eng_1):
+        e.add_documents(new[:8], normalize=False)
+        e.delete_documents([3, 77, 601])
+    assert eng_m.compact() == eng_1.compact()
+    assert eng_m.n_valid == eng_1.n_valid
+    s_m, i_m = eng_m.search_vectors(q, k=10)
+    s_1, i_1 = eng_1.search_vectors(q, k=10)
+    np.testing.assert_array_equal(i_m, i_1)
+    for e in (eng_m, eng_1):
+        e.add_documents(new[8:12], normalize=False)
+    assert eng_m.compact(reclaim=True) == eng_1.compact(reclaim=True)
+    np.testing.assert_array_equal(eng_m.last_id_map, eng_1.last_id_map)
+    assert eng_m.n_valid == eng_1.n_valid == 600 + 12 - 3
+    s_m, i_m = eng_m.search_vectors(q, k=10)
+    s_1, i_1 = eng_1.search_vectors(q, k=10)
+    np.testing.assert_array_equal(i_m, i_1)
+    np.testing.assert_allclose(s_m, s_1, atol=2e-3)
+
+
+def test_sharded_speed_path_live_mutations(small):
+    """The PRODUCTION sharded speed path (int8 maxima scan + local
+    rescore, interpret mode) under live mutations: deletes stream the
+    row-sharded tombstone mask through the masked kernel; ids must match
+    the single-device speed engine at every step."""
+    emb, new, q = small
+    eng_m = _sharded_speed_engine(emb)
+    eng_1 = _speed_engine(emb)
+    assert eng_m._sharded_speed_ok
+
+    def check():
+        _, i_m = eng_m.search_vectors(q, k=8)
+        _, i_1 = eng_1.search_vectors(q, k=8)
+        np.testing.assert_array_equal(i_m, i_1)
+
+    for e in (eng_m, eng_1):
+        e.add_documents(new[:5], normalize=False)
+    check()
+    # single-device routes deletes through the k+margin over-fetch; the
+    # mesh engine uses the sharded masked scan — both must be exact
+    for e in (eng_m, eng_1):
+        assert e.delete_documents([0, 1, 2, 603]) == 4
+    check()
+    for e in (eng_m, eng_1):
+        e.update_document(10, new[6])
+    check()
+    assert eng_m.compact() == eng_1.compact()
+    check()
+    assert eng_m.compact(reclaim=True) == eng_1.compact(reclaim=True)
+    np.testing.assert_array_equal(eng_m.last_id_map, eng_1.last_id_map)
+    check()
+
+
+def test_sharded_live_mutations_with_meta_and_filters(small):
+    """Metadata serving + filtered search on a mesh engine with live
+    mutations: the filter mask covers live-added docs (delta bias) and
+    deletes, and reclaim renumbers metadata identically to single-dev."""
+    emb, new, q = small
+    meta_m = CorpusMetadata.from_rows(_meta_rows(600))
+    meta_1 = CorpusMetadata.from_rows(_meta_rows(600))
+    eng_m = _sharded_fp32_engine(emb, meta=meta_m)
+    eng_1 = _fp32_engine(emb, meta=meta_1)
+    rows = _meta_rows(6, start=600, year=2021)
+    for e in (eng_m, eng_1):
+        e.add_documents(new[:6], meta_rows=rows, normalize=False)
+        e.delete_documents([9, 602])
+    f = SearchFilters(year_range=(2021, 2021))
+    s_m, i_m = eng_m.search_vectors(q, k=4, filters=f)
+    s_1, i_1 = eng_1.search_vectors(q, k=4, filters=f)
+    np.testing.assert_array_equal(i_m, i_1)
+    # only the 2021 delta docs (minus the deleted one) can match
+    live_2021 = {600, 601, 603, 604, 605}
+    assert {int(d) for d in i_m.ravel() if d >= 0} <= live_2021
+    for e in (eng_m, eng_1):
+        assert e.compact(reclaim=True) == 5   # doc 602 was deleted
+    np.testing.assert_array_equal(eng_m.last_id_map, eng_1.last_id_map)
+    s_m, i_m = eng_m.search_vectors(q, k=4, filters=f)
+    s_1, i_1 = eng_1.search_vectors(q, k=4, filters=f)
+    np.testing.assert_array_equal(i_m, i_1)
+    assert all(
+        int(np.asarray(eng_m.meta.year)[int(d)]) == 2021
+        for d in i_m.ravel() if d >= 0
+    )
+
+
+def test_sharded_compact_concurrent_with_queries(small):
+    """The sharded twin of test_compact_concurrent_with_queries: a query
+    thread hammers the MESH engine while compact() rebuilds and swaps the
+    sharded device state; no interleaving may surface a shape error,
+    half-swapped state, or dead id."""
+    import threading
+
+    emb, new, q = small
+    eng = _sharded_fp32_engine(emb)
+    errs: list[Exception] = []
+    stop = threading.Event()
+
+    def hammer():
+        while not stop.is_set():
+            try:
+                s, i = eng.search_vectors(q, k=5)
+                assert i.shape == (9, 5) and (i >= 0).all()
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+                return
+
+    t = threading.Thread(target=hammer)
+    t.start()
+    try:
+        for j in range(4):
+            eng.add_documents(new[5 * j : 5 * j + 5], normalize=False)
+            assert eng.compact() == 5
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not errs, errs
+    assert eng.n_valid == 620 and eng._main_ids_arange
+    # post-compact results still exact vs brute force
+    allv = np.concatenate([emb, new])
+    ref_s, ref_i = _oracle(q, allv, np.arange(620), 10)
+    s, i = eng.search_vectors(q, k=10)
+    np.testing.assert_array_equal(i, ref_i)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_randomized_sharded_live_ops_vs_oracle(seed):
+    """The randomized differential stress suite over the MESH engine:
+    random add/update/delete/compact/reclaim interleavings, every step's
+    top-k exact against the host dict oracle."""
+    dim, n0, steps = 32, 96, 18
+    rng = np.random.default_rng(700 + seed)
+    base = _norm(rng.standard_normal((n0, dim)))
+    eng = _sharded_fp32_engine(base, n_shards=4)
+    oracle = {i: base[i] for i in range(n0)}
+    qs = _norm(rng.standard_normal((3, dim)))
+    trail = []
+    for step in range(steps):
+        trail.append(_random_op(rng, eng, oracle, dim))
+        assert eng.num_live == len(oracle), f"after {trail}"
+        _check_topk_vs_oracle(eng, oracle, qs, k=8)
+    eng.compact(reclaim=True)
+    mp = eng.last_id_map
+    if mp is not None:
+        oracle = {
+            (int(mp[d]) if d < len(mp) else d): v for d, v in oracle.items()
+        }
+    assert eng.num_live == len(oracle)
+    _check_topk_vs_oracle(eng, oracle, qs, k=8)

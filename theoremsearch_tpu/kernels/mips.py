@@ -298,10 +298,11 @@ INT32_LOW = -(2**26)
 
 
 def _mips_g_kernel(
-    *refs,       # [nvalid_ref if has_padding], q_ref, c_ref, [mask_ref], out_ref
+    *refs,       # [nvalid_ref], q_ref, [oneh_ref], c_ref, [mask_ref], out_ref
     row_block: int,
     has_padding: bool,
     has_mask: bool = False,
+    has_gmask: bool = False,
     merge_tiles: int = 1,
 ):
     """Streaming packed-lane-maxima scan on a GLOBAL-scale int8 corpus —
@@ -359,8 +360,9 @@ def _mips_g_kernel(
     it = iter(refs)
     nvalid_ref = next(it) if has_padding else None
     q_ref = next(it)
+    oneh_ref = next(it) if has_gmask else None
     c_ref = next(it)
-    mask_ref = next(it) if has_mask else None
+    mask_ref = next(it) if (has_mask or has_gmask) else None
     out_ref = next(it)
     i = pl.program_id(0)
     b = q_ref.shape[0]
@@ -388,7 +390,23 @@ def _mips_g_kernel(
                 sl = sl | (grp_base + grp)
             else:
                 sl = sl | grp
-            if mask_ref is not None:
+            if has_gmask:
+                # PER-QUERY filter masks (heterogeneous filtered batch):
+                # mask_ref is (G, row_block) — G distinct row masks — and
+                # each query selects its row through a one-hot (B, G)
+                # int8 matmul on the MXU: msel[b, c] = masks[mid[b], c].
+                # Contraction length G (<= 32) rides one MXU pass per
+                # slice, ~G/D of the main matmul's work — this is what
+                # lets the scheduler coalesce a whole mixed-filter window
+                # into ONE scan instead of per-signature micro-batches.
+                msel = jax.lax.dot_general(
+                    oneh_ref[:],
+                    mask_ref[:, grp * 128 : (grp + 1) * 128],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                sl = jnp.where(msel != 0, sl, INT32_MIN)
+            elif mask_ref is not None:
                 # filter mask: excluded rows drop below every real score
                 # BEFORE the lane reduction (filtered search at speed-path
                 # rates; streamed (1, row_block) int8, 0 = excluded)
@@ -492,6 +510,8 @@ def fused_mips_topk_g(
     interpret: bool = False,
     exact_epilogue: bool | None = None,
     merge_tiles: int | None = None,
+    gmasks: jax.Array | None = None,
+    mask_ids: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Global-scale int8 fused scan (the speed path; see _mips_g_kernel).
 
@@ -512,6 +532,16 @@ def fused_mips_topk_g(
              masked default exists because contiguous-doc-id filters put
              every survivor in adjacent columns, which approx_max_k's
              bin reduction collapses on real TPU).
+    gmasks/mask_ids: PER-QUERY masks for heterogeneous filtered batches —
+             gmasks (G, N_pad) int8/bool rows (1 = doc passes) and
+             mask_ids (B,) int32 giving each query its row. The kernel
+             selects each query's mask through a one-hot (B, G) MXU
+             matmul per column slice (~G/D of the main matmul's work),
+             so a window of B queries spanning G distinct filter
+             signatures runs as ONE scan. G must be <= 128 and is
+             cheapest as a small power of two; mutually exclusive with
+             `mask`. Uses the exact epilogue (same contiguous-survivor
+             argument as `mask`).
     merge_tiles: accumulate M consecutive corpus tiles per output block
              (see _mips_g_kernel), dividing the epilogue width by M.
              None (default) picks the largest M in {4, 2, 1} that the
@@ -559,13 +589,24 @@ def fused_mips_topk_g(
     if n_valid is None:
         n_valid = n_pad
     has_padding = not (isinstance(n_valid, (int, np.integer)) and int(n_valid) == n_pad)
+    if gmasks is not None:
+        if mask is not None:
+            raise ValueError("pass mask OR gmasks, not both")
+        if mask_ids is None:
+            raise ValueError("gmasks requires mask_ids")
+        if gmasks.shape[1] != n_pad:
+            raise ValueError(f"gmasks must be (G, {n_pad}), got {gmasks.shape}")
+        if gmasks.shape[0] > 128:
+            raise ValueError("at most 128 mask groups per scan")
+        gmasks = jnp.asarray(gmasks).astype(jnp.int8)
+        mask_ids = jnp.asarray(mask_ids, jnp.int32)
+    if exact_epilogue is None:
+        exact_epilogue = mask is not None or gmasks is not None
     if mask is not None:
         mask = jnp.asarray(mask).astype(jnp.int8).reshape(1, n_pad)
-    if exact_epilogue is None:
-        exact_epilogue = mask is not None
     return _fused_mips_topk_g_impl(
         queries, codes, global_scale,
-        jnp.asarray(n_valid, jnp.int32), mask,
+        jnp.asarray(n_valid, jnp.int32), mask, gmasks, mask_ids,
         k=k, row_block=row_block, recall_target=recall_target,
         interpret=interpret, has_padding=has_padding,
         exact_epilogue=exact_epilogue, merge_tiles=merge_tiles,
@@ -585,6 +626,8 @@ def _fused_mips_topk_g_impl(
     global_scale: jax.Array | float,
     n_valid: jax.Array,
     mask: jax.Array | None,
+    gmasks: jax.Array | None = None,
+    mask_ids: jax.Array | None = None,
     *,
     k: int,
     row_block: int,
@@ -599,6 +642,14 @@ def _fused_mips_topk_g_impl(
     g = row_block // 128
     g_eff = g * merge_tiles
     qk, qscales = _quantize_queries(queries)
+    oneh = None
+    if gmasks is not None:
+        # one-hot per-query mask selector; int8 so the in-kernel select
+        # rides the MXU's native int8 path
+        n_groups_m = gmasks.shape[0]
+        oneh = (
+            mask_ids[:, None] == jnp.arange(n_groups_m, dtype=jnp.int32)[None, :]
+        ).astype(jnp.int8)
 
     n_tiles = n_pad // row_block
     n_blocks = n_tiles // merge_tiles  # output blocks (tile merge windows)
@@ -623,19 +674,24 @@ def _fused_mips_topk_g_impl(
         **params,
     )
     has_mask = mask is not None
+    has_gmask = gmasks is not None
     kernel = functools.partial(
         _mips_g_kernel, row_block=row_block, has_padding=has_padding,
-        has_mask=has_mask, merge_tiles=merge_tiles,
+        has_mask=has_mask, has_gmask=has_gmask, merge_tiles=merge_tiles,
     )
-    mask_args = (mask,) if has_mask else ()
+    n_gm = gmasks.shape[0] if has_gmask else 0
+    pre_args = (oneh,) if has_gmask else ()
+    mask_args = (mask,) if has_mask else ((gmasks,) if has_gmask else ())
     if has_padding:
         nvalid_arr = jnp.asarray(n_valid, dtype=jnp.int32).reshape(1, 1)
-        in_specs = [
-            pl.BlockSpec((b, d), lambda i, *_: (0, 0)),
-            pl.BlockSpec((row_block, d), lambda i, *_: (i, 0)),
-        ]
+        in_specs = [pl.BlockSpec((b, d), lambda i, *_: (0, 0))]
+        if has_gmask:
+            in_specs.append(pl.BlockSpec((b, n_gm), lambda i, *_: (0, 0)))
+        in_specs.append(pl.BlockSpec((row_block, d), lambda i, *_: (i, 0)))
         if has_mask:
             in_specs.append(pl.BlockSpec((1, row_block), lambda i, *_: (0, i)))
+        elif has_gmask:
+            in_specs.append(pl.BlockSpec((n_gm, row_block), lambda i, *_: (0, i)))
         cand = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -647,21 +703,23 @@ def _fused_mips_topk_g_impl(
                 ),
             ),
             **common,
-        )(nvalid_arr, qk, codes, *mask_args)
+        )(nvalid_arr, qk, *pre_args, codes, *mask_args)
     else:
-        in_specs = [
-            pl.BlockSpec((b, d), lambda i: (0, 0)),
-            pl.BlockSpec((row_block, d), lambda i: (i, 0)),
-        ]
+        in_specs = [pl.BlockSpec((b, d), lambda i: (0, 0))]
+        if has_gmask:
+            in_specs.append(pl.BlockSpec((b, n_gm), lambda i: (0, 0)))
+        in_specs.append(pl.BlockSpec((row_block, d), lambda i: (i, 0)))
         if has_mask:
             in_specs.append(pl.BlockSpec((1, row_block), lambda i: (0, i)))
+        elif has_gmask:
+            in_specs.append(pl.BlockSpec((n_gm, row_block), lambda i: (0, i)))
         cand = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((b, 128), lambda i: (0, i // merge_tiles)),
             **common,
-        )(qk, codes, *mask_args)
+        )(qk, *pre_args, codes, *mask_args)
 
     # epilogue: selection over the packed maxima, then unpack ids
     k_eff = min(k, n_blocks * 128)
@@ -959,11 +1017,19 @@ def xla_mips_topk_scan(
     *,
     k: int = 10,
     chunk: int = 65536,
+    bias_groups: jax.Array | None = None,
+    mask_ids: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """lax.scan over corpus chunks with a running top-k carry.
 
     Exact with O(B*chunk) live memory — the XLA analogue of the fused
-    kernel, used when Pallas is unavailable and for large corpora on CPU."""
+    kernel, used when Pallas is unavailable and for large corpora on CPU.
+
+    bias_groups/mask_ids: PER-QUERY additive biases for heterogeneous
+    filtered batches — bias_groups (G, N_pad) f32 rows (0 keep / -inf
+    exclude) and mask_ids (B,) selecting each query's row; the per-query
+    bias is gathered per chunk ((B, chunk) live memory), never
+    materialized (B, N)."""
     n_pad, d = corpus.shape
     b = queries.shape[0]
     if n_pad % chunk != 0:
@@ -980,10 +1046,16 @@ def xla_mips_topk_scan(
     corpus_t = corpus.reshape(n_chunks, chunk, d)
     scales_t = scales.reshape(n_chunks, chunk) if scales is not None else None
     bias_t = bias.reshape(n_chunks, chunk) if bias is not None else None
+    biasg_t = (
+        bias_groups.reshape(bias_groups.shape[0], n_chunks, chunk)
+        .transpose(1, 0, 2)
+        if bias_groups is not None
+        else None
+    )
 
     def step(carry, xs):
         top_s, top_i = carry
-        c_chunk, sc, bs, start = xs
+        c_chunk, sc, bs, bg, start = xs
         if int8_corpus:
             acc = jax.lax.dot_general(
                 q, c_chunk, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -999,6 +1071,8 @@ def xla_mips_topk_scan(
             s = s * sc[None, :].astype(jnp.float32)
         if bs is not None:
             s = s + bs[None, :].astype(jnp.float32)
+        if bg is not None:
+            s = s + jnp.take(bg, mask_ids, axis=0)   # (B, chunk)
         gids = jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1) + start
         s = jnp.where(gids < n_valid, s, NEG_INF)
         cand_s = jnp.concatenate([top_s, s], axis=1)
@@ -1012,6 +1086,6 @@ def xla_mips_topk_scan(
         jnp.full((b, k), -1, jnp.int32),
     )
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    xs = (corpus_t, scales_t, bias_t, starts)
+    xs = (corpus_t, scales_t, bias_t, biasg_t, starts)
     (top_s, top_i), _ = jax.lax.scan(step, init, xs)
     return top_s, top_i

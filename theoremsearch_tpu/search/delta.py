@@ -46,9 +46,10 @@ def _delta_topk(q, vecs, ids, bias, *, kd: int):
     """Exact top-kd over the delta buffer.
 
     q (B, D) f32; vecs (cap, D) bf16; ids (cap,) int32; bias (cap,) f32
-    (0 = live, -inf = empty/tombstoned/filtered). Returns (B, kd) scores
-    + doc ids. cap is small (<= a few hundred k rows), so this is noise
-    next to the main scan.
+    (0 = live, -inf = empty/tombstoned/filtered) — or (B, cap) for
+    PER-QUERY biases (heterogeneous filtered batches). Returns (B, kd)
+    scores + doc ids. cap is small (<= a few hundred k rows), so this is
+    noise next to the main scan.
     """
     s = jax.lax.dot_general(
         q,
@@ -56,7 +57,7 @@ def _delta_topk(q, vecs, ids, bias, *, kd: int):
         (((1,), (1,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
     )
-    s = s + bias[None, :]
+    s = s + (bias if bias.ndim == 2 else bias[None, :])
     top_s, top_i = jax.lax.top_k(s, kd)
     return top_s, jnp.take(ids, top_i)
 
@@ -70,8 +71,13 @@ class DeltaBuffer:
     lock — this class is not itself thread-safe.
     """
 
-    def __init__(self, dim: int):
+    def __init__(self, dim: int, sharding=None):
+        """sharding: optional fully-replicated NamedSharding (mesh P())
+        — multi-chip engines replicate the buffer across every chip so
+        the delta scan composes SPMD with the sharded main scan. None =
+        default device (single-chip)."""
         self.dim = dim
+        self.sharding = sharding
         self.cap = 0
         self.n = 0                      # next free row
         self.n_live = 0
@@ -99,13 +105,18 @@ class DeltaBuffer:
 
     def _push_full(self) -> None:
         """Re-place the whole buffer on device (growth / compaction)."""
-        self.dev_vecs = jnp.asarray(self.vecs, jnp.bfloat16)
-        self.dev_ids = jnp.asarray(
+        self.dev_vecs = self._put(self.vecs.astype(jnp.bfloat16))
+        self.dev_ids = self._put(
             np.where(self.live, self.ids, PAD_ID).astype(np.int32)
         )
-        self.dev_bias = jnp.asarray(
+        self.dev_bias = self._put(
             np.where(self.live, 0.0, NEG_INF).astype(np.float32)
         )
+
+    def _put(self, host: np.ndarray) -> jax.Array:
+        if self.sharding is not None:
+            return jax.device_put(host, self.sharding)
+        return jnp.asarray(host)
 
     def add(self, embeddings: np.ndarray, ids: np.ndarray) -> None:
         m = embeddings.shape[0]
@@ -202,4 +213,4 @@ class DeltaBuffer:
         return self.vecs[: self.n][sel], self.ids[: self.n][sel]
 
     def reset(self) -> None:
-        self.__init__(self.dim)
+        self.__init__(self.dim, sharding=self.sharding)

@@ -427,6 +427,9 @@ class SearchEngine:
         # a lock: without a scheduler, ThreadingHTTPServer handler
         # threads hit this concurrently
         self._filter_cache: dict[tuple, tuple] = {}
+        # (ordered signature tuple, tomb epoch) -> device (G, rows) mask
+        # stack for grouped heterogeneous-filter dispatches
+        self._gmask_cache: dict[tuple, Any] = {}
         import threading
 
         # compact() re-runs __init__ IN PLACE while holding these locks /
@@ -607,12 +610,18 @@ class SearchEngine:
     # live updates (upsert -> searchable, like the reference's pgvector)
     # ------------------------------------------------------------------
 
-    def _require_mutable(self) -> None:
-        if self.mesh is not None:
-            raise ValueError(
-                "live updates are single-chip; rebuild multi-chip shards "
-                "through IndexBuilder and re-create the engine"
-            )
+    def _new_delta(self):
+        """Fresh DeltaBuffer; under a mesh its device arrays replicate
+        across every chip (P() sharding) so the delta scan composes with
+        the sharded main scan SPMD — the buffer is tiny, so replication
+        costs ~nothing and keeps rows live-on-commit at ANY corpus scale
+        (the reference's pgvector semantics, streamlit_app.py:281)."""
+        from .delta import DeltaBuffer
+
+        sharding = (
+            NamedSharding(self.mesh, P()) if self.mesh is not None else None
+        )
+        return DeltaBuffer(self.dim, sharding=sharding)
 
     def _doc_row(self, doc_id: int) -> int | None:
         """Main-index row of a doc id, or None if absent."""
@@ -651,7 +660,6 @@ class SearchEngine:
         Returns the assigned doc ids (sequential). With metadata serving,
         meta_rows (one dict per doc, CorpusMetadata.from_rows spec) is
         required so filters and joins cover the new docs."""
-        self._require_mutable()
         # the unnormalized branch still needs the shape validation: a 1-D
         # (D,) vector would otherwise mint D doc ids and broadcast-corrupt
         emb = self._normalize_rows(embeddings) if normalize else self._as_rows(
@@ -680,9 +688,7 @@ class SearchEngine:
                 ids_arr = self._next_doc_id + np.arange(m, dtype=np.int64)
                 self._next_doc_id += m
             if self._delta is None:
-                from .delta import DeltaBuffer
-
-                self._delta = DeltaBuffer(self.dim)
+                self._delta = self._new_delta()
             self._delta.add(emb, ids_arr)
             self._delta_bias_cache.clear()
         return ids_arr
@@ -694,7 +700,6 @@ class SearchEngine:
         the new vector into the delta under the same id (pgvector
         ON CONFLICT UPDATE semantics). meta_row keys, when given,
         overwrite that doc's columns."""
-        self._require_mutable()
         emb = self._normalize_rows(embedding)
         with self._live_lock:
             if self.meta is not None and not self._main_ids_arange:
@@ -717,9 +722,7 @@ class SearchEngine:
                         )
                 self._delta_meta_rows.append(self.meta.row_as_dict(int(doc_id)))
             if self._delta is None:
-                from .delta import DeltaBuffer
-
-                self._delta = DeltaBuffer(self.dim)
+                self._delta = self._new_delta()
             self._delta.add(emb, np.array([doc_id], np.int64))
             self._delta_bias_cache.clear()
 
@@ -728,7 +731,6 @@ class SearchEngine:
         rows are masked out of every subsequent scan (the filtered-path
         machinery); delta rows get a -inf bias. Storage is reclaimed by
         an offline full rebuild, not by delete."""
-        self._require_mutable()
         with self._live_lock:
             return self._delete_locked([int(d) for d in np.atleast_1d(doc_ids)])
 
@@ -807,7 +809,6 @@ class SearchEngine:
 
         warm_batches: padded batch sizes to pre-compile on the rebuilt
         engine (default: every bucket this engine has served)."""
-        self._require_mutable()
         import os as _os
         import threading as _threading
 
@@ -931,9 +932,7 @@ class SearchEngine:
     def _rebuild_delta(self, vecs, ids, live):
         """Fresh DeltaBuffer holding these rows IN ORDER (dead rows kept
         as tombstones so _delta_meta_rows positions stay aligned)."""
-        from .delta import DeltaBuffer
-
-        d2 = DeltaBuffer(self.dim)
+        d2 = self._new_delta()
         if ids.shape[0]:
             d2.add(np.asarray(vecs, np.float32), np.asarray(ids, np.int64))
             dead = np.nonzero(~np.asarray(live, bool))[0]
@@ -1244,6 +1243,17 @@ class SearchEngine:
                         out = fn(q)
                     elif wb == "mask":
                         out = fn(q, jnp.zeros((eng2.padded_rows,), jnp.int8))
+                    elif wb == "maskg":
+                        gm_dt = (
+                            jnp.int8
+                            if (eng2._speed_ok or eng2._sharded_speed_ok)
+                            else jnp.float32
+                        )
+                        out = fn(
+                            q,
+                            jnp.zeros((8, eng2.padded_rows), gm_dt),
+                            jnp.zeros((q.shape[0],), jnp.int32),
+                        )
                     else:
                         out = fn(q, jnp.zeros((eng2.padded_rows,), jnp.float32))
                     jax.block_until_ready(out)
@@ -1544,10 +1554,22 @@ class SearchEngine:
         self._tomb_ids_cache = (epoch, ids)
         return ids
 
-    def _delta_filter_bias(self, filters: SearchFilters | None, delta):
-        """Per-delta-row f32 bias (0 pass / -inf fail) for the user's
+    def _delta_filter_mask_np(self, filters: SearchFilters | None, delta):
+        """Host bool mask over delta rows [0, delta.n) for the user's
         filters, or None when no filtering applies. Computed over the
         SMALL delta metadata view only."""
+        if filters is None or self.meta is None:
+            return None
+        from .filters import filter_key
+
+        if filter_key(filters) == ():
+            return None
+        view = CorpusMetadata.from_rows(self._delta_meta_rows[: delta.n])
+        return compile_filter_mask(filters, view)
+
+    def _delta_filter_bias(self, filters: SearchFilters | None, delta):
+        """Per-delta-row f32 device bias (0 pass / -inf fail), or None
+        when no filtering applies."""
         if filters is None or self.meta is None:
             return None
         from .filters import filter_key
@@ -1560,8 +1582,7 @@ class SearchEngine:
             hit = self._delta_bias_cache.get(key)
         if hit is not None:
             return hit[0]
-        view = CorpusMetadata.from_rows(self._delta_meta_rows[: delta.n])
-        mask = compile_filter_mask(filters, view)
+        mask = self._delta_filter_mask_np(filters, delta)
         if mask is None:
             bias = None
         else:
@@ -1573,6 +1594,35 @@ class SearchEngine:
                 self._delta_bias_cache.pop(next(iter(self._delta_bias_cache)))
             self._delta_bias_cache[key] = (bias,)
         return bias
+
+    def _delta_bias_stack(self, ordered_keys, reps, delta):
+        """(G_pad, cap) f32 device stack of per-signature delta biases
+        for a grouped dispatch (row g = signature g's bias; pad rows
+        all -inf), or None when NO signature filters the delta."""
+        if self.meta is None or all(fk == () for fk in ordered_keys):
+            return None
+        key = ("stack", tuple(ordered_keys), delta.n)
+        with self._filter_cache_lock:
+            hit = self._delta_bias_cache.get(key)
+        if hit is not None:
+            return hit[0]
+        g_pad = max(8, pow2_bucket(len(ordered_keys)))
+        stack = np.full((g_pad, delta.cap), NEG_INF, np.float32)
+        for gi, (fk, f) in enumerate(zip(ordered_keys, reps)):
+            if fk == ():
+                stack[gi, : delta.n] = 0.0
+                continue
+            mask = self._delta_filter_mask_np(f, delta)
+            if mask is None:
+                stack[gi, : delta.n] = 0.0
+            else:
+                stack[gi, : delta.n] = np.where(mask, 0.0, NEG_INF)
+        dev = jnp.asarray(stack)
+        with self._filter_cache_lock:
+            if len(self._delta_bias_cache) >= 64:
+                self._delta_bias_cache.pop(next(iter(self._delta_bias_cache)))
+            self._delta_bias_cache[key] = (dev,)
+        return dev
 
     def _ivf_fn(self, k: int) -> Callable:
         if k not in self._ivf_fns:
@@ -1647,6 +1697,41 @@ class SearchEngine:
 
                 return speed, True
 
+            if self._speed_ok and with_bias == "maskg":
+                # GROUPED filtered speed path: G distinct filter masks
+                # stream through the kernel as a (G, rows) int8 array and
+                # each query selects its row via a one-hot MXU matmul
+                # (kernels/mips.py _mips_g_kernel has_gmask) — a whole
+                # heterogeneous filtered window coalesces into ONE scan
+                # instead of per-signature micro-batches (the reference
+                # serves per-query WHERE clauses,
+                # /root/reference/streamlit_app.py:178-243).
+                gscale = self._global_scale
+                kr = min(max(k, self.rescore_factor * k), self.padded_rows)
+                ids_dev = self.ids
+                rescore_dev = self._rescore_args()
+                row_block = self.row_block
+                interpret = self.pallas_interpret
+                n_valid = self.n_valid
+
+                def speed_gmask_impl(q, gm, mid, vectors, rescore, ids):
+                    _, li = fused_mips_topk_g(
+                        q, vectors, gscale, n_valid,
+                        k=kr, row_block=row_block, interpret=interpret,
+                        gmasks=gm, mask_ids=mid,
+                    )
+                    s, li = self._device_rescore(q, li, vectors, rescore, n_valid, k)
+                    gids = jnp.where(li >= 0, ids[li.clip(0)], PAD_ID)
+                    return s, gids
+
+                jg = jax.jit(speed_gmask_impl)
+                vectors = self.vectors
+
+                def speed_gmask(q, gm, mid):
+                    return jg(q, gm, mid, vectors, rescore_dev, ids_dev)
+
+                return speed_gmask, True
+
             if self._speed_ok and with_bias == "mask":
                 # FILTERED speed path: the bool mask streams through the
                 # maxima-scan kernel (excluded rows -> INT32_MIN before
@@ -1676,6 +1761,27 @@ class SearchEngine:
                     return jm(q, m, vectors, rescore_dev, ids_dev)
 
                 return speed_mask, True
+
+            if with_bias == "maskg" and not self.use_pallas:
+                # grouped filtered path, XLA scan: per-query bias rows
+                # gathered per corpus chunk (never (B, N) materialized)
+                chunk0 = min(self.row_block * 8, self.padded_rows)
+                while self.padded_rows % chunk0:
+                    chunk0 -= self.row_block
+
+                def single_g_impl(q, gm, mid, vectors, scales, ids):
+                    s, li = xla_mips_topk_scan(
+                        q, vectors, scales, n_valid, None, k=k, chunk=chunk0,
+                        bias_groups=gm, mask_ids=mid,
+                    )
+                    gids = jnp.where(li >= 0, ids[li.clip(0)], PAD_ID)
+                    return s, gids
+
+                jsg = jax.jit(single_g_impl)
+                vec_g, sc_g, ids_g = self.vectors, self.scales, self.ids
+                return (
+                    lambda q, gm, mid: jsg(q, gm, mid, vec_g, sc_g, ids_g)
+                ), False
 
             # corpus arrays as jit ARGUMENTS here too (same constant-
             # baking trap the speed path documents above: a closed-over
@@ -1741,6 +1847,112 @@ class SearchEngine:
             # corpus as jit ARGUMENTS (constant-baking trap, see above)
             jf = jax.jit(f)
             return (lambda q: jf(q, vectors, ids, *rescore_dev)), True
+
+        if with_bias == "maskg" and self._sharded_speed_ok:
+            # SHARDED grouped filtered speed path: the (G, rows) mask
+            # stack is row-sharded on its second axis (each chip streams
+            # its slice of every mask row); the one-hot select runs
+            # inside each chip's masked maxima scan, then local rescore
+            # + the usual ICI all_gather merge.
+            from jax import shard_map as _shard_map
+
+            gscale = self._global_scale
+            kr = min(max(k, self.rescore_factor * k), self.rows_per_shard)
+            row_block = self.row_block
+            interpret = self.pallas_interpret
+            rescore_dev = self._rescore_args()
+            rescore_specs = (
+                (P("shard", None), P("shard"))
+                if self.rescore_residual is not None
+                else (P("shard", None),)
+            )
+
+            def shard_body_speed_gmask(q, gm, mid, corpus, ids_shard, *rescore_shard):
+                shard_idx = jax.lax.axis_index("shard")
+                local_valid = jnp.clip(
+                    n_valid - shard_idx * rows_per_shard, 0, rows_per_shard
+                )
+                _, li = fused_mips_topk_g(
+                    q, corpus, gscale, local_valid,
+                    k=kr, row_block=row_block, interpret=interpret,
+                    gmasks=gm, mask_ids=mid,
+                )
+                s, li = self._device_rescore(
+                    q, li, corpus, rescore_shard, local_valid, k
+                )
+                gids = jnp.where(li >= 0, ids_shard[li.clip(0)], PAD_ID)
+                all_s = jax.lax.all_gather(s, "shard", axis=1, tiled=True)
+                all_i = jax.lax.all_gather(gids, "shard", axis=1, tiled=True)
+                return merge_topk(all_s, jnp.where(all_i < 0, PAD_ID, all_i), k)
+
+            f = _shard_map(
+                shard_body_speed_gmask,
+                mesh=mesh,
+                in_specs=(
+                    P(None, None), P(None, "shard"), P(None),
+                    P("shard", None), P("shard"), *rescore_specs,
+                ),
+                out_specs=(P(None, None), P(None, None)),
+                check_vma=False,
+            )
+            jf = jax.jit(f)
+            return (
+                lambda q, gm, mid: jf(q, gm, mid, vectors, ids, *rescore_dev)
+            ), True
+
+        if with_bias == "maskg" and not self.use_pallas:
+            # sharded grouped XLA path: bias rows sharded on axis 1,
+            # per-chunk per-query gather inside each shard's scan
+            from jax import shard_map as _shard_map
+
+            chunk0 = min(self.row_block * 8, rows_per_shard)
+            while rows_per_shard % chunk0:
+                chunk0 -= self.row_block
+            scales_l = scales
+
+            def shard_body_g(q, gm, mid, corpus, ids_shard, scales_shard):
+                shard_idx = jax.lax.axis_index("shard")
+                local_valid = jnp.clip(
+                    n_valid - shard_idx * rows_per_shard, 0, rows_per_shard
+                )
+                s, li = xla_mips_topk_scan(
+                    q, corpus, scales_shard, local_valid, None, k=k,
+                    chunk=chunk0, bias_groups=gm, mask_ids=mid,
+                )
+                gids = jnp.where(li >= 0, ids_shard[li.clip(0)], PAD_ID)
+                all_s = jax.lax.all_gather(s, "shard", axis=1, tiled=True)
+                all_i = jax.lax.all_gather(gids, "shard", axis=1, tiled=True)
+                return merge_topk(all_s, jnp.where(all_i < 0, PAD_ID, all_i), k)
+
+            if scales_l is None:
+                f = _shard_map(
+                    lambda q, gm, mid, c, i2: shard_body_g(q, gm, mid, c, i2, None),
+                    mesh=mesh,
+                    in_specs=(
+                        P(None, None), P(None, "shard"), P(None),
+                        P("shard", None), P("shard"),
+                    ),
+                    out_specs=(P(None, None), P(None, None)),
+                    check_vma=False,
+                )
+                jfg = jax.jit(f)
+                return (
+                    lambda q, gm, mid: jfg(q, gm, mid, vectors, ids)
+                ), False
+            f = _shard_map(
+                shard_body_g,
+                mesh=mesh,
+                in_specs=(
+                    P(None, None), P(None, "shard"), P(None),
+                    P("shard", None), P("shard"), P("shard"),
+                ),
+                out_specs=(P(None, None), P(None, None)),
+                check_vma=False,
+            )
+            jfg = jax.jit(f)
+            return (
+                lambda q, gm, mid: jfg(q, gm, mid, vectors, ids, scales_l)
+            ), False
 
         if with_bias == "mask" and self._sharded_speed_ok:
             # SHARDED FILTERED speed path: the int8 filter mask is row-
@@ -1946,6 +2158,184 @@ class SearchEngine:
             self._filter_cache[key] = entry
         return entry
 
+    # distinct filter signatures a single grouped scan carries; beyond
+    # it the dispatch splits (compile shapes stay bounded: G pads to a
+    # power of two in [8, 32])
+    max_filter_groups = 32
+
+    @property
+    def supports_grouped_filters(self) -> bool:
+        """True when heterogeneous filtered batches run as ONE scan with
+        per-query masks (the grouped maxima-scan kernel on the speed
+        paths; per-chunk bias gathers on the XLA fallback). The
+        per-row-scale Pallas path is the one combination that still
+        dispatches per signature."""
+        return self._speed_ok or self._sharded_speed_ok or not self.use_pallas
+
+    def _grouped_device_masks(self, ordered_keys, reps):
+        """Device (G_pad, padded_rows) mask stack for a grouped dispatch:
+        int8 pass/fail rows on the speed paths, f32 0/-inf bias rows on
+        the XLA paths; row-sharded on axis 1 under a mesh. Pad rows are
+        all-excluded. Cached per (ordered signature tuple, tomb epoch) —
+        serving mixes reuse signature sets, so steady-state dispatches
+        hit the cache and upload nothing."""
+        speed = self._speed_ok or self._sharded_speed_ok
+        key = (tuple(ordered_keys), self._tomb_epoch)
+        with self._filter_cache_lock:
+            hit = self._gmask_cache.get(key)
+        if hit is not None:
+            return hit
+        g_pad = max(8, pow2_bucket(len(ordered_keys)))
+        if speed:
+            stack = np.zeros((g_pad, self.padded_rows), np.int8)
+        else:
+            stack = np.full((g_pad, self.padded_rows), NEG_INF, np.float32)
+        pass_val = 1 if speed else 0.0
+        for gi, (fk, f) in enumerate(zip(ordered_keys, reps)):
+            if fk == () and self._tombstone is None:
+                stack[gi, : self.n_valid] = pass_val
+                continue
+            mask, _dev, _pr = self._combined_mask_inputs(f if fk != () else None)
+            if mask is None:
+                stack[gi, : self.n_valid] = pass_val
+            elif speed:
+                stack[gi, : mask.shape[0]] = mask
+            else:
+                stack[gi, : mask.shape[0]] = np.where(mask, 0.0, NEG_INF)
+        dev = jnp.asarray(stack)
+        if self.mesh is not None:
+            dev = jax.device_put(
+                dev, NamedSharding(self.mesh, P(None, "shard"))
+            )
+        with self._filter_cache_lock:
+            if len(self._gmask_cache) >= 16:
+                self._gmask_cache.pop(next(iter(self._gmask_cache)))
+            self._gmask_cache[key] = dev
+        return dev
+
+    def _dispatch_grouped(self, query_vecs, k: int | None, filters_list: list):
+        """One dispatch for a batch whose queries carry DIFFERENT filters
+        (one SearchFilters-or-None per query row): per-query mask rows
+        stream through a single scan instead of fragmenting into
+        per-signature micro-batches. Returns finalize() like
+        _dispatch_search_async. Caller holds _live_lock."""
+        k = k or self.config.top_k
+        qv = query_vecs
+        n_rows = qv.shape[0] if getattr(qv, "ndim", 2) == 2 else 1
+        if len(filters_list) != n_rows:
+            raise ValueError(
+                f"filters list has {len(filters_list)} entries for "
+                f"{n_rows} queries"
+            )
+        keys = [
+            filter_key(f) if f is not None else () for f in filters_list
+        ]
+        gid: dict[tuple, int] = {}
+        ordered: list[tuple] = []
+        reps: list = []
+        for f, fk in zip(filters_list, keys):
+            if fk not in gid:
+                gid[fk] = len(ordered)
+                ordered.append(fk)
+                reps.append(f)
+        if len(ordered) == 1:
+            # homogeneous batch: the single-signature path also unlocks
+            # the over-fetch routes
+            return self._dispatch_search_async(qv, k, reps[0], False)
+        if len(ordered) > self.max_filter_groups or not self.supports_grouped_filters:
+            # split by signature budget (per-signature on engines
+            # without the grouped kernel) and stitch by row
+            budget = (
+                self.max_filter_groups if self.supports_grouped_filters else 1
+            )
+            parts = []
+            for lo in range(0, len(ordered), budget):
+                sigs = set(ordered[lo : lo + budget])
+                rows = np.array(
+                    [r for r, fk in enumerate(keys) if fk in sigs], np.int64
+                )
+                sub_q = (
+                    qv[rows]
+                    if isinstance(qv, np.ndarray)
+                    else jnp.take(qv, jnp.asarray(rows), axis=0)
+                )
+                sub_f = [filters_list[r] for r in rows]
+                fin = (
+                    self._dispatch_search_async(sub_q, k, sub_f[0], False)
+                    if budget == 1
+                    else self._dispatch_grouped(sub_q, k, sub_f)
+                )
+                parts.append((rows, fin))
+
+            def finalize_stitched():
+                s_out = np.full((n_rows, k), NEG_INF, np.float32)
+                i_out = np.full((n_rows, k), PAD_ID, np.int32)
+                for rows, fin in parts:
+                    s_p, i_p = fin()
+                    s_out[rows] = s_p[: len(rows)]
+                    i_out[rows] = i_p[: len(rows)]
+                return s_out, i_out
+
+            return finalize_stitched
+
+        gen0 = self._generation
+        rescore_src = self._rescore_src()
+        do_rescore = (
+            self.rescore_vectors is not None or self.rescore_residual is not None
+        )
+        if self.meta is not None:
+            self._require_arange_for_filters()
+        gm_dev = self._grouped_device_masks(ordered, reps)
+        q, b = self._pad_queries(qv)
+        mid_pad = np.zeros(q.shape[0], np.int32)
+        mid_pad[:n_rows] = [gid[fk] for fk in keys]
+        mid_dev = jnp.asarray(mid_pad)
+        if self._speed_ok or self._sharded_speed_ok:
+            fn, on_device = self._get_search_fn(k, with_bias="maskg")
+        else:
+            k_fetch = self._candidate_width(k, k) if do_rescore else k
+            k_dev = min(max(k_fetch, 1), self.rows_per_shard)
+            fn, on_device = self._get_search_fn(
+                k_dev, with_bias="maskg", base_k=k
+            )
+        s, i = fn(q, gm_dev, mid_dev)
+
+        ds = di = None
+        delta = self._delta
+        if delta is not None and delta.n_live > 0:
+            delta_run = delta.searcher(min(k, delta.cap))
+            stack = self._delta_bias_stack(ordered, reps, delta)
+            delta_bias = (
+                jnp.take(stack, mid_dev, axis=0) if stack is not None else None
+            )
+            ds, di = delta_run(q, delta_bias)
+
+        def finalize() -> tuple[np.ndarray, np.ndarray]:
+            if ds is not None:
+                s_h, i_h, ds_h, di_h = jax.device_get((s, i, ds, di))
+            else:
+                s_h, i_h = jax.device_get((s, i))
+            s_h, i_h = s_h[:b], i_h[:b]
+            if do_rescore and not on_device:
+                s_h, i_h = self._rescore(
+                    np.asarray(q)[:b], s_h, i_h, k, src=rescore_src
+                )
+            s2, i2 = s_h[:, :k], i_h[:, :k]
+            if ds is not None:
+                ds2 = ds_h[:b].astype(np.float32)
+                di2 = di_h[:b].astype(i2.dtype)
+                ds2 = np.where(di2 >= 0, ds2, NEG_INF)
+                all_s = np.concatenate([s2.astype(np.float32), ds2], axis=1)
+                all_i = np.concatenate([i2, di2], axis=1)
+                sel = np.argsort(-all_s, axis=1, kind="stable")[:, :k]
+                s2 = np.take_along_axis(all_s, sel, 1)
+                i2 = np.take_along_axis(all_i, sel, 1)
+            if self._generation != gen0:
+                i2 = self._translate_ids(i2, gen0)
+            return s2, np.where(np.isfinite(s2), i2, PAD_ID)
+
+        return finalize
+
     def search_vectors_async(
         self,
         query_vecs: np.ndarray | jax.Array,
@@ -1981,6 +2371,10 @@ class SearchEngine:
         filters: SearchFilters | None,
         _force_masked: bool,
     ):
+        if isinstance(filters, (list, tuple)):
+            # heterogeneous batch: one SearchFilters-or-None per query
+            # row — per-query mask rows in ONE scan (grouped kernel)
+            return self._dispatch_grouped(query_vecs, k, list(filters))
         k = k or self.config.top_k
         do_rescore = (
             self.rescore_vectors is not None or self.rescore_residual is not None
