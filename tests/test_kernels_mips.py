@@ -553,3 +553,78 @@ def test_fused_g_negative_scores_stay_valid(rng):
         assert np.isfinite(s).all(), (m, s)
         # scores really are the (negative) quantized products
         assert (s < -0.5).all(), (m, s)
+
+
+def test_fused_g_grouped_per_query_masks(rng):
+    """Grouped heterogeneous-filter mode: G distinct masks + per-query
+    mask ids in ONE scan (the one-hot MXU select). Every returned id
+    passes ITS query's mask and dominates that mask's exact quantized
+    kth-best; padding rows and a merge window are exercised."""
+    from theoremsearch_tpu.kernels import fused_mips_topk_g
+
+    x, q, codes, scale = _make_global(rng, n=4096, d=256, b=16)
+    n_valid = 4000
+    G = 5
+    masks = (rng.random((G, 4096)) < 0.4).astype(np.int8)
+    masks[2] = 0
+    masks[2, [7, 1234, 3999]] = 1          # tiny group
+    mids = rng.integers(0, G, 16).astype(np.int32)
+    s, i = fused_mips_topk_g(
+        q, codes, scale, n_valid, k=10, row_block=512, interpret=True,
+        gmasks=jnp.asarray(masks), mask_ids=jnp.asarray(mids),
+    )
+    s, i = np.asarray(s), np.asarray(i)
+    ref, _, _ = _quantized_oracle(q, codes, scale, 10, n_valid=n_valid)
+    for b in range(16):
+        m = masks[mids[b], :n_valid].astype(bool)
+        rs = np.where(m, ref[b, :n_valid], -(10**12))
+        kk = min(10, int(m.sum()))
+        kth = np.sort(rs)[-kk]
+        valid = i[b][i[b] >= 0]
+        assert len(valid) == kk
+        assert m[valid].all(), f"query {b}: id fails its own mask"
+        assert (rs[valid] >= kth).all(), f"query {b}: rank violation"
+        # invalid slots are -inf
+        assert (s[b, kk:] == -np.inf).all() if kk < 10 else True
+
+
+def test_fused_g_grouped_matches_single_mask(rng):
+    """A grouped scan where every query shares one signature must equal
+    the single-mask path bit-for-bit (same kernel semantics)."""
+    from theoremsearch_tpu.kernels import fused_mips_topk_g
+
+    x, q, codes, scale = _make_global(rng, n=2048, d=256, b=8)
+    mask = (rng.random(2048) < 0.5).astype(np.int8)
+    s1, i1 = fused_mips_topk_g(
+        q, codes, scale, 2048, jnp.asarray(mask), k=20, row_block=512,
+        interpret=True,
+    )
+    gm = np.stack([mask, np.zeros_like(mask)])
+    s2, i2 = fused_mips_topk_g(
+        q, codes, scale, 2048, k=20, row_block=512, interpret=True,
+        gmasks=jnp.asarray(gm), mask_ids=jnp.zeros(8, np.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_xla_scan_grouped_bias(rng):
+    """xla_mips_topk_scan bias_groups/mask_ids: per-query bias rows equal
+    running the plain scan per query with its own bias."""
+    from theoremsearch_tpu.kernels.mips import xla_mips_topk_scan
+
+    queries, corpus = _make(rng, n=1024, d=64, b=6)
+    G = 3
+    bias_g = np.where(rng.random((G, 1024)) < 0.5, 0.0, -np.inf).astype(np.float32)
+    mids = np.array([0, 1, 2, 0, 2, 1], np.int32)
+    s_g, i_g = xla_mips_topk_scan(
+        queries, corpus, None, 1000, None, k=8, chunk=256,
+        bias_groups=jnp.asarray(bias_g), mask_ids=jnp.asarray(mids),
+    )
+    for b in range(6):
+        s1, i1 = xla_mips_topk_scan(
+            queries[b : b + 1], corpus, None, 1000,
+            jnp.asarray(bias_g[mids[b]]), k=8, chunk=256,
+        )
+        np.testing.assert_array_equal(np.asarray(i_g)[b], np.asarray(i1)[0])
+        np.testing.assert_allclose(np.asarray(s_g)[b], np.asarray(s1)[0], atol=1e-5)

@@ -355,3 +355,85 @@ def test_stage_traces_attribute_batches(engine):
         assert "stages_ms" not in st2 and "latency_ms" not in st2
     finally:
         sched.shutdown()
+
+
+def test_heterogeneous_filters_coalesce_into_one_scan(engine):
+    """Requests spanning MANY distinct filter signatures coalesce into
+    few grouped scans (per-query mask rows) instead of per-signature
+    micro-batches: 24 requests over 6 signatures should share a handful
+    of engine dispatches, and every result matches the direct engine."""
+    eng, emb = engine
+    assert eng.supports_grouped_filters
+    sched = BatchScheduler(
+        eng, max_batch=64, max_wait_ms=5,
+        filter_coalesce_ms=80.0, filter_coalesce_min=24,
+    )
+    sigs = [
+        SearchFilters(tags=["math.AG"]),
+        SearchFilters(tags=["math.NT"]),
+        SearchFilters(year_range=(2020, 2020)),
+        SearchFilters(citation_range=(10, 400)),
+        SearchFilters(sources=["arXiv"]),
+        SearchFilters(journal_status="Preprint Only"),
+    ]
+    b0 = dict(sched.stats())
+    futs = [
+        (i, sched.submit(emb[i + 1], k=5, filters=sigs[i % 6]))
+        for i in range(24)
+    ]
+    results = [(i, f.result(20)) for i, f in futs]
+    b1 = sched.stats()
+    # 24 requests over 6 signatures: grouped coalescing keeps this to a
+    # few dispatches (per-signature would need >= 6)
+    assert b1["batches"] - b0["batches"] <= 3, b1
+    # at least one dispatched batch carried multiple signatures
+    assert any(t.g > 1 for t in sched._traces), [t.g for t in sched._traces]
+    for i, (s, ids) in results:
+        s_ref, i_ref = eng.search_vectors(emb[i + 1][None], k=5,
+                                          filters=sigs[i % 6])
+        assert set(ids.tolist()) == set(i_ref[0].tolist()), f"req {i}"
+    sched.shutdown()
+
+
+def test_grouped_scheduler_over_sharded_engine_matches_single(engine):
+    """Grouped filtered coalescing over the MESH engine: results equal
+    the single-device engine for every signature in the mix."""
+    from theoremsearch_tpu.core import IndexConfig as IC, MeshConfig, make_mesh
+
+    rng = np.random.default_rng(9)
+    emb = np.asarray(l2_normalize(rng.standard_normal((1024, 64)).astype(np.float32)))
+    rows = [
+        {"paper_id": f"p{i}", "paper_title": "T", "authors": [],
+         "link": "https://arxiv.org/abs/x", "year": 2000 + i % 20,
+         "primary_category": "math.AG" if i % 2 else "math.NT",
+         "journal_ref": None, "citations": i, "theorem_name": "Theorem 1.",
+         "theorem_body": "b", "slogan": "s"}
+        for i in range(1024)
+    ]
+    idx = FlatIndex.build(
+        emb, config=IC(pad_multiple=256, dtype="int8", int8_scale="global"),
+        normalize=False,
+    )
+    mesh = make_mesh(MeshConfig(data=1, shard=4))
+    eng_m = SearchEngine(
+        idx, meta=CorpusMetadata.from_rows(rows), mesh=mesh, use_pallas=True,
+        pallas_interpret=True, row_block=128, rescore_vectors=emb,
+        rescore_factor=8,
+    )
+    eng_1 = SearchEngine(
+        idx, meta=CorpusMetadata.from_rows(rows), use_pallas=True,
+        pallas_interpret=True, row_block=128, rescore_vectors=emb,
+        rescore_factor=8,
+    )
+    sched = BatchScheduler(eng_m, max_batch=32, max_wait_ms=10,
+                           filter_coalesce_ms=60, filter_coalesce_min=12)
+    sigs = [None, SearchFilters(tags=["math.AG"]),
+            SearchFilters(year_range=(2005, 2012)),
+            SearchFilters(citation_range=(0, 100))]
+    futs = [(i, sched.submit(emb[i], k=6, filters=sigs[i % 4]))
+            for i in range(2, 18)]
+    for i, fu in futs:
+        s, ids = fu.result(30)
+        _, i_ref = eng_1.search_vectors(emb[i][None], k=6, filters=sigs[i % 4])
+        assert set(ids.tolist()) == set(i_ref[0].tolist()), f"req {i}"
+    sched.shutdown()
