@@ -626,3 +626,71 @@ def test_ivf_remap_ids(clustered_corpus):
     kept = emb[~drop]
     _, ref = exact_topk(q, kept, k=10)
     assert recall_vs_exact(i, np.asarray(ref), k=10) >= 0.95
+
+
+def test_engine_ivf_route_under_mesh(pallas_scale_corpus):
+    """ONE serving surface at any scale (VERDICT r4 item 5): the engine
+    accepts ivf_index + mesh, routing small unfiltered batches through
+    IVFIndex.sharded_searcher while keeping filters, metadata, delta
+    overlay, and deletes — results must track the single-device IVF
+    engine."""
+    from theoremsearch_tpu.core.config import MeshConfig
+    from theoremsearch_tpu.core.meshes import make_mesh
+    from theoremsearch_tpu.index import FlatIndex
+    from theoremsearch_tpu.search import CorpusMetadata, SearchEngine, SearchFilters
+
+    emb, q, idx = pallas_scale_corpus
+    n = emb.shape[0]
+    rows = [
+        {"paper_id": f"p{i}", "paper_title": f"T{i}", "authors": [],
+         "link": "https://arxiv.org/abs/x", "year": 2000 + (i % 30),
+         "primary_category": "math.AG", "journal_ref": None, "citations": i,
+         "theorem_name": "Theorem 1.", "theorem_body": "b", "slogan": "s"}
+        for i in range(n)
+    ]
+    flat = FlatIndex.build(
+        emb, config=IndexConfig(pad_multiple=1024, dtype="float32"),
+        normalize=False,
+    )
+    mesh = make_mesh(MeshConfig(data=1, shard=4))
+
+    def build(m):
+        return SearchEngine(
+            flat, meta=CorpusMetadata.from_rows(rows), mesh=m, use_pallas=True,
+            pallas_interpret=True, row_block=128, ivf_index=idx, ivf_nprobe=8,
+            rescore_factor=8,
+        )
+
+    eng_m, eng_1 = build(mesh), build(None)
+    _, ref = exact_topk(q, emb, k=10)
+    s_m, i_m = eng_m.search_vectors(q, k=10)
+    assert recall_vs_exact(i_m, np.asarray(ref), k=10) >= 0.95
+    # sharded probing sees the same lists as single-device: high overlap
+    _, i_1 = eng_1.search_vectors(q, k=10)
+    overlap = np.mean([
+        len(set(i_m[r].tolist()) & set(i_1[r].tolist())) / 10
+        for r in range(len(q))
+    ])
+    assert overlap >= 0.9, overlap
+    # filtered queries fall back to the flat sharded masked path and
+    # respect the filter
+    f = SearchFilters(year_range=(2000, 2004))
+    _, fi = eng_m.search_vectors(q[:2], k=5, filters=f)
+    for d in fi.ravel():
+        if d >= 0:
+            assert 2000 + (int(d) % 30) <= 2004
+    # deletes keep the (sharded) IVF route via over-fetch + host drop
+    victims = [int(d) for d in i_m[0][:3]]
+    for e in (eng_m, eng_1):
+        assert e.delete_documents(victims) == 3
+    _, i_m2 = eng_m.search_vectors(q, k=10)
+    assert not (set(victims) & {int(d) for d in i_m2.ravel()})
+    _, i_12 = eng_1.search_vectors(q, k=10)
+    overlap2 = np.mean([
+        len(set(i_m2[r].tolist()) & set(i_12[r].tolist())) / 10
+        for r in range(len(q))
+    ])
+    assert overlap2 >= 0.9, overlap2
+    # the metadata join serves the same dicts at any scale
+    out = eng_m.search(q[0], SearchFilters(top_k=5))
+    assert out and all("paper_title" in r and "similarity" in r for r in out)

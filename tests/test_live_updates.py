@@ -1618,8 +1618,9 @@ def test_sharded_speed_path_live_mutations(small):
     for e in (eng_m, eng_1):
         e.add_documents(new[:5], normalize=False)
     check()
-    # single-device routes deletes through the k+margin over-fetch; the
-    # mesh engine uses the sharded masked scan — both must be exact
+    # both engines route deletes through the k+margin over-fetch (the
+    # sharded programs fetch per-shard margins; host drop is
+    # layout-agnostic) — ids must stay exact
     for e in (eng_m, eng_1):
         assert e.delete_documents([0, 1, 2, 603]) == 4
     check()

@@ -918,23 +918,40 @@ class IVFIndex:
             )
         n_shards = mesh.shape["shard"]
         nprobe = min(int(nprobe or self.config.ivf_nprobe), self.centroids.shape[0])
-        sa = self._sharded_arrays(n_shards)
-        L_per, sp_per, C_local = sa["L_per"], sa["sp_per"], sa["C_local"]
-        empty_local = C_local - 1
-        shard_leading = NamedSharding(mesh, P("shard"))
-        slabs_d = jax.device_put(sa["slabs"], shard_leading)
-        ids_d = jax.device_put(sa["ids"], shard_leading)
         residual = self.res_flat is not None
-        if residual:
-            rescore_d = (
-                jax.device_put(sa["res"], shard_leading),
-                jax.device_put(sa["res_scales"], shard_leading),
-            )
-            rescore_specs = (P("shard"), P("shard"))
+        # device arrays cached per (mesh, n_shards): the engine builds one
+        # searcher per k, and re-uploading the whole sharded index per k
+        # would duplicate it in HBM
+        cache_key = (id(mesh), n_shards)
+        cache = getattr(self, "_sharded_dev_cache", None)
+        if cache is not None and cache[0] == cache_key:
+            dc = cache[1]
         else:
-            rescore_d = (jax.device_put(np.asarray(sa["raw"]), shard_leading),)
-            rescore_specs = (P("shard"),)
-        cents_d = jax.device_put(self.centroids, NamedSharding(mesh, P(None, None)))
+            sa = self._sharded_arrays(n_shards)
+            shard_leading = NamedSharding(mesh, P("shard"))
+            dc = {
+                "L_per": sa["L_per"], "sp_per": sa["sp_per"],
+                "C_local": sa["C_local"],
+                "slabs": jax.device_put(sa["slabs"], shard_leading),
+                "ids": jax.device_put(sa["ids"], shard_leading),
+                "cents": jax.device_put(
+                    self.centroids, NamedSharding(mesh, P(None, None))
+                ),
+                "rescore": (
+                    (
+                        jax.device_put(sa["res"], shard_leading),
+                        jax.device_put(sa["res_scales"], shard_leading),
+                    )
+                    if residual
+                    else (jax.device_put(np.asarray(sa["raw"]), shard_leading),)
+                ),
+            }
+            object.__setattr__(self, "_sharded_dev_cache", (cache_key, dc))
+        L_per, sp_per, C_local = dc["L_per"], dc["sp_per"], dc["C_local"]
+        empty_local = C_local - 1
+        slabs_d, ids_d, cents_d = dc["slabs"], dc["ids"], dc["cents"]
+        rescore_d = dc["rescore"]
+        rescore_specs = (P("shard"), P("shard")) if residual else (P("shard"),)
         n_lists = self.slabs.shape[0]
         gscale = self.global_scale
         c_rescore = max(k, min(rescore_factor * k, nprobe * R))

@@ -523,8 +523,9 @@ class SearchEngine:
                     resc, NamedSharding(mesh, P("shard", None))
                 )
 
-        # optional IVF route for UNFILTERED single-chip queries: the
-        # low-latency knob (probe-major Pallas path, IVF_BENCH). Filtered
+        # optional IVF route for UNFILTERED queries: the low-latency
+        # knob (probe-major Pallas path, IVF_BENCH; list-sharded
+        # sharded_searcher under a mesh). Filtered
         # queries never probe — a filter mask does not compose with
         # coarse probing without recall loss; they use the flat masked
         # scan, or (broad filters, >=50% pass) the flat speed path with
@@ -556,11 +557,13 @@ class SearchEngine:
         # 1731 vs 5.7 ms at B=512). Bigger batches route to the flat scan.
         self.ivf_max_batch = ivf_max_batch
         self._ivf_fns: dict[int, Callable] = {}
-        if ivf_index is not None and mesh is not None:
-            raise ValueError(
-                "pass ivf_index without a mesh; multi-chip IVF is "
-                "IVFIndex.sharded_searcher"
-            )
+        # Under a mesh the IVF route wraps IVFIndex.sharded_searcher
+        # (lists partitioned across chips, ICI all_gather merge) behind
+        # the SAME engine surface — filters, metadata join, delta
+        # overlay, rerank — so multi-chip serving doesn't fork into
+        # "flat engine with everything" vs "bare IVF searcher"
+        # (one serving surface at any scale, like the reference's
+        # /root/reference/streamlit_app.py:165).
 
         # ---- live updates (search/delta.py): upsert -> searchable ----
         # Matches the reference's behavior where a pgvector upsert is
@@ -1488,7 +1491,7 @@ class SearchEngine:
         call this at startup alongside their regular bucket warming."""
         with self._live_lock:   # program caches race compact()'s rebuild
             k = k or self.config.top_k
-            if self.mesh is not None or self.n_valid <= k:
+            if self.n_valid <= k:
                 return
             do_rescore = (
                 self.rescore_vectors is not None
@@ -1638,12 +1641,22 @@ class SearchEngine:
 
     def _ivf_fn(self, k: int) -> Callable:
         if k not in self._ivf_fns:
-            self._ivf_fns[k] = self.ivf.device_searcher(
-                k=k,
-                nprobe=self.ivf_nprobe,
-                rescore_factor=self.rescore_factor,
-                interpret=self.pallas_interpret,
-            )
+            if self.mesh is not None:
+                self._ivf_fns[k] = self.ivf.sharded_searcher(
+                    self.mesh,
+                    k=k,
+                    nprobe=self.ivf_nprobe,
+                    rescore_factor=self.rescore_factor,
+                    interpret=self.pallas_interpret,
+                    use_pallas=self.use_pallas,
+                )
+            else:
+                self._ivf_fns[k] = self.ivf.device_searcher(
+                    k=k,
+                    nprobe=self.ivf_nprobe,
+                    rescore_factor=self.rescore_factor,
+                    interpret=self.pallas_interpret,
+                )
         return self._ivf_fns[k]
 
     # ------------------------------------------------------------------
@@ -2419,9 +2432,12 @@ class SearchEngine:
         margin = 0
         k_q = k
         pass_rate = 0.0
-        overfetch_ok = (
-            not _force_masked and self.mesh is None and self.n_valid > k
-        )
+        # over-fetch works under a mesh too: each shard fetches its
+        # k+margin candidates through the same sharded programs, and the
+        # host id-drop in finalize() is layout-agnostic — meshed corpora
+        # keep the fast path under light delete rates (and the sharded
+        # IVF route keeps serving deletes the same way)
+        overfetch_ok = not _force_masked and self.n_valid > k
         if (
             overfetch_ok
             and self._tombstone is not None
