@@ -391,3 +391,117 @@ def test_compact_maintains_freeze_discipline():
         assert gc.get_freeze_count() > n0  # re-tiered after the swap
     finally:
         gc.unfreeze()
+
+
+def test_full_serving_stack_over_mesh():
+    """VERDICT r4 item 6: BatchScheduler + SearchService + HTTP over an
+    8-device CPU-mesh engine with mixed filtered/unfiltered CONCURRENT
+    clients — results must equal the single-device service's, and the
+    scheduler's stage traces must populate."""
+    import threading
+
+    from theoremsearch_tpu.core import MeshConfig, make_mesh
+    from theoremsearch_tpu.serve.scheduler import BatchScheduler
+
+    n, d = 1024, 64
+
+    def encode(texts):
+        import hashlib
+
+        out = np.zeros((len(texts), d), np.float32)
+        for i, t in enumerate(texts):
+            for tok in t.lower().split():
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:4], "little")
+                out[i, h % d] += 1.0
+        return np.asarray(l2_normalize(out))
+
+    bodies = [f"statement about subject {i % 40} flavor {i % 7}" for i in range(n)]
+    rows = [
+        {"paper_id": f"p{i}", "paper_title": f"Title {i}", "authors": [f"A{i % 5}"],
+         "link": "https://arxiv.org/abs/x", "year": 2000 + i % 20,
+         "primary_category": "math.NT" if i % 2 else "math.AG",
+         "journal_ref": None, "citations": i % 60, "theorem_name": "Theorem 1.",
+         "theorem_body": bodies[i], "slogan": f"slogan {i}"}
+        for i in range(n)
+    ]
+    emb = encode(bodies)
+    idx = FlatIndex.build(
+        emb, config=IndexConfig(pad_multiple=256, dtype="int8", int8_scale="global"),
+        normalize=True,
+    )
+    mesh = make_mesh(MeshConfig(data=1, shard=4))
+
+    def build(m, sched_kw=None):
+        eng = SearchEngine(
+            idx, meta=CorpusMetadata.from_rows(rows), mesh=m, use_pallas=True,
+            pallas_interpret=True, row_block=128,
+            rescore_vectors=np.asarray(idx.vectors, np.float32) * idx.global_scale,
+            rescore_factor=8,
+        )
+        sched = (
+            BatchScheduler(eng, encode_fn=encode, **sched_kw)
+            if sched_kw is not None else None
+        )
+        return SearchService(eng, encode, scheduler=sched), eng, sched
+
+    svc_m, eng_m, sched = build(
+        mesh, dict(max_batch=32, max_wait_ms=10, filter_coalesce_ms=40,
+                   filter_coalesce_min=8),
+    )
+    svc_1, _, _ = build(None)
+    assert eng_m._sharded_speed_ok
+    srv = SearchServer(svc_m).start()
+    try:
+        payloads = []
+        for i in range(18):
+            p = {"query": f"statement about subject {i % 40}", "top_k": 5}
+            if i % 3 == 0:
+                p["filters"] = {"year_range": [2004, 2012]}
+            elif i % 3 == 1:
+                p["filters"] = {"tags": ["math.AG"]}
+            payloads.append(p)
+        results: dict[int, dict] = {}
+        errors = []
+
+        def client(i):
+            try:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{srv.port}/search",
+                    data=json.dumps(payloads[i]).encode(),
+                    headers={"Content-Type": "application/json"}, method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    results[i] = json.loads(r.read())
+            except Exception as e:  # noqa: BLE001
+                errors.append((i, e))
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(18)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors[:3]
+        # every meshed result equals the single-device service's
+        for i, got in results.items():
+            ref = svc_1.search_and_display(**_payload_to_args(payloads[i]))
+            got_ids = [r["doc_id"] for r in got["results"]]
+            ref_ids = [r["doc_id"] for r in ref]
+            assert got_ids == ref_ids, f"client {i}: {got_ids} vs {ref_ids}"
+        st = sched.stats()
+        assert st["batches"] >= 1 and "stages_ms" in st
+        assert st["stages_ms"]["total_ms"]["max"] > 0
+    finally:
+        srv.stop()
+        sched.shutdown()
+
+
+def _payload_to_args(p):
+    from theoremsearch_tpu.search import SearchFilters
+
+    f = p.get("filters") or {}
+    kw = {}
+    if "year_range" in f:
+        kw["year_range"] = tuple(f["year_range"])
+    if "tags" in f:
+        kw["tags"] = f["tags"]
+    return {"query": p["query"], "filters": SearchFilters(top_k=p["top_k"], **kw)}

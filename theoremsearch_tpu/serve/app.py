@@ -185,15 +185,20 @@ def _filters_from_ui(d: dict) -> SearchFilters:
     pf = d.get("paper_filter")
     if isinstance(pf, str):
         pf = parse_paper_filter(pf)
+    # ranges arrive as JSON LISTS over HTTP; filter_key() hashes them,
+    # so they must be tuples (a list here 500'd every scheduler-routed
+    # range-filtered request)
+    yr = d.get("year_range")
+    cr = d.get("citation_range")
     return SearchFilters(
-        sources=d.get("sources", ("arXiv", "Stacks Project")),
-        authors=d.get("authors", ()),
-        tags=d.get("tags", ()),
-        year_range=d.get("year_range"),
+        sources=tuple(d.get("sources", ("arXiv", "Stacks Project"))),
+        authors=tuple(d.get("authors", ())),
+        tags=tuple(d.get("tags", ())),
+        year_range=tuple(yr) if yr else None,
         journal_status=d.get("journal_status", "All"),
         paper_filter=pf or {"ids": set(), "titles": set()},
-        types=d.get("types", ()),
-        citation_range=d.get("citation_range"),
+        types=tuple(d.get("types", ())),
+        citation_range=tuple(cr) if cr else None,
         include_unknown_citations=d.get("include_unknown_citations", True),
         top_k=int(d.get("top_k", 10)),
         citation_weight=float(d.get("citation_weight", 0.0)),
