@@ -428,8 +428,13 @@ class SearchEngine:
         # threads hit this concurrently
         self._filter_cache: dict[tuple, tuple] = {}
         # (ordered signature tuple, tomb epoch) -> device (G, rows) mask
-        # stack for grouped heterogeneous-filter dispatches
+        # stack for grouped heterogeneous-filter dispatches. MUST be
+        # (re)initialized here: compact()'s transplant replaces __dict__
+        # keys, and a lazily-created cache key absent from the new
+        # engine would leave the OLD engine's stale (wrong-shape)
+        # device rows in place.
         self._gmask_cache: dict[tuple, Any] = {}
+        self._pass_fail_cache = None
         # first-sight filter-mask builds (O(N) host compile + device
         # upload) — the serving-tail attribution counters: a dispatch
         # thread that builds a mask mid-dispatch stalls that batch, and
@@ -856,15 +861,53 @@ class SearchEngine:
     def _compact_inner(self, reclaim: bool, warm_batches) -> int:
         import time as _time
 
+        global _TRACE_EVENTS
+
         with self._compact_lock:
             stats = {"t0": _time.monotonic()}
             snap = self._compact_snapshot(reclaim)
             stats["snapshot_s"] = _time.monotonic() - stats["t0"]
             if snap is None:
                 return 0
-            built = self._compact_build(snap, reclaim)
+            # capture upload/fold events for the transport-tax split
+            # (bytes over the host<->device link vs host compute): on a
+            # remote-attached chip the link, not the fold, dominates
+            # compact wall time — last_compact_stats separates them so
+            # operators can bound what a locally-attached chip would cost
+            events: list = []
+            prev_trace = _TRACE_EVENTS
+            if prev_trace is None:
+                _TRACE_EVENTS = events
+            try:
+                built = self._compact_build(snap, reclaim)
+            finally:
+                if prev_trace is None:
+                    _TRACE_EVENTS = prev_trace
+                else:
+                    events = prev_trace
+            up = [
+                (dur, nb) for tag, _t0, dur, nb in events
+                if tag.startswith(("chunk@", "put_direct"))
+            ]
+            stats["bytes_h2d"] = int(sum(nb for _d, nb in up))
+            stats["upload_s"] = round(sum(d for d, _nb in up), 3)
+            stats["device_fold_s"] = round(
+                sum(
+                    dur for tag, _t0, dur, _nb in events
+                    if tag.startswith(("fold_d2d", "zeros"))
+                ),
+                3,
+            )
             stats["build_s"] = (
                 _time.monotonic() - stats["t0"] - stats["snapshot_s"]
+            )
+            stats["host_build_s"] = round(
+                max(
+                    stats["build_s"] - stats["upload_s"]
+                    - stats["device_fold_s"],
+                    0.0,
+                ),
+                3,
             )
             if built is None:
                 # nothing to fold and nothing to reclaim: just drop the
@@ -885,6 +928,7 @@ class SearchEngine:
                 t_sw = _time.monotonic()
                 out = self._compact_swap(snap, built, reclaim)
                 stats["swap_s"] = _time.monotonic() - t_sw
+                stats["swap_detail"] = built.get("swap_detail", {})
                 stats["total_s"] = _time.monotonic() - stats["t0"]
                 self.last_compact_stats = stats
             # maintain the process's GC freeze discipline (no-op if the
@@ -1287,6 +1331,11 @@ class SearchEngine:
         """Phase 3 (caller holds _live_lock, sub-second): install the
         new engine state and reconcile everything that happened since
         the snapshot."""
+        import time as _t
+
+        detail: dict = {}
+        built["swap_detail"] = detail
+        t_step = _t.monotonic()
         eng2: SearchEngine = built["eng"]
         cur = self._delta
         wm = snap["wm"]
@@ -1303,6 +1352,8 @@ class SearchEngine:
             r_ids = np.zeros(0, np.int64)
             r_live = np.zeros(0, bool)
         rem_meta = list(self._delta_meta_rows[snap["meta_wm"] :])
+        detail["delta_copy_ms"] = round(1e3 * (_t.monotonic() - t_step), 1)
+        t_step = _t.monotonic()
 
         # tombstones over the FOLDED (pre-reclaim) row space, from the
         # CURRENT state (covers mid-build deletes of main rows), then
@@ -1315,6 +1366,9 @@ class SearchEngine:
         t[built["old_n"] :][built["gap"]] = True
         for dj, row in built["upd_pairs"] + built["app_pairs"]:
             t[row] = not bool(cur.live[dj])
+
+        detail["tomb_rebuild_ms"] = round(1e3 * (_t.monotonic() - t_step), 1)
+        t_step = _t.monotonic()
 
         id_map = built["id_map"]
         if reclaim and id_map is not None:
@@ -1352,6 +1406,8 @@ class SearchEngine:
                         eng2.meta.update_row(nid, cols)
         else:
             final_tomb = t
+        detail["reclaim_renumber_ms"] = round(1e3 * (_t.monotonic() - t_step), 1)
+        t_step = _t.monotonic()
 
         # ---- transplant: eng2's state becomes ours. NEVER clear
         # __dict__: finalize() closures and stats readers run LOCK-FREE
@@ -1394,12 +1450,20 @@ class SearchEngine:
         else:
             self._next_doc_id = max(cur_next_id, self._next_doc_id)
 
+        detail["transplant_ms"] = round(1e3 * (_t.monotonic() - t_step), 1)
+        t_step = _t.monotonic()
         if final_tomb.any():
             self._tombstone = final_tomb
             self._tomb_epoch = 1
         if r_ids.size:
+            # NOTE: _rebuild_delta pushes the remaining delta rows to the
+            # device (bf16 mirror) UNDER the live lock — bounded by the
+            # mid-build mutation volume, not the corpus (rows appended
+            # while the build ran). swap_detail exposes it as
+            # delta_rebuild_ms so a reval can convict it if it grows.
             self._delta = self._rebuild_delta(r_vecs, r_ids, r_live)
             self._delta_meta_rows = rem_meta
+        detail["delta_rebuild_ms"] = round(1e3 * (_t.monotonic() - t_step), 1)
         return built["m_total"]
 
     def _require_arange_for_filters(self) -> None:
@@ -2202,14 +2266,40 @@ class SearchEngine:
         dispatches per signature."""
         return self._speed_ok or self._sharded_speed_ok or not self.use_pallas
 
+    def _pass_fail_rows(self):
+        """Cached (all-pass row, all-excluded row) device arrays in the
+        active path's mask dialect (int8 on speed paths, f32 bias rows
+        on XLA paths)."""
+        rows = getattr(self, "_pass_fail_cache", None)
+        if rows is not None:
+            return rows
+        speed = self._speed_ok or self._sharded_speed_ok
+        if speed:
+            ones = np.zeros(self.padded_rows, np.int8)
+            ones[: self.n_valid] = 1
+            zero = np.zeros(self.padded_rows, np.int8)
+        else:
+            # padding rows are masked by n_valid in every scan, so the
+            # pass row can be plain zeros
+            ones = np.zeros(self.padded_rows, np.float32)
+            zero = np.full(self.padded_rows, NEG_INF, np.float32)
+        dp, dz = jnp.asarray(ones), jnp.asarray(zero)
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P("shard"))
+            dp, dz = jax.device_put(dp, sh), jax.device_put(dz, sh)
+        self._pass_fail_cache = (dp, dz)
+        return self._pass_fail_cache
+
     def _grouped_device_masks(self, ordered_keys, reps):
         """Device (G_pad, padded_rows) mask stack for a grouped dispatch:
         int8 pass/fail rows on the speed paths, f32 0/-inf bias rows on
         the XLA paths; row-sharded on axis 1 under a mesh. Pad rows are
-        all-excluded. Cached per (ordered signature tuple, tomb epoch) —
-        serving mixes reuse signature sets, so steady-state dispatches
-        hit the cache and upload nothing."""
-        speed = self._speed_ok or self._sharded_speed_ok
+        all-excluded. The stack is assembled DEVICE-SIDE from the
+        per-signature cached rows (HBM-to-HBM stack, no host build or
+        re-upload), and cached per (canonically-ordered signature set,
+        tomb epoch) — the caller orders signatures deterministically, so
+        steady-state serving mixes hit this cache regardless of arrival
+        order."""
         key = (tuple(ordered_keys), self._tomb_epoch)
         with self._filter_cache_lock:
             hit = self._gmask_cache.get(key)
@@ -2219,23 +2309,16 @@ class SearchEngine:
 
         _t0 = _t.monotonic()
         g_pad = max(8, pow2_bucket(len(ordered_keys)))
-        if speed:
-            stack = np.zeros((g_pad, self.padded_rows), np.int8)
-        else:
-            stack = np.full((g_pad, self.padded_rows), NEG_INF, np.float32)
-        pass_val = 1 if speed else 0.0
-        for gi, (fk, f) in enumerate(zip(ordered_keys, reps)):
+        pass_row, fail_row = self._pass_fail_rows()
+        rows = []
+        for fk, f in zip(ordered_keys, reps):
             if fk == () and self._tombstone is None:
-                stack[gi, : self.n_valid] = pass_val
+                rows.append(pass_row)
                 continue
-            mask, _dev, _pr = self._combined_mask_inputs(f if fk != () else None)
-            if mask is None:
-                stack[gi, : self.n_valid] = pass_val
-            elif speed:
-                stack[gi, : mask.shape[0]] = mask
-            else:
-                stack[gi, : mask.shape[0]] = np.where(mask, 0.0, NEG_INF)
-        dev = jnp.asarray(stack)
+            mask, dev, _pr = self._combined_mask_inputs(f if fk != () else None)
+            rows.append(pass_row if mask is None else dev)
+        rows.extend([fail_row] * (g_pad - len(rows)))
+        dev = jnp.stack(rows)
         if self.mesh is not None:
             dev = jax.device_put(
                 dev, NamedSharding(self.mesh, P(None, "shard"))
@@ -2265,14 +2348,15 @@ class SearchEngine:
         keys = [
             filter_key(f) if f is not None else () for f in filters_list
         ]
-        gid: dict[tuple, int] = {}
-        ordered: list[tuple] = []
-        reps: list = []
+        # canonical (sorted) signature order: the device mask stack is
+        # cached per ordered signature SET, and arrival order must not
+        # mint spurious cache keys
+        rep_of: dict[tuple, Any] = {}
         for f, fk in zip(filters_list, keys):
-            if fk not in gid:
-                gid[fk] = len(ordered)
-                ordered.append(fk)
-                reps.append(f)
+            rep_of.setdefault(fk, f)
+        ordered = sorted(rep_of, key=repr)
+        reps = [rep_of[fk] for fk in ordered]
+        gid = {fk: i for i, fk in enumerate(ordered)}
         if len(ordered) == 1:
             # homogeneous batch: the single-signature path also unlocks
             # the over-fetch routes
