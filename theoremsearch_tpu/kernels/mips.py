@@ -382,6 +382,26 @@ def _mips_g_kernel(
         # decode stays (pos, vi & (G_eff-1)) with rb_eff = M*row_block
         grp_base = jax.lax.rem(i, merge_tiles) * g
 
+    if has_gmask:
+        # PER-QUERY filter masks (heterogeneous filtered batch):
+        # mask_ref is (G, row_block) — G distinct row masks — and each
+        # query selects its row through ONE one-hot (B, G) x
+        # (G, row_block) int8 matmul on the MXU per tile:
+        # m_full[b, c] = masks[mid[b], c]. Contraction length G (<= 32)
+        # is ~G/D of the main matmul's work; doing it as a single wide
+        # dot instead of per-128-column slices measured 10.66 -> 8.08 ms
+        # at G=32 (B=512, 1M x 1024, MASKG_BENCH_r05.json) — G-
+        # independent (G8 == G32) where 32 narrow MXU calls per tile
+        # cost far more than their FLOPs. This is what lets the
+        # scheduler coalesce a whole mixed-filter window into ONE scan
+        # instead of per-signature micro-batches.
+        m_full = jax.lax.dot_general(
+            oneh_ref[:],
+            mask_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
     def _maxima(masked: bool, remaining=None, lane=None):
         m1 = None
         for grp in range(g):
@@ -391,20 +411,7 @@ def _mips_g_kernel(
             else:
                 sl = sl | grp
             if has_gmask:
-                # PER-QUERY filter masks (heterogeneous filtered batch):
-                # mask_ref is (G, row_block) — G distinct row masks — and
-                # each query selects its row through a one-hot (B, G)
-                # int8 matmul on the MXU: msel[b, c] = masks[mid[b], c].
-                # Contraction length G (<= 32) rides one MXU pass per
-                # slice, ~G/D of the main matmul's work — this is what
-                # lets the scheduler coalesce a whole mixed-filter window
-                # into ONE scan instead of per-signature micro-batches.
-                msel = jax.lax.dot_general(
-                    oneh_ref[:],
-                    mask_ref[:, grp * 128 : (grp + 1) * 128],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
+                msel = m_full[:, grp * 128 : (grp + 1) * 128]
                 sl = jnp.where(msel != 0, sl, INT32_MIN)
             elif mask_ref is not None:
                 # filter mask: excluded rows drop below every real score
@@ -657,6 +664,10 @@ def _fused_mips_topk_g_impl(
     # resident queries; raise the Mosaic cap above its 16MB default when
     # the config needs it (v5e has headroom)
     need = b * row_block * 4 + 2 * row_block * d + b * d + 2 * b * 128 * 4
+    if gmasks is not None:
+        # the per-query mask-select tile (B, row_block) int32 + the
+        # streamed (G, row_block) mask block
+        need += b * row_block * 4 + 2 * gmasks.shape[0] * row_block
     params = {}
     if need > 14 * 2**20:
         params["compiler_params"] = pltpu.CompilerParams(
