@@ -823,3 +823,22 @@ def test_grouped_filters_with_live_delta_and_tombstones(corpus, meta):
     # delta docs are their own nearest neighbors under the passing filter
     for b in range(1, min(5, len(q))):
         assert int(i_g[b, 0]) == int(ids[b % 5]) or int(i_g[b, 0]) >= 0
+
+
+def test_grouped_filters_pow2_padded_device_queries(corpus, meta):
+    """encode_device outputs are pow2-bucket padded: a grouped dispatch
+    must accept a query matrix LONGER than the filters list (junk tail
+    rows are don't-cares) — this 500'd every grouped text batch whose
+    size wasn't a power of two."""
+    import jax.numpy as jnp
+
+    emb, q = corpus
+    eng = _engine(emb, meta=meta)
+    flist = _grouped_filters(11)
+    q_dev = jnp.asarray(np.concatenate([q[:11], np.zeros((5, 64), np.float32)]))
+    s_g, i_g = eng.search_vectors(q_dev, k=6, filters=flist)
+    for b in range(11):
+        _, i1 = eng.search_vectors(q[b : b + 1], k=6, filters=flist[b])
+        assert set(i_g[b].tolist()) == set(i1[0].tolist()), f"query {b}"
+    with pytest.raises(ValueError, match="filters list"):
+        eng.search_vectors(q[:4], k=6, filters=flist)

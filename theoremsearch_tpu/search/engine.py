@@ -2339,11 +2339,15 @@ class SearchEngine:
         _dispatch_search_async. Caller holds _live_lock."""
         k = k or self.config.top_k
         qv = query_vecs
-        n_rows = qv.shape[0] if getattr(qv, "ndim", 2) == 2 else 1
-        if len(filters_list) != n_rows:
+        q_rows = qv.shape[0] if getattr(qv, "ndim", 2) == 2 else 1
+        # the query matrix may carry a pow2 junk tail (encode_device
+        # outputs are bucket-padded); filters_list defines the REAL
+        # batch — rows beyond it are scanned as don't-cares (mask id 0)
+        # and never returned
+        n_rows = len(filters_list)
+        if n_rows > q_rows:
             raise ValueError(
-                f"filters list has {len(filters_list)} entries for "
-                f"{n_rows} queries"
+                f"filters list has {n_rows} entries for {q_rows} queries"
             )
         keys = [
             filter_key(f) if f is not None else () for f in filters_list
