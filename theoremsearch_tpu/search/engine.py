@@ -1584,6 +1584,44 @@ class SearchEngine:
                     if self.ivf is not None and b <= self.ivf_max_batch:
                         jax.block_until_ready(self._ivf_fn(k_q)(q))
 
+    def warm_grouped(
+        self, batch_sizes=(8,), g_pads=(8, 16, 32), k: int | None = None
+    ) -> None:
+        """Pre-compile the grouped per-query-mask programs for every
+        (batch bucket, padded signature count) pair the serving mix can
+        hit — a first-sight grouped shape otherwise compiles inside a
+        measured/served window (SERVE_BENCH_r05 first run: 2-3 s
+        scan-dispatch stalls on exactly these). Call at startup next to
+        warm_overfetch on deployments that serve filtered traffic."""
+        with self._live_lock:
+            if not self.supports_grouped_filters:
+                return
+            k = k or self.config.top_k
+            pass_row, fail_row = self._pass_fail_rows()
+            speed = self._speed_ok or self._sharded_speed_ok
+            do_rescore = (
+                self.rescore_vectors is not None
+                or self.rescore_residual is not None
+            )
+            if speed:
+                fn, _ = self._get_search_fn(k, with_bias="maskg")
+            else:
+                k_fetch = self._candidate_width(k, k) if do_rescore else k
+                k_dev = min(max(k_fetch, 1), self.rows_per_shard)
+                fn, _ = self._get_search_fn(k_dev, with_bias="maskg", base_k=k)
+            for g in sorted(set(int(g) for g in g_pads)):
+                gm = jnp.stack([pass_row] + [fail_row] * (g - 1))
+                if self.mesh is not None:
+                    gm = jax.device_put(
+                        gm, NamedSharding(self.mesh, P(None, "shard"))
+                    )
+                for b in batch_sizes:
+                    q, _ = self._pad_queries(
+                        np.zeros((b, self.dim), np.float32)
+                    )
+                    mid = jnp.zeros((q.shape[0],), jnp.int32)
+                    jax.block_until_ready(fn(q, gm, mid))
+
     def _overfetch_margin(self, k: int, drop_p: float) -> int:
         """Smallest `_OVERFETCH_MARGINS` entry m such that a (k+m)
         over-fetch window holds more than m dropped docs only at ~6-sigma

@@ -289,6 +289,8 @@ def main():
                 )()
         # over-fetch programs (deletes / broad filters ride these)
         engine.warm_overfetch(batch_sizes=(8, 16, 32, 64, 128, 256, 512), k=10)
+        # grouped heterogeneous-filter programs: one per (bucket, G_pad)
+        engine.warm_grouped(batch_sizes=(8, 16, 32, 64, 128, 256, 512), k=10)
     _log("batch buckets warmed")
 
     # serving-path GC discipline (exp_serve_tail.py): freeze the
