@@ -275,6 +275,11 @@ def make_search_server(args):
         engine.warm_overfetch(batch_sizes=tuple(buckets))
         if pool_k < engine.n_valid:
             engine.warm_overfetch(batch_sizes=tuple(buckets), k=pool_k)
+        # grouped heterogeneous-filter programs (one per bucket x G_pad):
+        # without these the first mixed-filter window compiles mid-serve
+        engine.warm_grouped(batch_sizes=tuple(buckets), k=cfg.top_k)
+        if pool_k < engine.n_valid:
+            engine.warm_grouped(batch_sizes=tuple(buckets), k=pool_k)
         # the ENCODER compiles per (batch-bucket, width-bucket) pair too —
         # without this the first text query still stalls on a fresh
         # XLA+Mosaic compile. Warm every batch bucket at the short width
