@@ -919,10 +919,17 @@ class IVFIndex:
         n_shards = mesh.shape["shard"]
         nprobe = min(int(nprobe or self.config.ivf_nprobe), self.centroids.shape[0])
         residual = self.res_flat is not None
-        # device arrays cached per (mesh, n_shards): the engine builds one
-        # searcher per k, and re-uploading the whole sharded index per k
-        # would duplicate it in HBM
-        cache_key = (id(mesh), n_shards)
+        # device arrays cached per (mesh devices+layout, n_shards): the
+        # engine builds one searcher per k, and re-uploading the whole
+        # sharded index per k would duplicate it in HBM. Keyed by the
+        # mesh's actual device tuple + axis layout — id(mesh) can be
+        # REUSED by a different mesh after garbage collection, which
+        # would silently serve stale placements
+        cache_key = (
+            tuple(mesh.devices.flat),
+            tuple(sorted(mesh.shape.items())),
+            n_shards,
+        )
         cache = getattr(self, "_sharded_dev_cache", None)
         if cache is not None and cache[0] == cache_key:
             dc = cache[1]

@@ -427,13 +427,11 @@ class SearchEngine:
         # a lock: without a scheduler, ThreadingHTTPServer handler
         # threads hit this concurrently
         self._filter_cache: dict[tuple, tuple] = {}
-        # (ordered signature tuple, tomb epoch) -> device (G, rows) mask
-        # stack for grouped heterogeneous-filter dispatches. MUST be
-        # (re)initialized here: compact()'s transplant replaces __dict__
-        # keys, and a lazily-created cache key absent from the new
-        # engine would leave the OLD engine's stale (wrong-shape)
-        # device rows in place.
-        self._gmask_cache: dict[tuple, Any] = {}
+        # grouped-dispatch pass/fail rows. MUST be initialized here:
+        # compact()'s transplant replaces __dict__ keys, and a
+        # lazily-created cache key absent from the new engine would
+        # leave the OLD engine's stale (wrong-shape) device rows in
+        # place.
         self._pass_fail_cache = None
         # first-sight filter-mask builds (O(N) host compile + device
         # upload) — the serving-tail attribution counters: a dispatch
@@ -874,17 +872,18 @@ class SearchEngine:
             # remote-attached chip the link, not the fold, dominates
             # compact wall time — last_compact_stats separates them so
             # operators can bound what a locally-attached chip would cost
+            # always a PRIVATE list — summing a shared diag trace would
+            # fold foreign/historical events into this compact's split;
+            # an active diag trace gets the events appended afterwards
             events: list = []
             prev_trace = _TRACE_EVENTS
-            if prev_trace is None:
-                _TRACE_EVENTS = events
+            _TRACE_EVENTS = events
             try:
                 built = self._compact_build(snap, reclaim)
             finally:
-                if prev_trace is None:
-                    _TRACE_EVENTS = prev_trace
-                else:
-                    events = prev_trace
+                _TRACE_EVENTS = prev_trace
+                if prev_trace is not None:
+                    prev_trace.extend(events)
             up = [
                 (dur, nb) for tag, _t0, dur, nb in events
                 if tag.startswith(("chunk@", "put_direct"))
@@ -1298,16 +1297,23 @@ class SearchEngine:
                     elif wb == "mask":
                         out = fn(q, jnp.zeros((eng2.padded_rows,), jnp.int8))
                     elif wb == "maskg":
+                        # every G_pad shape the startup warm covered —
+                        # warming only G=8 would leave the first
+                        # post-compact 9+-signature window to compile
+                        # under the live lock
                         gm_dt = (
                             jnp.int8
                             if (eng2._speed_ok or eng2._sharded_speed_ok)
                             else jnp.float32
                         )
-                        out = fn(
-                            q,
-                            jnp.zeros((8, eng2.padded_rows), gm_dt),
-                            jnp.zeros((q.shape[0],), jnp.int32),
-                        )
+                        out = None
+                        for g_pad in (8, 16, 32):
+                            out = fn(
+                                q,
+                                jnp.zeros((g_pad, eng2.padded_rows), gm_dt),
+                                jnp.zeros((q.shape[0],), jnp.int32),
+                            )
+                            jax.block_until_ready(out)
                     else:
                         out = fn(q, jnp.zeros((eng2.padded_rows,), jnp.float32))
                     jax.block_until_ready(out)
@@ -1420,10 +1426,16 @@ class SearchEngine:
         gen = self._generation
         chain = self._remap_chain
         seen = self._seen_batches | eng2._seen_batches
+        # monotonic counters survive the transplant (eng2's start at ~0;
+        # adopting them would make the scheduler's before/after deltas
+        # go negative mid-window)
+        fm_builds = self.filter_mask_builds + eng2.filter_mask_builds
+        fm_build_s = self.filter_mask_build_s + eng2.filter_mask_build_s
         d = dict(eng2.__dict__)
         for key in (
             "_live_lock", "_filter_cache_lock", "_compact_lock",
             "_generation", "_remap_chain", "last_id_map", "_seen_batches",
+            "filter_mask_builds", "filter_mask_build_s",
         ):
             d.pop(key, None)
 
@@ -1443,6 +1455,8 @@ class SearchEngine:
 
         self.__dict__.update(d)
         self._seen_batches = seen
+        self.filter_mask_builds = fm_builds
+        self.filter_mask_build_s = fm_build_s
 
         if reclaim and id_map is not None:
             self.last_id_map = id_map
@@ -2332,20 +2346,14 @@ class SearchEngine:
         """Device (G_pad, padded_rows) mask stack for a grouped dispatch:
         int8 pass/fail rows on the speed paths, f32 0/-inf bias rows on
         the XLA paths; row-sharded on axis 1 under a mesh. Pad rows are
-        all-excluded. The stack is assembled DEVICE-SIDE from the
-        per-signature cached rows (HBM-to-HBM stack, no host build or
-        re-upload), and cached per (canonically-ordered signature set,
-        tomb epoch) — the caller orders signatures deterministically, so
-        steady-state serving mixes hit this cache regardless of arrival
-        order."""
-        key = (tuple(ordered_keys), self._tomb_epoch)
-        with self._filter_cache_lock:
-            hit = self._gmask_cache.get(key)
-        if hit is not None:
-            return hit
-        import time as _t
-
-        _t0 = _t.monotonic()
+        all-excluded. Assembled DEVICE-SIDE per dispatch from the
+        per-signature cached rows (HBM-to-HBM stack, ~tens of us; no
+        host build or re-upload) — NOT cached per signature SET: rotating
+        mixes make each window's subset a combinatorially distinct key,
+        so a set-level cache would miss ~always while pinning dead
+        multi-hundred-MB stacks in HBM. First-sight per-SIGNATURE mask
+        builds (the O(N) host compile + upload) are counted inside
+        _combined_mask_inputs/_filter_device_inputs."""
         g_pad = max(8, pow2_bucket(len(ordered_keys)))
         pass_row, fail_row = self._pass_fail_rows()
         rows = []
@@ -2361,12 +2369,6 @@ class SearchEngine:
             dev = jax.device_put(
                 dev, NamedSharding(self.mesh, P(None, "shard"))
             )
-        self.filter_mask_builds += 1
-        self.filter_mask_build_s += _t.monotonic() - _t0
-        with self._filter_cache_lock:
-            if len(self._gmask_cache) >= 16:
-                self._gmask_cache.pop(next(iter(self._gmask_cache)))
-            self._gmask_cache[key] = dev
         return dev
 
     def _dispatch_grouped(self, query_vecs, k: int | None, filters_list: list):
