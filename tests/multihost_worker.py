@@ -64,6 +64,21 @@ def main() -> None:
     )
     scores, ids = eng.search_vectors(queries, k=10)
 
+    # ---- live updates across the process boundary: every process
+    # applies the IDENTICAL mutation stream (a real deployment
+    # replicates its mutation log to all hosts); the replicated delta
+    # scan, the row-sharded tombstone mask, and the compact(reclaim)
+    # rebuild+swap all run SPMD over the global mesh.
+    rng_m = np.random.default_rng(1)
+    new = rng_m.standard_normal((6, d), dtype=np.float32)
+    new /= np.linalg.norm(new, axis=1, keepdims=True)
+    ids_new = eng.add_documents(new[:5], normalize=False)
+    eng.update_document(17, new[5])
+    assert eng.delete_documents([9, int(ids_new[0])]) == 2
+    s_live, i_live = eng.search_vectors(queries, k=10)
+    folded = eng.compact(reclaim=True)
+    s_post, i_post = eng.search_vectors(queries, k=10)
+
     # ---- dp+tp training across the process boundary: the global mesh
     # splits (data=2, shard=4), so gradient psums cross the Gloo
     # boundary; the same train step code runs unchanged.
@@ -112,6 +127,10 @@ def main() -> None:
                 "sharded_speed_ok": bool(eng._sharded_speed_ok),
                 "ids": np.asarray(ids).tolist(),
                 "scores": np.asarray(scores, np.float64).round(5).tolist(),
+                "live_ids": np.asarray(i_live).tolist(),
+                "post_reclaim_ids": np.asarray(i_post).tolist(),
+                "folded": int(folded),
+                "num_live": int(eng.num_live),
                 "train_losses": losses,
                 "encode_min_cos": round(enc_cos, 6),
             },

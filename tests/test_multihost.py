@@ -103,3 +103,23 @@ def test_sharded_search_across_process_boundary(tmp_path):
     )
     _, ref_ids = eng.search_vectors(queries, k=10)
     assert results[0]["ids"] == np.asarray(ref_ids).tolist()
+
+    # live updates across the process boundary: both processes applied
+    # the identical mutation stream and must agree with each other AND
+    # with the single-device live engine, through compact(reclaim)
+    assert results[0]["live_ids"] == results[1]["live_ids"]
+    assert results[0]["post_reclaim_ids"] == results[1]["post_reclaim_ids"]
+    assert results[0]["folded"] == results[1]["folded"]
+    rng_m = np.random.default_rng(1)
+    new = rng_m.standard_normal((6, d), dtype=np.float32)
+    new /= np.linalg.norm(new, axis=1, keepdims=True)
+    ids_new = eng.add_documents(new[:5], normalize=False)
+    eng.update_document(17, new[5])
+    assert eng.delete_documents([9, int(ids_new[0])]) == 2
+    _, i_live = eng.search_vectors(queries, k=10)
+    folded = eng.compact(reclaim=True)
+    _, i_post = eng.search_vectors(queries, k=10)
+    assert results[0]["live_ids"] == np.asarray(i_live).tolist()
+    assert results[0]["post_reclaim_ids"] == np.asarray(i_post).tolist()
+    assert results[0]["folded"] == folded
+    assert results[0]["num_live"] == eng.num_live
