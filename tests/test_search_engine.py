@@ -842,3 +842,20 @@ def test_grouped_filters_pow2_padded_device_queries(corpus, meta):
         assert set(i_g[b].tolist()) == set(i1[0].tolist()), f"query {b}"
     with pytest.raises(ValueError, match="filters list"):
         eng.search_vectors(q[:4], k=6, filters=flist)
+
+
+def test_grouped_filters_fallback_per_signature_engine(corpus, meta):
+    """Engines without the grouped kernel (per-row-scale Pallas path)
+    still serve list-filters correctly via the per-signature fallback
+    split — same API, stitched rows."""
+    emb, q = corpus
+    idx = FlatIndex.build(
+        emb, config=IndexConfig(pad_multiple=256, dtype="int8"),
+        normalize=False,
+    )
+    eng = SearchEngine(
+        idx, meta=meta, use_pallas=True, pallas_interpret=True,
+        row_block=128, rescore_vectors=emb, rescore_factor=8,
+    )
+    assert not eng.supports_grouped_filters  # per-row scales, no gscale
+    _check_grouped_vs_single(eng, q[:8], _grouped_filters(8), k=6)
