@@ -450,7 +450,7 @@ def _mips_g_kernel(
             _maxima(masked=True, remaining=remaining, lane=lane)
 
 
-def _exact_topk_wide(cand: jax.Array, k: int, seg: int = 2048):
+def _exact_topk_wide(cand: jax.Array, k: int, seg: int = 1024):
     """Exact top-k over a wide (B, W) candidate row, two-stage.
 
     Stage 1 takes per-segment top-k over W//seg segments, stage 2 merges
@@ -458,7 +458,9 @@ def _exact_topk_wide(cand: jax.Array, k: int, seg: int = 2048):
     than k elements overall, hence by fewer than k within its own segment,
     so it survives stage 1. Keeping each sort narrow is markedly cheaper
     on TPU than one W-wide lax.top_k (which measured ~40 ms at W=32k,
-    B=1024 on v5e)."""
+    B=1024 on v5e). seg is near-flat in [1024, 8192] on the masked
+    headline pipeline (7.03-7.19 ms at B=512/1M; EPILOGUE_SEG_r05.json);
+    1024 is the measured best."""
     b, w = cand.shape
     if w <= seg:
         vi, pos = jax.lax.top_k(cand, k)
