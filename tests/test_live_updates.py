@@ -1760,3 +1760,19 @@ def test_grouped_filters_survive_compact(small):
     check()
     assert eng.compact(reclaim=True) == 0 or True
     check()
+
+
+def test_mask_build_counters_survive_compact(small):
+    """The monotonic mask-build counters must not reset on compact()'s
+    state transplant — the scheduler computes before/after deltas per
+    dispatched batch, and a reset mid-window would log negative
+    mask_build_ms into the stage traces."""
+    emb, new, q = small
+    eng = _fp32_engine(emb, meta=CorpusMetadata.from_rows(_meta_rows(600)))
+    eng.search_vectors(q[:2], k=4, filters=SearchFilters(year_range=(2010, 2010)))
+    b0, s0 = eng.filter_mask_builds, eng.filter_mask_build_s
+    assert b0 >= 1 and s0 > 0
+    eng.add_documents(new[:3], meta_rows=_meta_rows(3, 600), normalize=False)
+    assert eng.compact() == 3
+    assert eng.filter_mask_builds >= b0
+    assert eng.filter_mask_build_s >= s0

@@ -1729,31 +1729,31 @@ class SearchEngine:
     def _delta_bias_stack(self, ordered_keys, reps, delta):
         """(G_pad, cap) f32 device stack of per-signature delta biases
         for a grouped dispatch (row g = signature g's bias; pad rows
-        all -inf), or None when NO signature filters the delta."""
+        all -inf), or None when NO signature filters the delta.
+        Assembled per dispatch from the per-signature cached bias rows
+        (_delta_filter_bias) — a set-level cache would miss ~always
+        under rotating mixes while pinning dead stacks (same argument
+        as _grouped_device_masks)."""
         if self.meta is None or all(fk == () for fk in ordered_keys):
             return None
-        key = ("stack", tuple(ordered_keys), delta.n)
-        with self._filter_cache_lock:
-            hit = self._delta_bias_cache.get(key)
-        if hit is not None:
-            return hit[0]
         g_pad = max(8, pow2_bucket(len(ordered_keys)))
-        stack = np.full((g_pad, delta.cap), NEG_INF, np.float32)
-        for gi, (fk, f) in enumerate(zip(ordered_keys, reps)):
-            if fk == ():
-                stack[gi, : delta.n] = 0.0
-                continue
-            mask = self._delta_filter_mask_np(f, delta)
-            if mask is None:
-                stack[gi, : delta.n] = 0.0
+        zeros_row = fail_row = None
+        rows = []
+        for fk, f in zip(ordered_keys, reps):
+            bias = self._delta_filter_bias(f, delta) if fk != () else None
+            if bias is None:
+                # unfiltered / no-op signature: every delta row passes.
+                # Live rows carry bias 0 and dead rows already carry
+                # -inf in the BASE delta bias this stack ADDS to.
+                if zeros_row is None:
+                    zeros_row = jnp.zeros((delta.cap,), jnp.float32)
+                rows.append(zeros_row)
             else:
-                stack[gi, : delta.n] = np.where(mask, 0.0, NEG_INF)
-        dev = jnp.asarray(stack)
-        with self._filter_cache_lock:
-            if len(self._delta_bias_cache) >= 64:
-                self._delta_bias_cache.pop(next(iter(self._delta_bias_cache)))
-            self._delta_bias_cache[key] = (dev,)
-        return dev
+                rows.append(bias)
+        if fail_row is None:
+            fail_row = jnp.full((delta.cap,), NEG_INF, jnp.float32)
+        rows.extend([fail_row] * (g_pad - len(rows)))
+        return jnp.stack(rows)
 
     def _ivf_fn(self, k: int) -> Callable:
         if k not in self._ivf_fns:
